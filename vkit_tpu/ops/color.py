@@ -1,0 +1,115 @@
+"""Device-side colorspace conversions + histogram ops (jnp twins of
+vkit_tpu/ops/colorspace_np.py).
+
+Capability parity: cv2.cvtColor / cv2.equalizeHist usage at
+vkit/element/image.py:794-812 and vkit/mechanism/distortion/photometric/
+color.py:284.
+"""
+import jax.numpy as jnp
+
+from .common import round_u8, to_f32
+
+
+def rgb_to_gray(image):
+    x = to_f32(image)
+    y = x[..., 0] * 0.299 + x[..., 1] * 0.587 + x[..., 2] * 0.114
+    return round_u8(y) if image.dtype == jnp.uint8 else y
+
+
+def rgb_to_hsv_full(image):
+    rgb = to_f32(image)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    diff = v - mn
+    safe = jnp.where(diff == 0, 1.0, diff)
+    s = jnp.where(v > 0, diff / jnp.where(v == 0, 1.0, v) * 255.0, 0.0)
+    h = jnp.where(
+        v == r,
+        60.0 * (g - b) / safe,
+        jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
+    )
+    h = jnp.where(diff == 0, 0.0, h)
+    h = jnp.where(h < 0, h + 360.0, h)
+    out = jnp.stack([h * (255.0 / 360.0), s, v], axis=-1)
+    return round_u8(out) if image.dtype == jnp.uint8 else out
+
+
+def hsv_full_to_rgb(image):
+    h = to_f32(image[..., 0]) * (360.0 / 255.0)
+    s = to_f32(image[..., 1]) / 255.0
+    v = to_f32(image[..., 2])
+
+    c = v * s
+    hp = h / 60.0
+    x = c * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
+    m = v - c
+
+    sector = jnp.floor(hp).astype(jnp.int32) % 6
+    z = jnp.zeros_like(c)
+    r1 = jnp.select([sector == k for k in range(6)], [c, x, z, z, x, c])
+    g1 = jnp.select([sector == k for k in range(6)], [x, c, c, x, z, z])
+    b1 = jnp.select([sector == k for k in range(6)], [z, z, x, c, c, x])
+    out = jnp.stack([r1 + m, g1 + m, b1 + m], axis=-1)
+    return round_u8(out) if image.dtype == jnp.uint8 else out
+
+
+def rgb_to_hsl_full(image):
+    rgb = to_f32(image) / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    diff = mx - mn
+    summ = mx + mn
+    lum = summ / 2.0
+    denom = jnp.where(lum < 0.5, summ, 2.0 - summ)
+    s = jnp.where(diff == 0, 0.0, diff / jnp.where(denom == 0, 1.0, denom))
+    safe = jnp.where(diff == 0, 1.0, diff)
+    h = jnp.where(
+        mx == r,
+        60.0 * (g - b) / safe,
+        jnp.where(mx == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
+    )
+    h = jnp.where(diff == 0, 0.0, h)
+    h = jnp.where(h < 0, h + 360.0, h)
+    out = jnp.stack([h * (255.0 / 360.0), s * 255.0, lum * 255.0], axis=-1)
+    return round_u8(out) if image.dtype == jnp.uint8 else out
+
+
+def hsl_full_to_rgb(image):
+    h = to_f32(image[..., 0]) * (360.0 / 255.0)
+    s = to_f32(image[..., 1]) / 255.0
+    lum = to_f32(image[..., 2]) / 255.0
+
+    c = (1.0 - jnp.abs(2.0 * lum - 1.0)) * s
+    hp = h / 60.0
+    x = c * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
+    m = lum - c / 2.0
+
+    sector = jnp.floor(hp).astype(jnp.int32) % 6
+    z = jnp.zeros_like(c)
+    r1 = jnp.select([sector == k for k in range(6)], [c, x, z, z, x, c])
+    g1 = jnp.select([sector == k for k in range(6)], [x, c, c, x, z, z])
+    b1 = jnp.select([sector == k for k in range(6)], [z, z, x, c, c, x])
+    out = jnp.stack([r1 + m, g1 + m, b1 + m], axis=-1) * 255.0
+    return round_u8(out) if image.dtype == jnp.uint8 else out
+
+
+def equalize_hist(channel):
+    """Per-channel histogram equalization (cv2.equalizeHist semantics).
+
+    ``channel``: uint8 (H, W).  Histogram via one-hot matmul-free bincount
+    (jnp.bincount has static length 256 — TPU friendly).
+    """
+    flat = channel.reshape(-1)
+    hist = jnp.bincount(flat, length=256)
+    cdf = jnp.cumsum(hist)
+    total = flat.shape[0]
+    # First nonzero cdf value.
+    cdf_min = jnp.min(jnp.where(hist > 0, cdf, total + 1))
+    denom = jnp.maximum(total - cdf_min, 1)
+    lut = jnp.round((cdf - cdf_min) / denom * 255.0)
+    lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
+    same = cdf_min >= total  # Single-value image: identity.
+    out = jnp.where(same, channel, lut[channel])
+    return out

@@ -1,0 +1,8 @@
+from .interface import (
+    Distortion,
+    DistortionConfig,
+    DistortionNopState,
+    DistortionResult,
+    DistortionState,
+)
+from . import geometric, photometric

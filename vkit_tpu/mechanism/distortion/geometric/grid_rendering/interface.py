@@ -1,0 +1,124 @@
+"""Grid-based distortion state + element funcs.
+
+Capability parity: vkit/mechanism/distortion/geometric/grid_rendering/
+interface.py:48-233.
+"""
+from typing import Generic, Optional, Tuple, Type, TypeVar
+
+import numpy as np
+from numpy.random import Generator as RandomGenerator
+
+from .....element import Image, Mask, Point, ScoreMap
+from ...interface import Distortion, DistortionConfig, DistortionState
+from .grid_blender import (
+    blend_src_to_dst_image,
+    blend_src_to_dst_mask,
+    blend_src_to_dst_score_map,
+)
+from .grid_creator import create_dst_image_grid_and_shift_amounts_and_resize_ratios
+from .point_projector import PointProjector
+from .type import ImageGrid
+
+_T_CONFIG = TypeVar('_T_CONFIG', bound=DistortionConfig)
+
+
+class DistortionStateImageGridBased(DistortionState[_T_CONFIG]):
+    src_image_grid: ImageGrid
+    dst_image_grid: ImageGrid
+    shift_amount_y: float
+    shift_amount_x: float
+    resize_ratio_y: float
+    resize_ratio_x: float
+
+    def initialize_image_grid_based(
+        self,
+        src_image_grid: ImageGrid,
+        point_projector: PointProjector,
+        resize_as_src: bool = False,
+    ):
+        self.src_image_grid = src_image_grid
+        (
+            self.dst_image_grid,
+            (self.shift_amount_y, self.shift_amount_x),
+            (self.resize_ratio_y, self.resize_ratio_x),
+        ) = create_dst_image_grid_and_shift_amounts_and_resize_ratios(
+            src_image_grid,
+            point_projector,
+            resize_as_src=resize_as_src,
+        )
+
+    def shift_and_resize_point(self, point: Point) -> Point:
+        return Point.create(
+            y=(point.smooth_y - self.shift_amount_y) * self.resize_ratio_y,
+            x=(point.smooth_x - self.shift_amount_x) * self.resize_ratio_x,
+        )
+
+    @property
+    def result_shape(self) -> Tuple[int, int]:
+        return self.dst_image_grid.image_shape
+
+
+_T_STATE = TypeVar('_T_STATE', bound=DistortionStateImageGridBased)
+
+
+class FuncImageGridBased(Generic[_T_CONFIG, _T_STATE]):
+
+    @classmethod
+    def func_image(cls, config, state, image: Image, rng: Optional[RandomGenerator]):
+        assert state
+        return blend_src_to_dst_image(image, state.src_image_grid, state.dst_image_grid)
+
+    @classmethod
+    def func_score_map(cls, config, state, score_map: ScoreMap,
+                       rng: Optional[RandomGenerator]):
+        assert state
+        return blend_src_to_dst_score_map(
+            score_map, state.src_image_grid, state.dst_image_grid
+        )
+
+    @classmethod
+    def func_mask(cls, config, state, mask: Mask, rng: Optional[RandomGenerator]):
+        assert state
+        return blend_src_to_dst_mask(mask, state.src_image_grid, state.dst_image_grid)
+
+    @classmethod
+    def func_active_mask(cls, config, state, shape: Tuple[int, int],
+                         rng: Optional[RandomGenerator]):
+        assert state
+        border_polygon = state.dst_image_grid.generate_border_polygon()
+        active_mask = Mask.from_shape(state.dst_image_grid.image_shape)
+        border_polygon.fill_mask(active_mask)
+        return active_mask
+
+    @classmethod
+    def func_point(cls, config, state, shape: Tuple[int, int], point: Point,
+                   rng: Optional[RandomGenerator]):
+        assert state
+        src_image_grid = state.src_image_grid
+        assert src_image_grid.grid_size
+        polygon_row = min(point.y // src_image_grid.grid_size,
+                          src_image_grid.num_rows - 2)
+        polygon_col = min(point.x // src_image_grid.grid_size,
+                          src_image_grid.num_cols - 2)
+        trans_mat = src_image_grid.get_trans_mat(
+            polygon_row, polygon_col, state.dst_image_grid
+        )
+        dst_tx, dst_ty, dst_t = np.matmul(
+            trans_mat, (point.smooth_x, point.smooth_y, 1.0)
+        )
+        return Point.create(y=float(dst_ty / dst_t), x=float(dst_tx / dst_t))
+
+
+class DistortionImageGridBased(Distortion[_T_CONFIG, _T_STATE]):
+
+    def __init__(self, config_cls: Type[_T_CONFIG], state_cls: Type[_T_STATE]):
+        func_cls = FuncImageGridBased[_T_CONFIG, _T_STATE]
+        super().__init__(
+            config_cls=config_cls,
+            state_cls=state_cls,
+            func_image=func_cls.func_image,
+            func_mask=func_cls.func_mask,
+            func_score_map=func_cls.func_score_map,
+            func_active_mask=func_cls.func_active_mask,
+            func_point=func_cls.func_point,
+        )

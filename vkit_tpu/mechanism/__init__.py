@@ -1,0 +1,2 @@
+from . import distortion, distortion_policy
+from .distortion_policy import random_distortion_factory

@@ -44,10 +44,11 @@ def solve_perspective_batch(src_quads: np.ndarray, dst_quads: np.ndarray) -> np.
     try:
         coeffs = np.linalg.solve(a, b[..., None])[..., 0]
     except np.linalg.LinAlgError:
-        coeffs, *_ = np.linalg.lstsq(
-            a.reshape(-1, 8), b.reshape(-1), rcond=None
-        )  # pragma: no cover - degenerate grids
-        coeffs = coeffs.reshape(n, 8)
+        # Degenerate cells (collapsed quads): least-squares per cell, which
+        # matches cv2.getPerspectiveTransform(DECOMP_SVD) behavior there.
+        coeffs = np.empty((n, 8))
+        for idx in range(n):
+            coeffs[idx], *_ = np.linalg.lstsq(a[idx], b[idx], rcond=None)
     out = np.concatenate([coeffs, np.ones((n, 1))], axis=1)
     return out.reshape(n, 3, 3)
 

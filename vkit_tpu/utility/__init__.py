@@ -8,6 +8,7 @@ from .opt import (
     rng_choice,
     rng_choice_with_size,
     rng_shuffle,
+    sample_resize_interpolation,
 )
 from .pool import Pool, PoolConfig
 from .structure import dyn_structure, get_generic_classes, is_attrs_class, read_json_file

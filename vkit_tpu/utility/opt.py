@@ -67,6 +67,25 @@ def get_config_class_snake_case_name(class_name: str) -> str:
     return name
 
 
+def sample_resize_interpolation(rng: RandomGenerator, include_area: bool = False):
+    """Sample a resize interpolation (EXACT-variant whitelist).
+
+    Capability parity: vkit/utility/opt.py:125-148
+    (sample_cv_resize_interpolation).
+    """
+    from ..ops.resize_taps import Interpolation
+
+    flags = (
+        Interpolation.NEAREST_EXACT,
+        Interpolation.LINEAR_EXACT,
+        Interpolation.CUBIC,
+        Interpolation.LANCZOS4,
+    )
+    if include_area:
+        flags = (*flags, Interpolation.AREA)
+    return rng_choice(rng, flags)
+
+
 def clip_val(val: float, size: int) -> float:
     return float(np.clip(val, 0, size - 1))
 

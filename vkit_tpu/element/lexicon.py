@@ -35,7 +35,7 @@ class Lexicon:
 @attr.define
 class LexiconCollection:
     lexicons: Sequence[Lexicon]
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     def _build_indices(self):
         char_to_lexicon = {}

@@ -51,7 +51,7 @@ class WritableMaskContextDecorator(ContextDecorator):
 class Mask(Shapable):
     mat: np.ndarray
     box: Optional['Box'] = None
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     def __attrs_post_init__(self):
         if self.mat.dtype != np.uint8:

@@ -67,7 +67,7 @@ class PolygonInternals:
 @attr.define(frozen=True, eq=False)
 class Polygon:
     points: 'PointTuple'
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     def __attrs_post_init__(self):
         assert len(self.points) >= 3

@@ -88,12 +88,10 @@ class CharHeatmapDefaultEngine(
                 char_polygon.internals.np_self_relative_points.astype(np.float64),
             )
             char_bounding_box = char_polygon.bounding_box
-            np_gaussian_map = np.asarray(
-                warp_ops.warp_perspective(
-                    self.np_gaussian_map,
-                    trans_mat,
-                    (char_bounding_box.height, char_bounding_box.width),
-                )
+            np_gaussian_map = warp_ops.warp_perspective_np(
+                self.np_gaussian_map,
+                trans_mat,
+                (char_bounding_box.height, char_bounding_box.width),
             )
             np_gaussian_map = np.clip(np_gaussian_map, 0.0, 1.0)
             score_map = ScoreMap(mat=np_gaussian_map, box=char_bounding_box)

@@ -113,12 +113,10 @@ class CharMaskExternalEllipseEngine(
             transformed_width = math.ceil(np_transformed_external_points[:, 0].max())
             if transformed_height <= 0 or transformed_width <= 0:
                 continue
-            np_transformed_external_mask = np.asarray(
-                warp_ops.warp_perspective(
-                    self.np_external_mask,
-                    trans_mat,
-                    (transformed_height, transformed_width),
-                )
+            np_transformed_external_mask = warp_ops.warp_perspective_np(
+                self.np_external_mask,
+                trans_mat,
+                (transformed_height, transformed_width),
             )
 
             smooth_y_min = min(point.smooth_y for point in char_polygon.points)

@@ -49,7 +49,7 @@ class FontGlyphInfo:
 @attr.define
 class FontGlyphInfoCollection:
     font_glyph_infos: Sequence[FontGlyphInfo]
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     @property
     def tag_to_font_glyph_info(self) -> Mapping[str, FontGlyphInfo]:
@@ -90,7 +90,7 @@ class FontMeta:
     font_glyph_info_collection: FontGlyphInfoCollection
     # Inclusive.
     ttc_font_index_max: Optional[int] = None
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     @property
     def chars(self) -> Sequence[str]:
@@ -194,7 +194,7 @@ class FontCollectionFolderTree:
 @attr.define
 class FontCollection:
     font_metas: Sequence[FontMeta]
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     def _build(self):
         name_to_font_meta: Dict[str, FontMeta] = {}

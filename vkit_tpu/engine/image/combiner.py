@@ -247,8 +247,8 @@ class ImageCombinerEngine(
 
         # Smooth the seams.
         sigma = half_kernel / 3
-        blurred = np.asarray(
-            blur_ops.gaussian_blur(mat, sigma, self.init_config.gaussian_blur_kernel_size)
+        blurred = blur_ops.gaussian_blur_np(
+            mat, sigma, self.init_config.gaussian_blur_kernel_size
         )
         edge_mask.fill_np_array(mat, blurred)
 

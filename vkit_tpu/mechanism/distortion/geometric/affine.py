@@ -30,7 +30,7 @@ from ..interface import Distortion, DistortionConfig, DistortionState
 def affine_mat(trans_mat: np.ndarray, dsize: Tuple[int, int], mat: np.ndarray) -> np.ndarray:
     """Warp a raster by a forward 2x3/3x3 matrix into a (w, h) dsize canvas."""
     dst_shape = (dsize[1], dsize[0])
-    return np.asarray(warp_ops.warp_affine(mat, trans_mat, dst_shape))
+    return warp_ops.warp_affine_np(mat, trans_mat, dst_shape)
 
 
 def affine_np_points(trans_mat: np.ndarray, np_points: np.ndarray) -> np.ndarray:

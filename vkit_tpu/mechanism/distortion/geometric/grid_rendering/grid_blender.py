@@ -13,7 +13,7 @@ from .type import ImageGrid
 
 def _remap_mat(mat: np.ndarray, src_image_grid: ImageGrid, dst_image_grid: ImageGrid):
     map_y, map_x = src_image_grid.generate_remap_params(dst_image_grid)
-    return np.asarray(warp_ops.remap(mat, map_y, map_x, 'bilinear'))
+    return warp_ops.remap_np(mat, np.asarray(map_y), np.asarray(map_x), 'bilinear')
 
 
 def create_image_from_image_grid(image_grid: ImageGrid, image_mode: ImageMode) -> Image:

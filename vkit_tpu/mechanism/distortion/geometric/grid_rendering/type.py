@@ -58,7 +58,7 @@ class ImageGrid:
     points_2d: List[PointList]
     # Set iff this is a src grid (uniform lattice with known cell size).
     grid_size: Optional[int] = None
-    _cache: dict = attr.field(factory=dict, repr=False)
+    _cache: dict = attr.field(factory=dict, repr=False, init=False)
 
     # ------------------------------------------------------------------
     # Basic geometry.

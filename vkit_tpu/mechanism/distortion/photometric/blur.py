@@ -61,7 +61,7 @@ def gaussian_blur_image(config: GaussianBlurConfig, state, image: Image,
     mode = image.mode
     image = to_rgb_image(image, mode)
     ksize = estimate_gaussian_kernel_size(config.sigma)
-    mat = np.asarray(blur_ops.gaussian_blur(image.mat, config.sigma, ksize))
+    mat = blur_ops.gaussian_blur_np(image.mat, config.sigma, ksize)
     image = attr.evolve(image, mat=mat)
     return to_original_image(image, mode)
 
@@ -95,7 +95,7 @@ def defocus_blur_image(config: DefocusBlurConfig, state, image: Image,
 
     mode = image.mode
     image = to_rgb_image(image, mode)
-    mat = np.asarray(blur_ops.filter2d(image.mat, kernel))
+    mat = blur_ops.filter2d_np(image.mat, kernel)
     image = attr.evolve(image, mat=mat)
     return to_original_image(image, mode)
 
@@ -130,7 +130,7 @@ def motion_blur_image(config: MotionBlurConfig, state, image: Image,
 
     mode = image.mode
     image = to_rgb_image(image, mode)
-    mat = np.asarray(blur_ops.filter2d(image.mat, kernel))
+    mat = blur_ops.filter2d_np(image.mat, kernel)
     image = attr.evolve(image, mat=mat)
     return to_original_image(image, mode)
 
@@ -192,7 +192,7 @@ def glass_blur_image(config: GlassBlurConfig, state, image: Image,
     image = to_rgb_image(image, mode)
 
     ksize = estimate_gaussian_kernel_size(config.sigma)
-    mat = np.asarray(blur_ops.gaussian_blur(image.mat, config.sigma, ksize))
+    mat = blur_ops.gaussian_blur_np(image.mat, config.sigma, ksize)
 
     pos_y, pos_x = build_glass_blur_permutation(
         image.shape, config.delta, config.loop, rng

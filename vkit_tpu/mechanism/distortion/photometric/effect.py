@@ -30,7 +30,7 @@ def jpeg_quality_image(config: JpegQualityConfig, state, image: Image,
     assert 0 <= config.quality <= 100
     mode = image.mode
     image = to_rgb_image(image, mode)
-    mat = np.asarray(effect_ops.jpeg_quality(image.mat, config.quality))
+    mat = effect_ops.jpeg_quality_np(image.mat, config.quality)
     image = attr.evolve(image, mat=mat)
     return to_original_image(image, mode)
 

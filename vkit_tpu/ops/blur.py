@@ -133,3 +133,42 @@ def gaussian_blur(image, sigma: float, ksize: int = 0):
 def box_blur(image, ksize: int):
     kernel = np.full((ksize, ksize), 1.0 / (ksize * ksize), dtype=np.float32)
     return filter2d(image, kernel)
+
+
+# --------------------------------------------------------------------------
+# Host (numpy/scipy) twins — per-element dynamic-shape path; the jnp path is
+# for the batched static-shape device program (per-shape XLA compiles would
+# dominate otherwise).
+# --------------------------------------------------------------------------
+
+
+def filter2d_np(image: np.ndarray, kernel2d: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`filter2d` (correlate, reflect-101 border)."""
+    from scipy.ndimage import correlate
+
+    kernel2d = np.asarray(kernel2d, dtype=np.float32)
+    had_c = image.ndim == 3
+    image3 = image if had_c else image[..., None]
+    src = image3.astype(np.float32)
+    out = np.empty_like(src)
+    for ch in range(src.shape[-1]):
+        # scipy 'mirror' == cv2 reflect-101.
+        out[..., ch] = correlate(src[..., ch], kernel2d, mode='mirror')
+    if not had_c:
+        out = out[..., 0]
+    if image.dtype == np.uint8:
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out.astype(image.dtype)
+
+
+def gaussian_blur_np(image: np.ndarray, sigma: float, ksize: int = 0) -> np.ndarray:
+    """Numpy twin of :func:`gaussian_blur` (separable, cv2 kernel taps)."""
+    if ksize <= 0:
+        ksize = int(round(sigma * 3 * 2 + 1)) | 1
+    k1 = gaussian_kernel1d(sigma, ksize)
+    return filter2d_np(image, np.outer(k1, k1))
+
+
+def box_blur_np(image: np.ndarray, ksize: int) -> np.ndarray:
+    kernel = np.full((ksize, ksize), 1.0 / (ksize * ksize), dtype=np.float32)
+    return filter2d_np(image, kernel)

@@ -140,6 +140,73 @@ def jpeg_quality(image, quality: int):
     return round_u8(jnp.stack([r2, g2, b2], axis=-1))
 
 
+def jpeg_quality_np(image: np.ndarray, quality: int) -> np.ndarray:
+    """Numpy twin of :func:`jpeg_quality` for the host per-element path
+    (dynamic page shapes would force an XLA compile per shape)."""
+    from .resize_taps import resize_np
+
+    luma_q = _quality_scaled_table(_LUMA_QTABLE, quality)
+    chroma_q = _quality_scaled_table(_CHROMA_QTABLE, quality)
+    dct = _dct_matrix().astype(np.float64)
+
+    def pad_to_multiple(x, mult):
+        height, width = x.shape[:2]
+        pad_h = (-height) % mult
+        pad_w = (-width) % mult
+        if pad_h or pad_w:
+            x = np.pad(x, ((0, pad_h), (0, pad_w)), mode='edge')
+        return x, height, width
+
+    def quantize(channel, qtable):
+        height, width = channel.shape
+        blocks = (
+            (channel - 128.0)
+            .reshape(height // 8, 8, width // 8, 8)
+            .transpose(0, 2, 1, 3)
+        )
+        coeffs = np.einsum('ij,hwjk,lk->hwil', dct, blocks, dct)
+        coeffs = np.round(coeffs / qtable) * qtable
+        restored = np.einsum('ji,hwjk,kl->hwil', dct, coeffs, dct)
+        return (
+            restored.transpose(0, 2, 1, 3).reshape(height, width) + 128.0
+        )
+
+    if image.ndim == 2:
+        x, height, width = pad_to_multiple(image.astype(np.float64), 8)
+        y = quantize(x, luma_q)[:height, :width]
+        return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+    rgb = image.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    y_p, height, width = pad_to_multiple(y, 16)
+    cb_p, _, _ = pad_to_multiple(cb, 16)
+    cr_p, _, _ = pad_to_multiple(cr, 16)
+
+    y_q = quantize(y_p, luma_q)
+
+    def chroma_roundtrip(c):
+        ph, pw = c.shape
+        sub = c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        sub_q = quantize(sub, chroma_q)
+        return resize_np(
+            sub_q.astype(np.float32), (ph, pw), Interpolation.LINEAR
+        )
+
+    cb_q = chroma_roundtrip(cb_p)[:height, :width] - 128.0
+    cr_q = chroma_roundtrip(cr_p)[:height, :width] - 128.0
+    y_q = y_q[:height, :width]
+
+    r2 = y_q + 1.402 * cr_q
+    g2 = y_q - 0.344136 * cb_q - 0.714136 * cr_q
+    b2 = y_q + 1.772 * cb_q
+    out = np.stack([r2, g2, b2], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def pixelation(image, resized_shape):
     """Down then nearest-up (vkit effect.py:56-86)."""
     height, width = image.shape[:2]

@@ -167,6 +167,104 @@ def warp_affine(
 warp_perspective = warp_affine  # Same path; 3x3 matrix selects perspective.
 
 
+# --------------------------------------------------------------------------
+# Host (numpy) twins — for per-element distortion of dynamic-shaped rasters.
+# The jnp path above is for the batched static-shape device program; calling
+# it per element would trigger an XLA compile per unique shape.
+# --------------------------------------------------------------------------
+
+
+def remap_np(
+    image: np.ndarray,
+    map_y: np.ndarray,
+    map_x: np.ndarray,
+    interpolation: str = 'bilinear',
+    border_value: float = 0.0,
+) -> np.ndarray:
+    """Numpy twin of :func:`remap` (identical tap/border semantics)."""
+    had_c = image.ndim == 3
+    image3 = image if had_c else image[..., None]
+    src = image3.astype(np.float32)
+    height, width = src.shape[:2]
+    border = np.broadcast_to(
+        np.asarray(border_value, dtype=np.float32), (src.shape[-1],)
+    )
+    flat = src.reshape(height * width, -1)
+
+    def tap(ys, xs):
+        valid = (ys >= 0) & (ys < height) & (xs >= 0) & (xs < width)
+        ys_c = np.clip(ys, 0, height - 1)
+        xs_c = np.clip(xs, 0, width - 1)
+        vals = flat[(ys_c * width + xs_c).reshape(-1)].reshape(
+            *ys.shape, flat.shape[-1]
+        )
+        return np.where(valid[..., None], vals, border)
+
+    if interpolation == 'nearest':
+        ys = np.round(map_y).astype(np.int64)
+        xs = np.round(map_x).astype(np.int64)
+        out = tap(ys, xs)
+    elif interpolation == 'bilinear':
+        y0f = np.floor(map_y)
+        x0f = np.floor(map_x)
+        wy = (map_y - y0f)[..., None].astype(np.float32)
+        wx = (map_x - x0f)[..., None].astype(np.float32)
+        y0 = y0f.astype(np.int64)
+        x0 = x0f.astype(np.int64)
+        out = (
+            tap(y0, x0) * (1 - wy) * (1 - wx)
+            + tap(y0, x0 + 1) * (1 - wy) * wx
+            + tap(y0 + 1, x0) * wy * (1 - wx)
+            + tap(y0 + 1, x0 + 1) * wy * wx
+        )
+    else:
+        raise NotImplementedError(interpolation)
+
+    if not had_c:
+        out = out[..., 0]
+    if image.dtype == np.uint8:
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out.astype(image.dtype)
+
+
+def affine_maps_np(trans_mat: np.ndarray, dst_shape: Tuple[int, int]):
+    """Numpy twin of :func:`affine_maps`."""
+    trans_mat = np.asarray(trans_mat, dtype=np.float64)
+    if trans_mat.shape == (2, 3):
+        full = np.vstack([trans_mat, [0.0, 0.0, 1.0]])
+    else:
+        assert trans_mat.shape == (3, 3)
+        full = trans_mat
+    inv = np.linalg.inv(full)
+
+    dst_h, dst_w = dst_shape
+    grid_x, grid_y = np.meshgrid(
+        np.arange(dst_w, dtype=np.float64), np.arange(dst_h, dtype=np.float64)
+    )
+    dst_pts = np.stack([grid_x, grid_y, np.ones_like(grid_x)], axis=-1)
+    src = dst_pts @ inv.T
+    denom = src[..., 2]
+    denom = np.where(np.abs(denom) < 1e-12, 1.0, denom)
+    return (
+        (src[..., 1] / denom).astype(np.float32),
+        (src[..., 0] / denom).astype(np.float32),
+    )
+
+
+def warp_affine_np(
+    image: np.ndarray,
+    trans_mat: np.ndarray,
+    dst_shape: Tuple[int, int],
+    interpolation: str = 'bilinear',
+    border_value: float = 0.0,
+) -> np.ndarray:
+    map_y, map_x = affine_maps_np(trans_mat, dst_shape)
+    return remap_np(image, map_y, map_x, interpolation, border_value)
+
+
+warp_perspective_np = warp_affine_np
+
+
 def affine_np_points(trans_mat: np.ndarray, np_points: np.ndarray) -> np.ndarray:
     """Forward-transform (P, 2) xy points by a 2x3 / 3x3 matrix (host-side).
 

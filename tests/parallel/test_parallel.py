@@ -1,0 +1,81 @@
+"""Parallel layer: mesh factoring, batched synthesis, prefetch pump."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkit_tpu.parallel import (
+    DevicePrefetcher,
+    batch_sharding,
+    factor_devices,
+    make_mesh,
+    sample_synthesis_params,
+    synthesize_batch,
+)
+
+
+def test_factor_devices():
+    assert factor_devices(8, 3) == (2, 2, 2)
+    assert factor_devices(4, 3) == (2, 2, 1)
+    assert factor_devices(6, 3) == (3, 2, 1)
+    assert factor_devices(1, 3) == (1, 1, 1)
+    assert factor_devices(16, 2) == (4, 4)
+
+
+def test_make_mesh_and_sharding():
+    mesh = make_mesh(8)
+    assert dict(mesh.shape) == {'dp': 2, 'sp': 2, 'tp': 2}
+    sharding = batch_sharding(mesh)
+    spec = sharding.spec
+    assert spec[0] == 'dp' and spec[1] == 'sp'
+
+
+def test_synthesize_batch_small():
+    rng = np.random.default_rng(0)
+    n, h, w = 2, 64, 64
+    images = jnp.asarray(rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8))
+    params, warp_statics = sample_synthesis_params(rng, n, h, w, level=3)
+    out = synthesize_batch(
+        images, params, jax.random.PRNGKey(0),
+        warp_statics=warp_statics, out_shape=(h, w),
+    )
+    out = np.asarray(out)
+    assert out.shape == (n, h, w, 3)
+    assert out.dtype == np.uint8
+    # Distortion actually happened and differs across samples.
+    assert not np.array_equal(out[0], np.asarray(images[0]))
+    assert not np.array_equal(out[0], out[1])
+
+
+def test_synthesize_batch_deterministic():
+    rng = np.random.default_rng(7)
+    n, h, w = 2, 64, 64
+    images = jnp.asarray(rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8))
+    params, warp_statics = sample_synthesis_params(rng, n, h, w)
+    key = jax.random.PRNGKey(3)
+    out1 = np.asarray(
+        synthesize_batch(images, params, key, warp_statics=warp_statics)
+    )
+    out2 = np.asarray(
+        synthesize_batch(images, params, key, warp_statics=warp_statics)
+    )
+    assert np.array_equal(out1, out2)
+
+
+def test_prefetcher():
+    batches = [np.full((4, 8), idx, dtype=np.float32) for idx in range(5)]
+    seen = [np.asarray(b)[0, 0] for b in DevicePrefetcher(iter(batches), depth=2)]
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_prefetcher_propagates_errors():
+    def gen():
+        yield np.zeros((2,))
+        raise ValueError('boom')
+
+    pf = DevicePrefetcher(gen())
+    next(pf)
+    try:
+        next(pf)
+        raise AssertionError('expected ValueError')
+    except ValueError:
+        pass

@@ -1,0 +1,22 @@
+"""Models layer: the text-detection consumer of the synthesis pipeline."""
+from .text_detection import TextDetectionNet
+from .train import (
+    TrainBatch,
+    TrainState,
+    create_model,
+    create_optimizer,
+    init_train_state,
+    loss_fn,
+    make_train_step,
+)
+
+__all__ = [
+    'TextDetectionNet',
+    'TrainBatch',
+    'TrainState',
+    'create_model',
+    'create_optimizer',
+    'init_train_state',
+    'loss_fn',
+    'make_train_step',
+]

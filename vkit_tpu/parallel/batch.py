@@ -1,0 +1,223 @@
+"""Batched device synthesis: the distortion pipeline as ONE jitted program.
+
+The reference applies distortions one image at a time on the CPU
+(vkit/mechanism/distortion/interface.py:214-310, one cv2 call per op).  The
+TPU-native path instead samples per-image parameters on the host (cheap,
+numpy) and runs the whole batch through a single traced program: geometric
+warp (backward maps from per-sample homographies, one gather), photometric
+chain (contrast/brightness/noise fused elementwise), JPEG simulation (8x8
+DCT as MXU matmuls with per-sample quant tables), and the final resize
+(tap-weight matmuls).  Static shapes, no per-sample Python, everything
+fuses under jit.
+"""
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.random import Generator as RandomGenerator
+
+from ..ops.common import round_u8, to_f32
+from ..ops.effect import (
+    _CHROMA_QTABLE,
+    _LUMA_QTABLE,
+    _pad_to_multiple,
+    _quality_scaled_table,
+    _quantize_channel,
+)
+from ..ops.resize import Interpolation, resize
+from ..ops.warp_mxu import (
+    AffineWarpPlan,
+    AffineWarpStatics,
+    apply_affine_warp,
+    plan_affine_warp,
+)
+
+
+class SynthesisParams(NamedTuple):
+    """Struct-of-arrays, one row per sample; a valid jit input pytree."""
+    # Host-planned two-pass MXU warp (ops/warp_mxu.py).
+    warp_plan: AffineWarpPlan
+    contrasts: jnp.ndarray       # (N,) f32
+    brightnesses: jnp.ndarray    # (N,) f32
+    noise_stds: jnp.ndarray      # (N,) f32
+    luma_qtables: jnp.ndarray    # (N, 8, 8) f32
+    chroma_qtables: jnp.ndarray  # (N, 8, 8) f32
+    jpeg_enables: jnp.ndarray    # (N,) f32 in {0, 1}
+
+
+def sample_synthesis_params(
+    rng: RandomGenerator,
+    batch_size: int,
+    height: int,
+    width: int,
+    level: int = 5,
+) -> Tuple[SynthesisParams, AffineWarpStatics]:
+    """Host-side parameter sampling (numpy rng, like the policy layer).
+
+    Ranges follow the distortion_policy defaults at the given level
+    (vkit/mechanism/distortion_policy/photometric/color.py,
+    geometric/affine.py): rotation up to ~30 deg, shear up to ~15 deg,
+    scale 0.8-1.2, brightness +-50, contrast 0.6-1.4, noise std up to 20,
+    JPEG quality 95 down to 30.
+    """
+    ratio = level / 10.0
+    n = batch_size
+    cy, cx = (height - 1) / 2.0, (width - 1) / 2.0
+
+    angles = rng.uniform(-30.0 * ratio, 30.0 * ratio, size=n)
+    shears = rng.uniform(-15.0 * ratio, 15.0 * ratio, size=n)
+    scales = rng.uniform(1.0 - 0.2 * ratio, 1.0 + 0.2 * ratio, size=n)
+
+    mats = np.zeros((n, 3, 3), dtype=np.float32)
+    for idx in range(n):
+        rad = math.radians(angles[idx])
+        sh = math.tan(math.radians(shears[idx]))
+        sc = scales[idx]
+        cos_v, sin_v = math.cos(rad) * sc, math.sin(rad) * sc
+        # rotate(angle) . shear_x(sh), about the image center.
+        a, b = cos_v + sin_v * 0.0, -sin_v
+        rot = np.array([[cos_v, -sin_v], [sin_v, cos_v]])
+        shear = np.array([[1.0, sh], [0.0, 1.0]])
+        lin = rot @ shear
+        mats[idx, :2, :2] = lin
+        mats[idx, 0, 2] = cx - lin[0, 0] * cx - lin[0, 1] * cy
+        mats[idx, 1, 2] = cy - lin[1, 0] * cx - lin[1, 1] * cy
+        mats[idx, 2, 2] = 1.0
+
+    contrasts = rng.uniform(1.0 - 0.4 * ratio, 1.0 + 0.4 * ratio, size=n)
+    brightnesses = rng.uniform(-50.0 * ratio, 50.0 * ratio, size=n)
+    noise_stds = rng.uniform(0.0, 20.0 * ratio, size=n)
+
+    qualities = rng.integers(max(30, 95 - round(65 * ratio)), 96, size=n)
+    luma = np.stack([
+        _quality_scaled_table(_LUMA_QTABLE, q) for q in qualities
+    ]).astype(np.float32)
+    chroma = np.stack([
+        _quality_scaled_table(_CHROMA_QTABLE, q) for q in qualities
+    ]).astype(np.float32)
+    jpeg_enables = (rng.random(n) < 0.7).astype(np.float32)
+
+    warp_plan, warp_statics = plan_affine_warp(mats, (height, width))
+
+    return SynthesisParams(
+        warp_plan=warp_plan,
+        contrasts=jnp.asarray(contrasts, dtype=jnp.float32),
+        brightnesses=jnp.asarray(brightnesses, dtype=jnp.float32),
+        noise_stds=jnp.asarray(noise_stds, dtype=jnp.float32),
+        luma_qtables=jnp.asarray(luma),
+        chroma_qtables=jnp.asarray(chroma),
+        jpeg_enables=jnp.asarray(jpeg_enables),
+    ), warp_statics
+
+
+def _affine_backward_maps_batch(trans_mats, dst_shape: Tuple[int, int]):
+    """(N, 3, 3) forward mats -> (N, H, W) backward map_y / map_x."""
+    inv = jnp.linalg.inv(trans_mats)  # (N, 3, 3)
+    dst_h, dst_w = dst_shape
+    xs = jnp.arange(dst_w, dtype=jnp.float32)
+    ys = jnp.arange(dst_h, dtype=jnp.float32)
+    grid_x, grid_y = jnp.meshgrid(xs, ys)
+    dst = jnp.stack([grid_x, grid_y, jnp.ones_like(grid_x)], axis=-1)  # (H,W,3)
+    src = jnp.einsum('hwk,njk->nhwj', dst, inv)
+    denom = src[..., 2]
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    return src[..., 1] / denom, src[..., 0] / denom
+
+
+def _bilinear_gather(image_f32, map_y, map_x):
+    """Single-image bilinear backward warp, border = edge clamp."""
+    height, width = image_f32.shape[:2]
+    y0f = jnp.floor(map_y)
+    x0f = jnp.floor(map_x)
+    wy = (map_y - y0f)[..., None]
+    wx = (map_x - x0f)[..., None]
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, height - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, width - 1)
+    y1 = jnp.clip(y0 + 1, 0, height - 1)
+    x1 = jnp.clip(x0 + 1, 0, width - 1)
+    flat = image_f32.reshape(height * width, -1)
+
+    def tap(ys, xs):
+        return flat[(ys * width + xs).reshape(-1)].reshape(
+            *ys.shape, flat.shape[-1]
+        )
+
+    return (
+        tap(y0, x0) * (1 - wy) * (1 - wx)
+        + tap(y0, x1) * (1 - wy) * wx
+        + tap(y1, x0) * wy * (1 - wx)
+        + tap(y1, x1) * wy * wx
+    )
+
+
+def _jpeg_single(rgb_f32, luma_q, chroma_q):
+    """JPEG encode/decode sim on one (H, W, 3) f32 image, traced tables."""
+    r, g, b = rgb_f32[..., 0], rgb_f32[..., 1], rgb_f32[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    y_p, height, width = _pad_to_multiple(y, 16)
+    cb_p, _, _ = _pad_to_multiple(cb, 16)
+    cr_p, _, _ = _pad_to_multiple(cr, 16)
+
+    y_q = _quantize_channel(y_p, luma_q)
+
+    def chroma_roundtrip(c):
+        ph, pw = c.shape
+        sub = c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        sub_q = _quantize_channel(sub, chroma_q)
+        return resize(sub_q, (ph, pw), Interpolation.LINEAR)
+
+    cb_q = chroma_roundtrip(cb_p)[:height, :width] - 128.0
+    cr_q = chroma_roundtrip(cr_p)[:height, :width] - 128.0
+    y_q = y_q[:height, :width]
+
+    r2 = y_q + 1.402 * cr_q
+    g2 = y_q - 0.344136 * cb_q - 0.714136 * cr_q
+    b2 = y_q + 1.772 * cb_q
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=('warp_statics', 'out_shape'))
+def synthesize_batch(
+    images,
+    params: SynthesisParams,
+    key,
+    warp_statics: AffineWarpStatics,
+    out_shape: Optional[Tuple[int, int]] = None,
+):
+    """The full batched distortion program: warp + photometric + JPEG + resize.
+
+    ``images``: (N, H, W, 3) uint8.  Returns (N, out_h, out_w, 3) uint8.
+    """
+    n, height, width = images.shape[:3]
+
+    # Geometric: the two-pass shifts+matmuls warp (no gathers).
+    x = apply_affine_warp(to_f32(images), params.warp_plan, warp_statics)
+
+    # Photometric: contrast & brightness (fused elementwise).
+    c = params.contrasts[:, None, None, None]
+    b = params.brightnesses[:, None, None, None]
+    x = x * c + b
+
+    # Gaussian noise, per-sample std.
+    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    x = x + noise * params.noise_stds[:, None, None, None]
+    x = jnp.clip(x, 0.0, 255.0)
+
+    # JPEG roundtrip sim, per-sample quality tables, lerp-gated.
+    x_jpeg = jax.vmap(_jpeg_single)(
+        x, params.luma_qtables, params.chroma_qtables
+    )
+    gate = params.jpeg_enables[:, None, None, None]
+    x = x_jpeg * gate + x * (1.0 - gate)
+    x = jnp.clip(x, 0.0, 255.0)
+
+    if out_shape is not None and out_shape != (height, width):
+        x = jax.vmap(lambda im: resize(im, out_shape, Interpolation.LINEAR))(x)
+
+    return round_u8(x)

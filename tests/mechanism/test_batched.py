@@ -1,0 +1,147 @@
+"""Batched device catalog vs the per-element host path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkit_tpu.element import Image
+from vkit_tpu.mechanism import batch_distort_images
+from vkit_tpu.mechanism.distortion import (
+    BrightnessShiftConfig,
+    ColorBalanceConfig,
+    ComplementConfig,
+    GaussianBlurConfig,
+    JpegQualityConfig,
+    MeanShiftConfig,
+    PosterizationConfig,
+    StdShiftConfig,
+    brightness_shift,
+    color_balance,
+    complement,
+    gaussian_blur,
+    jpeg_quality,
+    mean_shift,
+    posterization,
+    std_shift,
+)
+
+
+@pytest.fixture(scope='module')
+def batch():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (3, 48, 64, 3), dtype=np.uint8)
+
+
+def _host(distortion, configs, batch):
+    return np.stack([
+        distortion.distort_image(cfg, Image(mat=mat)).mat
+        for cfg, mat in zip(configs, batch)
+    ])
+
+
+def test_mean_shift_exact(batch):
+    configs = [
+        MeanShiftConfig(delta=25),
+        MeanShiftConfig(delta=-40, threshold=120),
+        MeanShiftConfig(delta=10, threshold=200),
+    ]
+    out = np.asarray(
+        batch_distort_images('mean_shift', configs, jnp.asarray(batch))
+    )
+    assert np.array_equal(out, _host(mean_shift, configs, batch))
+
+
+def test_std_shift_exact(batch):
+    configs = [StdShiftConfig(scale=s) for s in (0.7, 1.0, 1.35)]
+    out = np.asarray(
+        batch_distort_images('std_shift', configs, jnp.asarray(batch))
+    )
+    ref = _host(std_shift, configs, batch)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_posterization_exact(batch):
+    configs = [PosterizationConfig(num_bits=b) for b in (1, 3, 5)]
+    out = np.asarray(
+        batch_distort_images('posterization', configs, jnp.asarray(batch))
+    )
+    assert np.array_equal(out, _host(posterization, configs, batch))
+
+
+def test_complement_exact(batch):
+    configs = [
+        ComplementConfig(),
+        ComplementConfig(threshold=100),
+        ComplementConfig(threshold=128, enable_threshold_lte=True),
+    ]
+    out = np.asarray(
+        batch_distort_images('complement', configs, jnp.asarray(batch))
+    )
+    assert np.array_equal(out, _host(complement, configs, batch))
+
+
+def test_color_balance_close(batch):
+    configs = [ColorBalanceConfig(ratio=r) for r in (0.0, 0.5, 0.9)]
+    out = np.asarray(
+        batch_distort_images('color_balance', configs, jnp.asarray(batch))
+    )
+    ref = _host(color_balance, configs, batch)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_brightness_shift_close(batch):
+    configs = [BrightnessShiftConfig(delta=d) for d in (-45, 0, 60)]
+    out = np.asarray(
+        batch_distort_images('brightness_shift', configs, jnp.asarray(batch))
+    )
+    ref = _host(brightness_shift, configs, batch)
+    # HSL roundtrip rounding differs by a couple LSB at saturated pixels.
+    assert np.abs(out.astype(int) - ref.astype(int)).mean() < 1.0
+
+
+def test_gaussian_blur_close(batch):
+    configs = [GaussianBlurConfig(sigma=s) for s in (0.8, 1.5, 2.5)]
+    out = np.asarray(
+        batch_distort_images('gaussian_blur', configs, jnp.asarray(batch))
+    )
+    ref = _host(gaussian_blur, configs, batch)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_jpeg_quality_close(batch):
+    configs = [JpegQualityConfig(quality=q) for q in (40, 70, 95)]
+    out = np.asarray(
+        batch_distort_images('jpeg_quality', configs, jnp.asarray(batch))
+    )
+    ref = _host(jpeg_quality, configs, batch)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_noise_and_fog_run(batch):
+    from vkit_tpu.mechanism.distortion import (
+        FogConfig,
+        GaussionNoiseConfig,
+        ImpulseNoiseConfig,
+    )
+
+    key = jax.random.PRNGKey(0)
+    images = jnp.asarray(batch)
+    out = batch_distort_images(
+        'gaussion_noise', [GaussionNoiseConfig(std=s) for s in (5, 10, 20)],
+        images, key,
+    )
+    assert not np.array_equal(np.asarray(out), batch)
+
+    out = batch_distort_images(
+        'impulse_noise',
+        [ImpulseNoiseConfig(prob_salt=0.05, prob_pepper=0.05)] * 3,
+        images, key,
+    )
+    assert (np.asarray(out) == 255).any()
+
+    out = batch_distort_images(
+        'fog', [FogConfig(roughness=0.4)] * 3, images, key,
+    )
+    out = np.asarray(out)
+    assert not np.array_equal(out, batch)
+    assert out.shape == batch.shape

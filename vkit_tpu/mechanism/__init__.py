@@ -1,2 +1,3 @@
-from . import distortion, distortion_policy
+from . import batched, distortion, distortion_policy
+from .batched import batch_distort_images
 from .distortion_policy import random_distortion_factory

@@ -1,0 +1,518 @@
+"""Batched device twins of the photometric distortion catalog.
+
+The per-element API (mechanism/distortion/*) operates on one host Image at a
+time, mirroring the reference's call shape (vkit/mechanism/distortion/
+photometric/*).  This module is the throughput form: the SAME config classes
+drive a traced program over an image batch (N, H, W, 3) uint8 on device —
+per-sample parameters become arrays, data-dependent branches become masks,
+and everything fuses under one jit.
+
+Catalog coverage:
+  color (10):  mean_shift, color_shift, brightness_shift, std_shift,
+               boundary_equalization, histogram_equalization, complement,
+               posterization, color_balance, channel_permutation
+  noise (4):   gaussion_noise [sic], poisson_noise, impulse_noise,
+               speckle_noise
+  effect (3):  jpeg_quality, pixelation*, fog
+  blur (4/5):  gaussian_blur, defocus_blur, motion_blur (host-built
+               per-sample kernels, shared width), zoom_in_blur*
+  (*) pixelation / zoom_in_blur require the shape-changing parameters to be
+      shared across the batch (static shapes under jit).
+  glass_blur and the streak family stay host-only: the former is a pure
+  per-pixel permutation (pathological on TPU), the latter are cheap host
+  mask drawings off the hot path.
+
+Entry point: ``batch_distort_images(name, configs, images, key)``.
+"""
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import blur as blur_ops
+from ..ops import color as color_ops
+from ..ops import noise as noise_ops
+from ..ops.effect import (
+    _CHROMA_QTABLE,
+    _LUMA_QTABLE,
+    _quality_scaled_table,
+)
+from ..ops.resize import Interpolation, resize
+from .distortion.photometric.blur import estimate_gaussian_kernel_size
+from .distortion.photometric.opt import OutOfBoundBehavior
+
+# ---------------------------------------------------------------------------
+# Helpers.
+# ---------------------------------------------------------------------------
+
+
+def _per_sample(values, dtype=jnp.float32):
+    """(N,) array broadcastable over (N, H, W, C)."""
+    arr = jnp.asarray(np.asarray(values), dtype=dtype)
+    return arr[:, None, None, None]
+
+
+def _finish(x, oob: OutOfBoundBehavior = OutOfBoundBehavior.CLIP):
+    x = jnp.round(x)
+    if oob == OutOfBoundBehavior.CYCLE:
+        return jnp.mod(x, 256.0).astype(jnp.uint8)
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+def _apply_channels(images, new_channels, channels):
+    if channels is None:
+        return new_channels
+    return images.at[..., jnp.asarray(list(channels))].set(new_channels)
+
+
+def _select_channels(images, channels):
+    if channels is None:
+        return images
+    return images[..., jnp.asarray(list(channels))]
+
+
+# ---------------------------------------------------------------------------
+# Color.
+# ---------------------------------------------------------------------------
+
+
+def batched_mean_shift(
+    images,
+    deltas,
+    thresholds=None,
+    channels: Optional[Sequence[int]] = None,
+    oob_behavior: OutOfBoundBehavior = OutOfBoundBehavior.CLIP,
+):
+    x = _select_channels(images, channels).astype(jnp.float32)
+    d = _per_sample(deltas)
+    if thresholds is None:
+        x = x + d
+    else:
+        t = _per_sample(thresholds)
+        # delta > 0 shifts dark pixels up; delta <= 0 shifts bright down
+        # (branch-free form of mean_shift_mat's gate).
+        gate = jnp.where(d > 0, x <= t, t <= x)
+        x = jnp.where(gate, x + d, x)
+    return _apply_channels(images, _finish(x, oob_behavior), channels)
+
+
+def batched_color_shift(images, deltas):
+    hsv = color_ops.rgb_to_hsv_full(images).astype(jnp.float32)
+    h = jnp.mod(hsv[..., 0] + _per_sample(deltas)[..., 0], 256.0)
+    hsv = jnp.concatenate([h[..., None], hsv[..., 1:]], axis=-1)
+    return color_ops.hsv_full_to_rgb(_finish(hsv, OutOfBoundBehavior.CYCLE))
+
+
+def batched_brightness_shift(images, deltas, use_hsv: bool = False):
+    if use_hsv:
+        inter = color_ops.rgb_to_hsv_full(images).astype(jnp.float32)
+    else:
+        inter = color_ops.rgb_to_hsl_full(images).astype(jnp.float32)
+    v = jnp.clip(inter[..., 2] + _per_sample(deltas)[..., 0], 0, 255)
+    inter = jnp.concatenate([inter[..., :2], v[..., None]], axis=-1)
+    inter = _finish(inter)
+    if use_hsv:
+        return color_ops.hsv_full_to_rgb(inter)
+    return color_ops.hsl_full_to_rgb(inter)
+
+
+def batched_std_shift(images, scales, channels: Optional[Sequence[int]] = None):
+    x = _select_channels(images, channels).astype(jnp.float32)
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    s = _per_sample(scales)
+    x = x * s - mean * (s - 1.0)
+    return _apply_channels(images, _finish(x), channels)
+
+
+def batched_boundary_equalization(
+    images, channels: Optional[Sequence[int]] = None
+):
+    x = _select_channels(images, channels).astype(jnp.float32)
+    lo = x.min(axis=(1, 2), keepdims=True)
+    hi = x.max(axis=(1, 2), keepdims=True)
+    delta = hi - lo
+    stretched = jnp.where(
+        delta > 0, (x - lo) * (255.0 / jnp.maximum(delta, 1e-6)), x
+    )
+    return _apply_channels(images, _finish(stretched), channels)
+
+
+def batched_histogram_equalization(
+    images, channels: Optional[Sequence[int]] = None
+):
+    x = _select_channels(images, channels)
+    n, h, w, c = x.shape
+    flat = x.transpose(0, 3, 1, 2).reshape(n * c, h, w)
+    eq = jax.vmap(color_ops.equalize_hist)(flat)
+    eq = eq.reshape(n, c, h, w).transpose(0, 2, 3, 1)
+    return _apply_channels(images, eq, channels)
+
+
+def batched_complement(
+    images,
+    thresholds=None,
+    enable_threshold_ltes=False,
+    channels: Optional[Sequence[int]] = None,
+):
+    x = _select_channels(images, channels).astype(jnp.float32)
+    if thresholds is None:
+        out = 255.0 - x
+    else:
+        t = _per_sample(thresholds)
+        lte = _per_sample(
+            np.broadcast_to(
+                np.asarray(enable_threshold_ltes, dtype=bool), (x.shape[0],)
+            ),
+            dtype=jnp.bool_,
+        )
+        gate = jnp.where(lte, x <= t, t <= x)
+        out = jnp.where(gate, 255.0 - x, x)
+    return _apply_channels(images, _finish(out), channels)
+
+
+def batched_posterization(
+    images, num_bits, channels: Optional[Sequence[int]] = None
+):
+    x = _select_channels(images, channels).astype(jnp.int32)
+    bits = jnp.asarray(np.asarray(num_bits), dtype=jnp.int32)[:, None, None, None]
+    keep = jnp.left_shift(jnp.right_shift(255, bits), bits)
+    out = jnp.bitwise_and(x, keep).astype(jnp.uint8)
+    return _apply_channels(images, out, channels)
+
+
+def batched_color_balance(images, ratios):
+    gray = color_ops.rgb_to_gray(images.astype(jnp.float32))[..., None]
+    r = _per_sample(ratios)
+    out = (1.0 - r) * gray + r * images.astype(jnp.float32)
+    return _finish(out)
+
+
+def batched_channel_permutation(images, perms):
+    """``perms``: (N, C) int — out channel c reads in channel perms[n, c]."""
+    perms = jnp.asarray(np.asarray(perms), dtype=jnp.int32)
+    n, c = perms.shape
+    onehot = jax.nn.one_hot(perms, c, dtype=jnp.float32)   # (N, C_out, C_in)
+    out = jnp.einsum(
+        'nhwc,nkc->nhwk', images.astype(jnp.float32), onehot,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.round(out).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Noise (jax PRNG; key is folded per sample inside the ops).
+# ---------------------------------------------------------------------------
+
+
+def batched_gaussion_noise(images, stds, key):
+    noise = jax.random.normal(key, images.shape, dtype=jnp.float32)
+    out = images.astype(jnp.float32) + noise * _per_sample(stds)
+    return _finish(out)
+
+
+def batched_poisson_noise(images, key):
+    out = jax.random.poisson(key, images.astype(jnp.float32), dtype=jnp.int32)
+    return _finish(out.astype(jnp.float32))
+
+
+def batched_impulse_noise(images, prob_salts, prob_peppers, key):
+    u = jax.random.uniform(key, images.shape[:3])[..., None]
+    ps = _per_sample(prob_salts)
+    pp = _per_sample(prob_peppers)
+    salt = u < ps
+    pepper = (u >= ps) & (u < ps + pp)
+    out = jnp.where(salt, jnp.uint8(255), images)
+    return jnp.where(pepper, jnp.uint8(0), out)
+
+
+def batched_speckle_noise(images, stds, key):
+    noise = jax.random.normal(key, images.shape, dtype=jnp.float32)
+    out = images.astype(jnp.float32) * (1.0 + noise * _per_sample(stds))
+    return _finish(out)
+
+
+# ---------------------------------------------------------------------------
+# Effect.
+# ---------------------------------------------------------------------------
+
+
+def batched_jpeg_quality(images, qualities):
+    """Per-sample qualities -> per-sample quant tables (host) -> DCT sim."""
+    from ..parallel.batch import _jpeg_single
+
+    luma = jnp.asarray(np.stack([
+        _quality_scaled_table(_LUMA_QTABLE, int(q)) for q in np.asarray(qualities)
+    ]).astype(np.float32))
+    chroma = jnp.asarray(np.stack([
+        _quality_scaled_table(_CHROMA_QTABLE, int(q)) for q in np.asarray(qualities)
+    ]).astype(np.float32))
+    out = jax.vmap(_jpeg_single)(images.astype(jnp.float32), luma, chroma)
+    return _finish(out)
+
+
+def batched_pixelation(images, ratio: float):
+    """Shared ratio across the batch (static shapes under jit)."""
+    n, h, w = images.shape[:3]
+    rh, rw = round(h * ratio), round(w * ratio)
+    down = jax.vmap(lambda im: resize(im, (rh, rw), Interpolation.LINEAR))(images)
+    return jax.vmap(lambda im: resize(im, (h, w), Interpolation.NEAREST))(down)
+
+
+def batched_fog(
+    images,
+    roughnesses,
+    key,
+    fog_rgb=(226, 238, 234),
+    ratio_maxs=1.0,
+    ratio_mins=0.0,
+):
+    from ..ops.effect import diamond_square_mask
+
+    n, h, w = images.shape[:3]
+    size = int(2 ** np.ceil(np.log2(max(h, w))))
+    roughnesses = jnp.asarray(
+        np.broadcast_to(np.asarray(roughnesses, dtype=np.float32), (n,))
+    )
+    keys = jax.random.split(key, n)
+    masks = jax.vmap(
+        lambda k, r: diamond_square_mask(k, size, r)
+    )(keys, roughnesses)[:, :h, :w]
+
+    lo = masks.min(axis=(1, 2), keepdims=True)
+    hi = masks.max(axis=(1, 2), keepdims=True)
+    masks = (masks - lo) / jnp.maximum(hi - lo, 1e-6)
+    rmax = jnp.broadcast_to(jnp.asarray(ratio_maxs, jnp.float32), (n,))
+    rmin = jnp.broadcast_to(jnp.asarray(ratio_mins, jnp.float32), (n,))
+    masks = masks * (rmax - rmin)[:, None, None] + rmin[:, None, None]
+    masks = masks[..., None]
+
+    fog_mat = jnp.asarray(fog_rgb, dtype=jnp.float32)
+    out = (1.0 - masks) * images.astype(jnp.float32) + masks * fog_mat
+    return _finish(out)
+
+
+# ---------------------------------------------------------------------------
+# Blur (host-built per-sample kernels, shared width; vmapped conv).
+# ---------------------------------------------------------------------------
+
+
+def _padded_kernels(kernels):
+    """Pad per-sample 2D kernels to a shared odd width."""
+    ksize = max(k.shape[0] for k in kernels)
+    if ksize % 2 == 0:
+        ksize += 1
+    out = np.zeros((len(kernels), ksize, ksize), dtype=np.float32)
+    for idx, k in enumerate(kernels):
+        off_y = (ksize - k.shape[0]) // 2
+        off_x = (ksize - k.shape[1]) // 2
+        out[idx, off_y:off_y + k.shape[0], off_x:off_x + k.shape[1]] = k
+    return jnp.asarray(out)
+
+
+def _batched_filter2d(images, kernels):
+    return jax.vmap(blur_ops.filter2d)(images, kernels)
+
+
+def batched_gaussian_blur(images, sigmas):
+    kernels = []
+    for sigma in np.asarray(sigmas):
+        ksize = estimate_gaussian_kernel_size(float(sigma))
+        k1 = blur_ops.gaussian_kernel1d(float(sigma), ksize)
+        kernels.append(np.outer(k1, k1))
+    return _batched_filter2d(images, _padded_kernels(kernels))
+
+
+def batched_defocus_blur(images, radii):
+    kernels = []
+    for radius in np.asarray(radii):
+        radius = int(radius)
+        size = 2 * radius + 1
+        coords = np.arange(size) - radius
+        xs, ys = np.meshgrid(coords, coords)
+        kernel = ((xs**2 + ys**2) <= radius**2).astype(np.float32)
+        kernels.append(kernel / kernel.sum())
+    return _batched_filter2d(images, _padded_kernels(kernels))
+
+
+def batched_motion_blur(images, radii, angles):
+    kernels = []
+    for radius, angle in zip(np.asarray(radii), np.asarray(angles)):
+        ksize = 2 * int(radius) + 1
+        kernel = blur_ops.motion_line_kernel(ksize, -(float(angle) % 360))
+        kernels.append(kernel / max(kernel.sum(), 1e-6))
+    return _batched_filter2d(images, _padded_kernels(kernels))
+
+
+def batched_zoom_in_blur(images, ratio: float = 0.1, step: float = 0.01,
+                         alpha: float = 0.5):
+    """Shared (ratio, step, alpha): zoom sizes must be static under jit."""
+    n, h, w = images.shape[:3]
+    x = images.astype(jnp.float32)
+    acc = x
+    count = 1
+    for r in np.arange(1 + step, 1 + ratio + step, step):
+        rh, rw = round(h * r), round(w * r)
+        up = (rh - h) // 2
+        left = (rw - w) // 2
+        zoomed = jax.vmap(
+            lambda im: resize(im, (rh, rw), Interpolation.CUBIC)[
+                up:up + h, left:left + w
+            ]
+        )(x)
+        acc = acc + zoomed
+        count += 1
+    out = (1.0 - alpha) * x + alpha * jnp.round(acc / count)
+    return _finish(out)
+
+
+# ---------------------------------------------------------------------------
+# Config-driven dispatch: the same DistortionConfig classes as the
+# per-element API, stacked across the batch.
+# ---------------------------------------------------------------------------
+
+
+def _field(configs, name):
+    return [getattr(cfg, name) for cfg in configs]
+
+
+def _uniform(configs, name):
+    values = _field(configs, name)
+    assert all(v == values[0] for v in values), (
+        f'{name} must be shared across the batch for the device path'
+    )
+    return values[0]
+
+
+def batch_distort_images(name: str, configs: Sequence, images, key=None):
+    """Apply one catalog distortion to a uint8 (N, H, W, 3) batch.
+
+    ``configs``: one DistortionConfig per sample (len N).  Static/shape
+    parameters must agree across the batch; per-sample numeric parameters
+    may differ freely.
+    """
+    n = images.shape[0]
+    assert len(configs) == n
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    if name == 'mean_shift':
+        deltas = _field(configs, 'delta')
+        thresholds = _field(configs, 'threshold')
+        if all(t is None for t in thresholds):
+            thresholds = None
+        else:
+            # None -> a sentinel making the gate always true for that
+            # sample's delta sign (delta>0 gates on x<=t, else t<=x).
+            thresholds = [
+                t if t is not None else (255 if d > 0 else 0)
+                for t, d in zip(thresholds, deltas)
+            ]
+        return batched_mean_shift(
+            images, deltas, thresholds,
+            channels=_uniform(configs, 'channels'),
+            oob_behavior=_uniform(configs, 'oob_behavior'),
+        )
+    if name == 'color_shift':
+        return batched_color_shift(images, _field(configs, 'delta'))
+    if name == 'brightness_shift':
+        from ..element import ImageMode  # local to avoid cycles at import
+
+        mode = _uniform(configs, 'intermediate_image_mode')
+        return batched_brightness_shift(
+            images, _field(configs, 'delta'), use_hsv=(mode == ImageMode.HSV)
+        )
+    if name == 'std_shift':
+        return batched_std_shift(
+            images, _field(configs, 'scale'),
+            channels=_uniform(configs, 'channels'),
+        )
+    if name == 'boundary_equalization':
+        return batched_boundary_equalization(
+            images, channels=_uniform(configs, 'channels')
+        )
+    if name == 'histogram_equalization':
+        return batched_histogram_equalization(
+            images, channels=_uniform(configs, 'channels')
+        )
+    if name == 'complement':
+        ltes = _field(configs, 'enable_threshold_lte')
+        thresholds = _field(configs, 'threshold')
+        if all(t is None for t in thresholds):
+            thresholds = None
+        else:
+            # None -> sentinel making the gate always true (lte gates on
+            # x<=t, otherwise on t<=x).
+            thresholds = [
+                t if t is not None else (255 if lte else 0)
+                for t, lte in zip(thresholds, ltes)
+            ]
+        return batched_complement(
+            images,
+            thresholds,
+            enable_threshold_ltes=ltes,
+            channels=_uniform(configs, 'channels'),
+        )
+    if name == 'posterization':
+        return batched_posterization(
+            images, _field(configs, 'num_bits'),
+            channels=_uniform(configs, 'channels'),
+        )
+    if name == 'color_balance':
+        return batched_color_balance(images, _field(configs, 'ratio'))
+    if name == 'channel_permutation':
+        # Per-element this samples a permutation from the rng; the batched
+        # form takes it from the key for determinism.
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, images.shape[-1])
+        )(jax.random.split(key, n))
+        return batched_channel_permutation(images, np.asarray(perms))
+
+    if name == 'gaussion_noise':
+        return batched_gaussion_noise(images, _field(configs, 'std'), key)
+    if name == 'poisson_noise':
+        return batched_poisson_noise(images, key)
+    if name == 'impulse_noise':
+        return batched_impulse_noise(
+            images,
+            _field(configs, 'prob_salt'),
+            _field(configs, 'prob_pepper'),
+            key,
+        )
+    if name == 'speckle_noise':
+        return batched_speckle_noise(images, _field(configs, 'std'), key)
+
+    if name == 'jpeg_quality':
+        return batched_jpeg_quality(images, _field(configs, 'quality'))
+    if name == 'pixelation':
+        return batched_pixelation(images, _uniform(configs, 'ratio'))
+    if name == 'fog':
+        return batched_fog(
+            images,
+            _field(configs, 'roughness'),
+            key,
+            fog_rgb=_uniform(configs, 'fog_rgb'),
+            ratio_maxs=np.asarray(_field(configs, 'ratio_max'), np.float32),
+            ratio_mins=np.asarray(_field(configs, 'ratio_min'), np.float32),
+        )
+
+    if name == 'gaussian_blur':
+        return batched_gaussian_blur(images, _field(configs, 'sigma'))
+    if name == 'defocus_blur':
+        return batched_defocus_blur(images, _field(configs, 'radius'))
+    if name == 'motion_blur':
+        return batched_motion_blur(
+            images, _field(configs, 'radius'), _field(configs, 'angle')
+        )
+    if name == 'zoom_in_blur':
+        return batched_zoom_in_blur(
+            images,
+            ratio=_uniform(configs, 'ratio'),
+            step=_uniform(configs, 'step'),
+            alpha=_uniform(configs, 'alpha'),
+        )
+
+    raise NotImplementedError(
+        f'{name}: not available on the batched device path '
+        '(glass_blur and streaks are host-only; see module docstring)'
+    )

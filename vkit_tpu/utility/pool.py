@@ -76,6 +76,20 @@ class _Worker(threading.Thread):
                     continue
 
 
+def _process_worker_main(idx, seed_seq, func, config, out_queue):
+    rng = np.random.default_rng(seed_seq)
+    while True:
+        try:
+            item = func(idx, rng, config)
+        except Exception:
+            logger.exception(
+                'pool process %d failed; retrying with advanced rng', idx
+            )
+            rng.random()
+            continue
+        out_queue.put(item)  # Blocks at maxsize: the backpressure knob.
+
+
 class Pool(Generic[_T_ITEM]):
     """Bounded-inventory producer pool.
 
@@ -83,18 +97,37 @@ class Pool(Generic[_T_ITEM]):
     workers; items buffer in a queue of size ``inventory`` (the backpressure
     knob, equivalent to the reference's inventory/num_scheduled accounting at
     vkit/utility/pool.py:136-151).
+
+    ``use_processes=True`` forks real processes (the host-synthesis pipeline
+    is Python-bound, so threads alone cannot scale it); teardown mirrors the
+    reference's psutil terminate -> wait(3) -> kill
+    (vkit/utility/pool.py:189-218) with Process.terminate/join/kill.
     """
 
     def __init__(self, config: PoolConfig, func: Callable[[int, RandomGenerator, Any], _T_ITEM],
                  worker_config: Any = None):
         self.config = config
-        self.queue: 'queue.Queue[_T_ITEM]' = queue.Queue(maxsize=max(1, config.inventory))
         self.stop_event = threading.Event()
         seed_seqs = np.random.SeedSequence(config.rng_seed).spawn(config.num_processes)
-        self.workers = [
-            _Worker(idx, seed_seqs[idx], func, worker_config, self.queue, self.stop_event)
-            for idx in range(config.num_processes)
-        ]
+
+        if config.use_processes:
+            import multiprocessing as mp
+            ctx = mp.get_context('fork')
+            self.queue = ctx.Queue(maxsize=max(1, config.inventory))
+            self.workers = [
+                ctx.Process(
+                    target=_process_worker_main,
+                    args=(idx, seed_seqs[idx], func, worker_config, self.queue),
+                    daemon=True,
+                )
+                for idx in range(config.num_processes)
+            ]
+        else:
+            self.queue = queue.Queue(maxsize=max(1, config.inventory))
+            self.workers = [
+                _Worker(idx, seed_seqs[idx], func, worker_config, self.queue, self.stop_event)
+                for idx in range(config.num_processes)
+            ]
         for worker in self.workers:
             worker.start()
 
@@ -108,7 +141,15 @@ class Pool(Generic[_T_ITEM]):
     def cleanup(self):
         self.stop_event.set()
         for worker in self.workers:
-            worker.join(timeout=3.0)
+            if isinstance(worker, threading.Thread):
+                worker.join(timeout=3.0)
+            else:
+                # terminate -> wait(3) -> kill, like the reference.
+                worker.terminate()
+                worker.join(timeout=3.0)
+                if worker.is_alive():
+                    worker.kill()
+                    worker.join(timeout=1.0)
         self.workers = []
 
     def __del__(self):

@@ -1,0 +1,192 @@
+// First-party native geometry kernels (ctypes C ABI).
+//
+// Host-side replacements for the native libraries the reference leans on:
+// cv2.fillPoly (vkit/element/polygon.py:75), cv2.findContours
+// (vkit/element/mask.py:667) and scipy labeling. Semantics are bit-exact
+// with vkit_tpu/geometry/_numpy_impl.py (the pure-python fallback), which
+// the test suite pins against cv2.
+//
+// Build: g++ -O3 -shared -fPIC geometry.cpp -o libvkitgeom.so
+#include <algorithm>
+#include <cfenv>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// numpy rounds half-to-even; std::nearbyint honors FE_TONEAREST which is
+// round-half-even by default.
+inline long long round_even(double v) { return (long long)std::nearbyint(v); }
+
+inline void draw_line(uint8_t* mask, int height, int width,
+                      long long x0, long long y0, long long x1, long long y1) {
+    long long dx = std::llabs(x1 - x0);
+    long long dy = std::llabs(y1 - y0);
+    long long steps = dx > dy ? dx : dy;
+    if (steps == 0) {
+        if (y0 >= 0 && y0 < height && x0 >= 0 && x0 < width) {
+            mask[y0 * width + x0] = 1;
+        }
+        return;
+    }
+    for (long long i = 0; i <= steps; ++i) {
+        double t = (double)i / (double)steps;
+        long long x = round_even((double)x0 + t * (double)(x1 - x0));
+        long long y = round_even((double)y0 + t * (double)(y1 - y0));
+        if (y >= 0 && y < height && x >= 0 && x < width) {
+            mask[y * width + x] = 1;
+        }
+    }
+}
+
+// Moore neighborhood, matching _numpy_impl._MOORE ((dx, dy) order).
+const int MOORE_DX[8] = {1, 1, 0, -1, -1, -1, 0, 1};
+const int MOORE_DY[8] = {0, 1, 1, 1, 0, -1, -1, -1};
+
+}  // namespace
+
+extern "C" {
+
+// Rasterize one polygon into a caller-zeroed uint8 (height, width) mask.
+// points_xy: n_points (x, y) float64 pairs. cv2.fillPoly-compatible
+// (scanline even-odd interior + Bresenham-style outline).
+void vg_fill_poly(const double* points_xy, int n_points,
+                  int height, int width, uint8_t* out) {
+    if (n_points < 2 || height <= 0 || width <= 0) return;
+
+    std::vector<double> xs(n_points), ys(n_points);
+    double y_min_f = 1e300, y_max_f = -1e300;
+    for (int i = 0; i < n_points; ++i) {
+        xs[i] = (double)round_even(points_xy[2 * i]);
+        ys[i] = (double)round_even(points_xy[2 * i + 1]);
+        if (ys[i] < y_min_f) y_min_f = ys[i];
+        if (ys[i] > y_max_f) y_max_f = ys[i];
+    }
+
+    long long y_min = (long long)std::floor(y_min_f);
+    long long y_max = (long long)std::ceil(y_max_f);
+    if (y_min < 0) y_min = 0;
+    if (y_max > height - 1) y_max = height - 1;
+
+    std::vector<double> row_xs;
+    for (long long y = y_min; y <= y_max; ++y) {
+        row_xs.clear();
+        double yd = (double)y;
+        for (int i = 0; i < n_points; ++i) {
+            int j = (i + 1) % n_points;
+            double ey0 = ys[i], ey1 = ys[j];
+            if (ey0 == ey1) continue;
+            double lo = ey0 < ey1 ? ey0 : ey1;
+            double hi = ey0 < ey1 ? ey1 : ey0;
+            // Half-open [lo, hi) rule: no double-counted vertices.
+            if (yd >= lo && yd < hi) {
+                double t = (yd - ey0) / (ey1 - ey0);
+                row_xs.push_back(xs[i] + t * (xs[j] - xs[i]));
+            }
+        }
+        std::sort(row_xs.begin(), row_xs.end());
+        for (size_t k = 0; k + 1 < row_xs.size(); k += 2) {
+            long long left = (long long)std::ceil(row_xs[k]);
+            long long right = (long long)std::floor(row_xs[k + 1]);
+            if (left < 0) left = 0;
+            if (right > width - 1) right = width - 1;
+            for (long long x = left; x <= right; ++x) {
+                out[y * width + x] = 1;
+            }
+        }
+    }
+
+    for (int i = 0; i < n_points; ++i) {
+        int j = (i + 1) % n_points;
+        draw_line(out, height, width,
+                  (long long)xs[i], (long long)ys[i],
+                  (long long)xs[j], (long long)ys[j]);
+    }
+}
+
+// 8-connected component labeling, labels assigned in raster order of each
+// component's first pixel (1-based; 0 = background). Returns the number of
+// components. labels: caller-allocated int32 (height * width).
+int vg_label8(const uint8_t* mask, int height, int width, int32_t* labels) {
+    const long long total = (long long)height * width;
+    std::memset(labels, 0, sizeof(int32_t) * total);
+    int num = 0;
+    std::vector<long long> stack;
+    for (long long start = 0; start < total; ++start) {
+        if (!mask[start] || labels[start]) continue;
+        ++num;
+        stack.clear();
+        stack.push_back(start);
+        labels[start] = num;
+        while (!stack.empty()) {
+            long long p = stack.back();
+            stack.pop_back();
+            long long py = p / width, px = p % width;
+            for (int d = 0; d < 8; ++d) {
+                long long ny = py + MOORE_DY[d];
+                long long nx = px + MOORE_DX[d];
+                if (ny < 0 || ny >= height || nx < 0 || nx >= width) continue;
+                long long q = ny * width + nx;
+                if (mask[q] && !labels[q]) {
+                    labels[q] = num;
+                    stack.push_back(q);
+                }
+            }
+        }
+    }
+    return num;
+}
+
+// Moore-neighbor boundary trace of component `comp` within `labels`,
+// starting at its raster-order first pixel (start_y, start_x).  Writes up
+// to cap (x, y) float64 pairs; returns the point count, or -1 on overflow.
+int vg_trace_boundary(const int32_t* labels, int height, int width,
+                      int comp, int start_y, int start_x,
+                      double* out_xy, long long cap) {
+    long long count = 0;
+    auto push = [&](long long x, long long y) -> bool {
+        if (count >= cap) return false;
+        out_xy[2 * count] = (double)x;
+        out_xy[2 * count + 1] = (double)y;
+        ++count;
+        return true;
+    };
+    if (!push(start_x, start_y)) return -1;
+
+    int prev_dir = 4;  // came from the West
+    long long cy = start_y, cx = start_x;
+    int first_ny = -1, first_nx = -1, first_d = -1;
+    const long long hard_limit = 4LL * height * width;
+
+    while (true) {
+        bool found = false;
+        int start_dir = (prev_dir + 1) % 8;
+        for (int k = 0; k < 8; ++k) {
+            int d = (start_dir + k) % 8;
+            long long ny = cy + MOORE_DY[d];
+            long long nx = cx + MOORE_DX[d];
+            if (ny < 0 || ny >= height || nx < 0 || nx >= width) continue;
+            if (labels[ny * width + nx] != comp) continue;
+            if (first_d < 0) {
+                first_ny = (int)ny;
+                first_nx = (int)nx;
+                first_d = d;
+            } else if (cy == start_y && cx == start_x
+                       && ny == first_ny && nx == first_nx && d == first_d) {
+                return (int)(count - 1);  // full cycle; drop re-entry point
+            }
+            cy = ny;
+            cx = nx;
+            if (!push(cx, cy)) return -1;
+            prev_dir = (d + 4) % 8;
+            found = true;
+            break;
+        }
+        if (!found) return (int)count;  // isolated pixel
+        if (count > hard_limit) return -2;
+    }
+}
+
+}  // extern "C"

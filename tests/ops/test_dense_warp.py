@@ -1,0 +1,98 @@
+"""Dense displacement-field MXU warp + batched grid-distortion bridge."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vkit_tpu.ops.warp import remap_np
+from vkit_tpu.ops.warp_mxu import warp_dense_batch_mxu
+
+
+@pytest.fixture(scope='module')
+def smooth_image():
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(0)
+    return gaussian_filter(
+        rng.random((96, 96, 3)) * 255, sigma=2
+    ).astype(np.float32)
+
+
+def test_separable_fields_exact(smooth_image):
+    h, w = smooth_image.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    fields = [
+        (ys, xs),
+        (ys + 7.0 * np.sin(2 * np.pi * xs / w), xs),
+        (ys, xs + 4.0 * np.sin(2 * np.pi * ys / h)),
+    ]
+    map_ys = np.stack([f[0] for f in fields])
+    map_xs = np.stack([f[1] for f in fields])
+    imgs = jnp.asarray(np.stack([smooth_image] * len(fields)))
+    out = np.asarray(warp_dense_batch_mxu(imgs, map_ys, map_xs))
+    for i, (my, mx) in enumerate(fields):
+        ref = remap_np(
+            smooth_image, my.astype(np.float32), mx.astype(np.float32)
+        )
+        assert np.abs(out[i] - ref).max() < 1e-3
+
+
+def test_mixed_field_close(smooth_image):
+    h, w = smooth_image.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    my = ys + 6.0 * np.sin(2 * np.pi * xs / w)
+    mx = xs + 4.0 * np.sin(2 * np.pi * ys / h)
+    imgs = jnp.asarray(smooth_image[None])
+    out = np.asarray(warp_dense_batch_mxu(imgs, my[None], mx[None]))[0]
+    ref = remap_np(smooth_image, my.astype(np.float32), mx.astype(np.float32))
+    interior = (my > 2) & (my < h - 3) & (mx > 2) & (mx < w - 3)
+    assert np.abs(out - ref)[interior].max() < 1.0
+
+
+def test_batched_grid_warp_camera():
+    from scipy.ndimage import binary_erosion, gaussian_filter
+
+    from vkit_tpu.element import Image
+    from vkit_tpu.mechanism.batched import batched_grid_warp
+    from vkit_tpu.mechanism.distortion import (
+        CameraCubicCurveConfig,
+        CameraModelConfig,
+        camera_cubic_curve,
+    )
+
+    rng = np.random.default_rng(0)
+    h = w = 96
+    img = gaussian_filter(rng.random((h, w, 3)) * 255, sigma=2).astype(np.uint8)
+
+    def cam(theta, alpha, beta):
+        return CameraCubicCurveConfig(
+            curve_alpha=alpha, curve_beta=beta,
+            curve_direction=0.0, curve_scale=1.0,
+            camera_model_config=CameraModelConfig(
+                rotation_unit_vec=[1.0, 0.0, 0.0], rotation_theta=theta,
+            ),
+            grid_size=10,
+        )
+
+    # Mild fields ride the device path; strong ones auto-fall back to the
+    # host remap — both must match the per-element host result.
+    for configs in [
+        [cam(2, -4, -4), cam(3, 3, 5)],
+        [cam(10, -20, -20), cam(15, 15, 25)],
+    ]:
+        imgs = jnp.asarray(np.stack([img] * len(configs)))
+        warped, shapes, covs = batched_grid_warp(
+            camera_cubic_curve, configs, imgs, rng=np.random.default_rng(1)
+        )
+        warped = np.asarray(warped)
+        for i, cfg in enumerate(configs):
+            ref = camera_cubic_curve.distort_image(
+                cfg, Image(mat=img), rng=np.random.default_rng(1)
+            )
+            hh, ww = shapes[i]
+            assert ref.shape == (hh, ww)
+            core = binary_erosion(covs[i], iterations=4)
+            diff = np.abs(
+                warped[i, :hh, :ww].astype(int) - ref.mat.astype(int)
+            )
+            assert diff[core].max() <= 2

@@ -367,6 +367,123 @@ def batched_zoom_in_blur(images, ratio: float = 0.1, step: float = 0.01,
 
 
 # ---------------------------------------------------------------------------
+# Geometric: grid-based warps (camera models / MLS) on device.
+# ---------------------------------------------------------------------------
+
+
+def batched_grid_warp(
+    distortion,
+    configs: Sequence,
+    images,
+    rng=None,
+    border_value: float = 0.0,
+    taps_max: int = 24,
+):
+    """Batch a grid-rendering geometric distortion through the MXU warp.
+
+    Host work per sample: build the distortion state (src/dst ImageGrid)
+    and its dense backward maps — exactly what the per-element path feeds
+    cv2-style remap (grid_blender.py).  Device work: ONE two-pass
+    shifts+matmuls program over the whole batch (ops/warp_mxu.py dense
+    path).  Per-sample canvases are padded to the batch max; returns
+    (warped (N, Hmax, Wmax, C) uint8, result_shapes list).
+    """
+    from ..ops.warp_mxu import plan_dense_warp, apply_dense_warp
+    import jax as _jax
+
+    n, h_in, w_in = images.shape[:3]
+    assert len(configs) == n
+    if rng is None:
+        rng = np.random.default_rng(0)
+
+    map_list = []
+    shapes = []
+    coverages = []
+    for cfg in configs:
+        internals = distortion.prepare_internals(
+            config_or_config_generator=cfg,
+            state=None,
+            shapable_or_shape=(h_in, w_in),
+            rng=rng,
+        )
+        state = internals.state
+        map_y, map_x, cov = (
+            state.src_image_grid.generate_remap_params_with_coverage(
+                state.dst_image_grid
+            )
+        )
+        map_y = np.asarray(map_y, dtype=np.float64).copy()
+        map_x = np.asarray(map_x, dtype=np.float64).copy()
+        # Uncovered dst pixels (outside every grid cell) hold
+        # zero-initialized map values that break row monotonicity; repair
+        # by interpolation/extension from the covered span (the reference
+        # masks them out of the active region anyway).
+        cols = np.arange(map_x.shape[1], dtype=np.float64)
+        for y in range(map_x.shape[0]):
+            row_cov = cov[y]
+            if not row_cov.any():
+                map_x[y] = cols
+                map_y[y] = -(h_in + 8.0)
+                continue
+            idx = np.flatnonzero(row_cov)
+            first, last = idx[0], idx[-1]
+            map_x[y] = np.interp(cols, idx.astype(np.float64), map_x[y, idx])
+            map_y[y] = np.interp(cols, idx.astype(np.float64), map_y[y, idx])
+            if first > 0:
+                map_x[y, :first] = map_x[y, first] - (first - cols[:first])
+            if last < len(cols) - 1:
+                map_x[y, last + 1:] = map_x[y, last] + (cols[last + 1:] - last)
+        map_list.append((map_y, map_x))
+        shapes.append(cov.shape)
+        coverages.append(cov)
+
+    h_max = max(s[0] for s in shapes)
+    w_max = max(s[1] for s in shapes)
+    map_ys = np.zeros((n, h_max, w_max), dtype=np.float64)
+    map_xs = np.zeros((n, h_max, w_max), dtype=np.float64)
+    for idx, (my, mx) in enumerate(map_list):
+        h, w = my.shape
+        map_ys[idx, :h, :w] = my
+        map_xs[idx, :h, :w] = mx
+        # Pad beyond each sample's canvas monotonically, pointing outside
+        # the source so those pixels resolve to the border value.
+        if w < w_max:
+            pad = np.arange(1, w_max - w + 1, dtype=np.float64)
+            map_xs[idx, :h, w:] = mx[:, -1:] + pad[None, :]
+            map_ys[idx, :h, w:] = my[:, -1:]
+        if h < h_max:
+            map_xs[idx, h:] = map_xs[idx, h - 1]
+            map_ys[idx, h:] = -(h_in + 8)
+
+    try:
+        plan, statics = plan_dense_warp(
+            map_ys, map_xs, (h_in, w_in), taps_max=taps_max
+        )
+    except AssertionError:
+        # Field too non-separable for the shared-slope tap scheme (strong
+        # perspective/curvature): warp on the host instead, same contract.
+        from ..ops.warp import remap_np
+
+        host = np.zeros((n, h_max, w_max) + images.shape[3:], dtype=np.uint8)
+        images_np = np.asarray(images)
+        for idx in range(n):
+            h, w = shapes[idx]
+            host[idx, :h, :w] = remap_np(
+                images_np[idx],
+                map_ys[idx, :h, :w].astype(np.float32),
+                map_xs[idx, :h, :w].astype(np.float32),
+                border_value=border_value,
+            )
+        return jnp.asarray(host), shapes, coverages
+
+    fn = _jax.jit(
+        apply_dense_warp, static_argnames=('statics', 'border_value')
+    )
+    warped = fn(images, plan, statics=statics, border_value=border_value)
+    return warped, shapes, coverages
+
+
+# ---------------------------------------------------------------------------
 # Config-driven dispatch: the same DistortionConfig classes as the
 # per-element API, stacked across the batch.
 # ---------------------------------------------------------------------------

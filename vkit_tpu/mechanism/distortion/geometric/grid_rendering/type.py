@@ -215,6 +215,13 @@ class ImageGrid:
     # Dense backward map.
     # ------------------------------------------------------------------
     def generate_remap_params(self, dst_image_grid: 'ImageGrid'):
+        map_y, map_x, _ = self.generate_remap_params_with_coverage(dst_image_grid)
+        return map_y, map_x
+
+    def generate_remap_params_with_coverage(self, dst_image_grid: 'ImageGrid'):
+        """Like generate_remap_params, plus the painted-pixel mask (pixels
+        covered by some grid cell; the rest keep the zero-initialized maps,
+        mirroring the reference's cv2.remap input)."""
         cached = self._cache.get('remap_params')
         if cached is not None:
             return cached
@@ -223,6 +230,7 @@ class ImageGrid:
         dst_w = dst_image_grid.image_width
         map_y = np.zeros((dst_h, dst_w), dtype=np.float32)
         map_x = np.zeros((dst_h, dst_w), dtype=np.float32)
+        coverage = np.zeros((dst_h, dst_w), dtype=bool)
 
         inv_mats = self._all_trans_mats(dst_image_grid, inverse=True)
         dst_quads = dst_image_grid._quads()
@@ -254,6 +262,7 @@ class ImageGrid:
             keep = denom != 0
             map_y[dst_y[keep], dst_x[keep]] = src_xy[1][keep]
             map_x[dst_y[keep], dst_x[keep]] = src_xy[0][keep]
+            coverage[dst_y[keep], dst_x[keep]] = True
 
-        self._cache['remap_params'] = (map_y, map_x)
-        return map_y, map_x
+        self._cache['remap_params'] = (map_y, map_x, coverage)
+        return map_y, map_x, coverage

@@ -256,3 +256,229 @@ def warp_affine_batch_mxu(
         apply_affine_warp, static_argnames=('statics', 'border_value')
     )
     return fn(images, plan, statics=statics, border_value=border_value)
+
+
+# ---------------------------------------------------------------------------
+# Dense displacement-field warp (camera models / MLS): the same two-pass
+# shifts+matmuls scheme generalized to arbitrary smooth backward fields.
+# Per-line offsets absorb the field's dominant structure (the curve) as
+# free integer shifts; the leftover per-pixel residual widens the tap
+# count from 3 to T (T matmul-accumulate rounds, still gather-free).
+# ---------------------------------------------------------------------------
+
+
+class DenseLinePlan(NamedTuple):
+    i0: jnp.ndarray      # (N, J) int32: floor(slope_n * j) - i0_min
+    starts: jnp.ndarray  # (N, L) int32
+    u: jnp.ndarray       # (N, L, J) f32: tap-space position in [0, T-2]
+
+
+class DenseLineStatics(NamedTuple):
+    pad_lo: int
+    m_padded: int
+    m_shift: int
+    out_len: int
+    taps: int
+
+
+def plan_dense_line_resample(
+    pos: np.ndarray,
+    in_len: int,
+    taps_max: int = 24,
+) -> Tuple[DenseLinePlan, DenseLineStatics]:
+    """Plan resampling lines at arbitrary positions.
+
+    ``pos``: (N, L, J) float64 — source coordinate (along the resampled
+    axis) for line l, output index j.  The per-line offset and a shared
+    per-sample slope are factored out; what remains determines the tap
+    count T.  Fields whose non-separable residual exceeds ``taps_max``
+    taps are rejected (use the host path for those).
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    n, l, j = pos.shape
+
+    slopes = (pos[:, :, -1] - pos[:, :, 0]).mean(axis=1) / max(j - 1, 1)
+    jj = np.arange(j, dtype=np.float64)
+    i0_abs = np.floor(slopes[:, None] * jj[None, :]).astype(np.int64)  # (N, J)
+    rel = pos - i0_abs[:, None, :]
+    k = np.floor(rel.min(axis=2)).astype(np.int64)                     # (N, L)
+    u = (rel - k[:, :, None]).astype(np.float32)                       # >= 0
+
+    taps = int(np.ceil(float(u.max()))) + 2
+    assert taps <= taps_max, (
+        f'dense field needs {taps} taps (> {taps_max}); field is too '
+        'non-separable for the device path — use the host remap'
+    )
+
+    i0_min = int(i0_abs.min())
+    m_shift = int(i0_abs.max()) - i0_min + taps
+    assert m_shift <= _ROLL_WINDOW - 128
+
+    starts_src = k + i0_min
+    pad_lo = _round_up(max(0, -int(starts_src.min())), 128)
+    m_padded = _round_up(
+        max(in_len + pad_lo, int(starts_src.max()) + pad_lo + _ROLL_WINDOW),
+        128,
+    )
+
+    plan = DenseLinePlan(
+        i0=jnp.asarray((i0_abs - i0_min).astype(np.int32)),
+        starts=jnp.asarray((starts_src + pad_lo).astype(np.int32)),
+        u=jnp.asarray(u),
+    )
+    statics = DenseLineStatics(
+        pad_lo=pad_lo, m_padded=m_padded, m_shift=m_shift,
+        out_len=j, taps=taps,
+    )
+    return plan, statics
+
+
+def apply_dense_line_resample(
+    x,
+    plan: DenseLinePlan,
+    statics: DenseLineStatics,
+    border_value: float = 0.0,
+):
+    """Resample (N, C, L, M_in) -> (N, C, L, out_len) at planned positions."""
+    n, c, l, m_in = x.shape
+    pad_hi = statics.m_padded - m_in - statics.pad_lo
+    assert pad_hi >= 0
+    x_p = jnp.pad(
+        x, ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
+        constant_values=border_value,
+    )
+
+    starts = jnp.repeat(plan.starts[:, None, :], c, axis=1).reshape(n * c, l)
+    shifted = row_shift_auto(
+        x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
+    )
+    shifted = shifted.reshape(n, c * l, statics.m_shift)
+
+    jn = statics.out_len
+    iota_m = jnp.arange(statics.m_shift, dtype=jnp.int32)[None, :, None]
+    u = plan.u[:, None]                                   # (N, 1, L, J)
+
+    # Accumulate tap-by-tap: T matmuls, never materializing (N,C,L,T,J).
+    out = jnp.zeros((n, c, l, jn), dtype=jnp.float32)
+    for t in range(statics.taps):
+        g_t = (iota_m == (plan.i0 + t)[:, None, :]).astype(x.dtype)
+        a_t = jnp.einsum(
+            'nrm,nmj->nrj', shifted, g_t, preferred_element_type=jnp.float32
+        ).reshape(n, c, l, jn)
+        w_t = jnp.maximum(1.0 - jnp.abs(u - t), 0.0)
+        out = out + a_t * w_t
+    return out
+
+
+class DenseWarpPlan(NamedTuple):
+    pass_v: DenseLinePlan
+    pass_h: DenseLinePlan
+
+
+class DenseWarpStatics(NamedTuple):
+    statics_v: DenseLineStatics
+    statics_h: DenseLineStatics
+
+
+def plan_dense_warp(
+    map_ys: np.ndarray,
+    map_xs: np.ndarray,
+    src_shape: Tuple[int, int],
+    taps_max: int = 24,
+) -> Tuple[DenseWarpPlan, DenseWarpStatics]:
+    """Two-pass plan for arbitrary backward fields (host-side).
+
+    ``map_ys``/``map_xs``: (N, H_out, W_out) float — for each output pixel,
+    the source coordinate to sample (cv2.remap convention; this is exactly
+    what grid_rendering's generate_remap_params emits per sample).
+    Requires ``map_x`` monotonically increasing along each output row
+    (true for camera-model and mild MLS warps).
+    """
+    map_ys = np.asarray(map_ys, dtype=np.float64)
+    map_xs = np.asarray(map_xs, dtype=np.float64)
+    n, h_out, w_out = map_xs.shape
+    h_in, w_in = src_shape
+
+    dx = np.diff(map_xs, axis=2)
+    assert dx.min() > -0.5, (
+        'map_x must be (near-)monotone along rows for the two-pass '
+        'decomposition'
+    )
+    if dx.min() <= 0:
+        # Repair tiny seams (grid-cell rounding) with a running max.
+        map_xs = np.maximum.accumulate(map_xs, axis=2)
+
+    # Pass V positions: g(y, u) = map_y(y, x*(y, u)) with map_x(y, x*) = u,
+    # for u over the INPUT column grid.  Rows are monotone in x, so x* is a
+    # 1-D interpolation per row; clamp outside the row's x-range.
+    u_grid = np.arange(w_in, dtype=np.float64)
+    g = np.empty((n, h_out, w_in), dtype=np.float64)
+    for idx in range(n):
+        for y in range(h_out):
+            xs_row = map_xs[idx, y]
+            ys_row = map_ys[idx, y]
+            x_star = np.interp(u_grid, xs_row, np.arange(w_out, dtype=np.float64))
+            g[idx, y] = np.interp(x_star, np.arange(w_out, dtype=np.float64), ys_row)
+    # Pass V resamples along the source rows for each input column u:
+    # lines = u (W_in), positions over y = g[., y, u] -> transpose.
+    pos_v = g.transpose(0, 2, 1)                       # (N, W_in, H_out)
+    plan_v, statics_v = plan_dense_line_resample(pos_v, h_in, taps_max)
+
+    # Pass H: lines = output rows, positions = map_x.
+    plan_h, statics_h = plan_dense_line_resample(map_xs, w_in, taps_max)
+
+    return (
+        DenseWarpPlan(pass_v=plan_v, pass_h=plan_h),
+        DenseWarpStatics(statics_v=statics_v, statics_h=statics_h),
+    )
+
+
+def apply_dense_warp(
+    images,
+    plan: DenseWarpPlan,
+    statics: DenseWarpStatics,
+    border_value: float = 0.0,
+):
+    """Warp (N, H, W, C) by the planned dense field (jittable)."""
+    had_c = images.ndim == 4
+    if not had_c:
+        images = images[..., None]
+    orig_dtype = images.dtype
+    x = images.astype(jnp.float32).transpose(0, 3, 1, 2)   # (N, C, H, W)
+
+    # Pass V: lines = input columns; resample along source rows.
+    x_t = x.transpose(0, 1, 3, 2)                          # (N, C, W_in, H_in)
+    tmp = apply_dense_line_resample(
+        x_t, plan.pass_v, statics.statics_v, border_value
+    )
+    tmp = tmp.transpose(0, 1, 3, 2)                        # (N, C, H_out, W_in)
+
+    # Pass H: lines = output rows; resample along columns.
+    out = apply_dense_line_resample(
+        tmp, plan.pass_h, statics.statics_h, border_value
+    )
+
+    out = out.transpose(0, 2, 3, 1)
+    if orig_dtype == jnp.uint8:
+        out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    else:
+        out = out.astype(orig_dtype)
+    if not had_c:
+        out = out[..., 0]
+    return out
+
+
+def warp_dense_batch_mxu(
+    images,
+    map_ys: np.ndarray,
+    map_xs: np.ndarray,
+    border_value: float = 0.0,
+    taps_max: int = 24,
+):
+    """Convenience wrapper: plan on host, jit-apply on device."""
+    src_shape = (images.shape[1], images.shape[2])
+    plan, statics = plan_dense_warp(map_ys, map_xs, src_shape, taps_max)
+    fn = jax.jit(
+        apply_dense_warp, static_argnames=('statics', 'border_value')
+    )
+    return fn(images, plan, statics=statics, border_value=border_value)

@@ -1,4 +1,5 @@
 """Models layer: the text-detection consumer of the synthesis pipeline."""
+from .checkpoint import CheckpointManager
 from .text_detection import TextDetectionNet
 from .train import (
     TrainBatch,
@@ -11,6 +12,7 @@ from .train import (
 )
 
 __all__ = [
+    'CheckpointManager',
     'TextDetectionNet',
     'TrainBatch',
     'TrainState',

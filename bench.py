@@ -20,9 +20,9 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 CPU_BASELINE_FILE = REPO / 'BASELINE_CPU.json'
 
-BATCH = 16
+BATCH = 64
 HEIGHT = WIDTH = 640
-STEPS = 20
+STEPS = 12
 
 
 def measure_cpu_baseline() -> float:

@@ -89,3 +89,15 @@ def test_uint8_roundtrip(smooth_image):
     out = warp_affine_batch_mxu(imgs, mats)
     assert out.dtype == jnp.uint8
     assert out.shape == imgs.shape
+
+
+def test_area_resize_upscale_matches_cv2():
+    cv2 = pytest.importorskip('cv2')
+    from vkit_tpu.ops.resize_taps import Interpolation, resize_np
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    for dsize in ((80, 100), (57, 73), (41, 51)):
+        mine = resize_np(img, dsize, Interpolation.AREA)
+        ref = cv2.resize(img, (dsize[1], dsize[0]), interpolation=cv2.INTER_AREA)
+        assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 1

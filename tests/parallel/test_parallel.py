@@ -79,3 +79,32 @@ def test_prefetcher_propagates_errors():
         raise AssertionError('expected ValueError')
     except ValueError:
         pass
+
+
+def test_transform_label_points_matches_warp():
+    from vkit_tpu.parallel import transform_label_points
+
+    rng = np.random.default_rng(3)
+    n, h, w = 2, 96, 96
+    images = np.zeros((n, h, w, 3), dtype=np.uint8)
+    p_src = np.array([[30.0, 40.0], [64.0, 20.0]])  # xy per sample
+    for i, (x, y) in enumerate(p_src):
+        images[i, int(y) - 1:int(y) + 2, int(x) - 1:int(x) + 2] = 255
+
+    params, warp_statics = sample_synthesis_params(rng, n, h, w, level=4)
+    # Photometric off: isolate the geometry.
+    params = params._replace(
+        contrasts=jnp.ones(n), brightnesses=jnp.zeros(n),
+        noise_stds=jnp.zeros(n), jpeg_enables=jnp.zeros(n),
+    )
+    out = np.asarray(synthesize_batch(
+        jnp.asarray(images), params, jax.random.PRNGKey(0),
+        warp_statics=warp_statics,
+    ))
+
+    predicted = transform_label_points(params, p_src[:, None, :])[:, 0]
+    for i in range(n):
+        px, py = predicted[i]
+        assert 2 <= px < w - 2 and 2 <= py < h - 2
+        patch = out[i, int(py) - 3:int(py) + 4, int(px) - 3:int(px) + 4]
+        assert patch.max() > 100  # the dot landed where predicted

@@ -70,23 +70,23 @@ def build_resize_weights(
         return weights
 
     if interpolation is Interpolation.AREA:
-        if n_dst < n_src:
-            # Exact fractional pixel coverage of [i*scale, (i+1)*scale).
-            weights = np.zeros((n_dst, n_src), dtype=np.float64)
-            starts = dst * scale
-            ends = starts + scale
-            for i in range(n_dst):
-                lo = starts[i]
-                hi = ends[i]
-                j0 = int(np.floor(lo))
-                j1 = min(int(np.ceil(hi)), n_src)
-                for j in range(j0, j1):
-                    cover = min(hi, j + 1) - max(lo, j)
-                    if cover > 0:
-                        weights[i, j] = cover / scale
-            return weights.astype(np.float32)
-        # Upscale: OpenCV INTER_AREA degenerates to bilinear.
-        interpolation = Interpolation.LINEAR
+        # Exact fractional pixel coverage of [i*scale, (i+1)*scale) — valid
+        # in BOTH directions: for upscale the cell straddles at most two
+        # source pixels (integer upscale degenerates to nearest, matching
+        # cv2.INTER_AREA).
+        weights = np.zeros((n_dst, n_src), dtype=np.float64)
+        starts = dst * scale
+        ends = starts + scale
+        for i in range(n_dst):
+            lo = starts[i]
+            hi = ends[i]
+            j0 = int(np.floor(lo))
+            j1 = min(int(np.ceil(hi)), n_src)
+            for j in range(j0, j1):
+                cover = min(hi, j + 1) - max(lo, j)
+                if cover > 0:
+                    weights[i, j] = cover / scale
+        return weights.astype(np.float32)
 
     # Convolutional kernels share the half-pixel-center mapping.
     centers = (dst + 0.5) * scale - 0.5

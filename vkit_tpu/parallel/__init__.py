@@ -5,7 +5,12 @@ TPU-native replacement for the reference's multiprocessing scaling story
 of processes, a single jitted batch program instead of per-image cv2 calls,
 and an async device_put pump instead of pickled pipes.
 """
-from .batch import SynthesisParams, sample_synthesis_params, synthesize_batch
+from .batch import (
+    SynthesisParams,
+    sample_synthesis_params,
+    synthesize_batch,
+    transform_label_points,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -23,6 +28,7 @@ __all__ = [
     'SynthesisParams',
     'sample_synthesis_params',
     'synthesize_batch',
+    'transform_label_points',
     'DATA_AXIS',
     'MODEL_AXIS',
     'SPATIAL_AXIS',

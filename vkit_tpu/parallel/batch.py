@@ -40,6 +40,8 @@ class SynthesisParams(NamedTuple):
     """Struct-of-arrays, one row per sample; a valid jit input pytree."""
     # Host-planned two-pass MXU warp (ops/warp_mxu.py).
     warp_plan: AffineWarpPlan
+    # Forward 3x3 mats kept for label co-transform (transform_label_points).
+    trans_mats: jnp.ndarray      # (N, 3, 3) f32
     contrasts: jnp.ndarray       # (N,) f32
     brightnesses: jnp.ndarray    # (N,) f32
     noise_stds: jnp.ndarray      # (N,) f32
@@ -104,6 +106,7 @@ def sample_synthesis_params(
 
     return SynthesisParams(
         warp_plan=warp_plan,
+        trans_mats=jnp.asarray(mats),
         contrasts=jnp.asarray(contrasts, dtype=jnp.float32),
         brightnesses=jnp.asarray(brightnesses, dtype=jnp.float32),
         noise_stds=jnp.asarray(noise_stds, dtype=jnp.float32),
@@ -221,3 +224,29 @@ def synthesize_batch(
         x = jax.vmap(lambda im: resize(im, out_shape, Interpolation.LINEAR))(x)
 
     return round_u8(x)
+
+
+def transform_label_points(
+    params: SynthesisParams,
+    np_points: np.ndarray,
+    out_scale: Tuple[float, float] = (1.0, 1.0),
+) -> np.ndarray:
+    """Co-transform label points (host-side) through the batch geometry.
+
+    ``np_points``: (N, P, 2) xy per sample.  Applies each sample's forward
+    homography (the same matrix the warp inverts), then the final resize
+    scale; mirrors the reference's point path in
+    vkit/mechanism/distortion/geometric/affine.py:46-64.
+    """
+    mats = np.asarray(params.trans_mats, dtype=np.float64)
+    np_points = np.asarray(np_points, dtype=np.float64)
+    homo = np.concatenate(
+        [np_points, np.ones_like(np_points[..., :1])], axis=-1
+    )
+    out = np.einsum('npk,njk->npj', homo, mats)
+    denom = out[..., 2:3]
+    denom = np.where(np.abs(denom) < 1e-12, 1.0, denom)
+    xy = out[..., :2] / denom
+    xy[..., 0] *= out_scale[1]
+    xy[..., 1] *= out_scale[0]
+    return xy

@@ -24,7 +24,10 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ['g++', '-O3', '-shared', '-fPIC', str(_SRC), '-o', str(_LIB)],
+            [
+                'g++', '-O3', '-march=native', '-ffp-contract=off', '-funroll-loops',
+                '-shared', '-fPIC', str(_SRC), '-o', str(_LIB),
+            ],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -65,6 +68,15 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
     ]
     lib.vg_trace_boundary.restype = ctypes.c_int
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vg_resize_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, f32p, ctypes.c_int, ctypes.c_int,
+        i32p, f32p, ctypes.c_int, ctypes.c_int,
+        f32p, f32p,
+    ]
+    lib.vg_resize_f32.restype = None
 
     _lib = lib
     return lib

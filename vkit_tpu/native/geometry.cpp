@@ -189,4 +189,47 @@ int vg_trace_boundary(const int32_t* labels, int height, int width,
     }
 }
 
+// Separable tap-based resize on float32 (H, W, C): the Python side supplies
+// the OpenCV-exact tap indices/weights (ops/resize_taps.build_resize_taps);
+// this applies them in two passes.  tmp: caller scratch (h_out * w * c).
+void vg_resize_f32(
+    const float* src, int height, int width, int channels,
+    const int32_t* idx_r, const float* w_r, int taps_r, int h_out,
+    const int32_t* idx_c, const float* w_c, int taps_c, int w_out,
+    float* tmp, float* out) {
+    const long long row_len = (long long)width * channels;
+
+    // Rows: tmp[i, :] = sum_t w_r[i, t] * src[idx_r[i, t], :].
+    for (int i = 0; i < h_out; ++i) {
+        float* dst_row = tmp + (long long)i * row_len;
+        for (long long k = 0; k < row_len; ++k) dst_row[k] = 0.0f;
+        for (int t = 0; t < taps_r; ++t) {
+            const float wv = w_r[i * taps_r + t];
+            if (wv == 0.0f) continue;
+            const float* src_row =
+                src + (long long)idx_r[i * taps_r + t] * row_len;
+            for (long long k = 0; k < row_len; ++k) {
+                dst_row[k] += wv * src_row[k];
+            }
+        }
+    }
+
+    // Columns: out[i, j, :] = sum_t w_c[j, t] * tmp[i, idx_c[j, t], :].
+    const long long out_row_len = (long long)w_out * channels;
+    for (int i = 0; i < h_out; ++i) {
+        const float* src_row = tmp + (long long)i * row_len;
+        float* dst_row = out + (long long)i * out_row_len;
+        for (int j = 0; j < w_out; ++j) {
+            for (int c = 0; c < channels; ++c) {
+                float acc = 0.0f;
+                for (int t = 0; t < taps_c; ++t) {
+                    acc += w_c[j * taps_c + t]
+                        * src_row[(long long)idx_c[j * taps_c + t] * channels + c];
+                }
+                dst_row[(long long)j * channels + c] = acc;
+            }
+        }
+    }
+}
+
 }  // extern "C"

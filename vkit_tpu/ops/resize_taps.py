@@ -117,27 +117,134 @@ def build_resize_weights(
     return weights.astype(np.float32)
 
 
+def build_resize_taps(
+    n_src: int,
+    n_dst: int,
+    interpolation: Interpolation,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse form of build_resize_weights: (idx, w), each (n_dst, T).
+
+    ``out[i] = sum_t src[idx[i, t]] * w[i, t]``.  The dense matrix drives
+    the MXU on device; this drives the O(N^2 * T) host path (a dense
+    matmul at page sizes is O(N^3) — seconds at 2522^2).
+    """
+    dense = build_resize_weights(n_src, n_dst, interpolation)
+    nz_counts = (dense != 0).sum(axis=1)
+    t = max(int(nz_counts.max()), 1)
+    idx = np.zeros((n_dst, t), dtype=np.int64)
+    w = np.zeros((n_dst, t), dtype=np.float64)
+    for i in range(n_dst):
+        nz = np.flatnonzero(dense[i])
+        idx[i, :len(nz)] = nz
+        w[i, :len(nz)] = dense[i, nz]
+    return idx, w
+
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _resize_native(src, idx_r, w_r, idx_c, w_c, h_out, w_out):
+    """C++ tap-resize (vkit_tpu/native); None if the library is absent."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from ..native import load_library
+            _NATIVE_LIB = load_library()
+        except Exception:  # noqa: BLE001
+            _NATIVE_LIB = None
+    if _NATIVE_LIB is None:
+        return None
+
+    import ctypes
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    had_c = src.ndim == 3
+    x = src if had_c else src[:, :, None]
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    height, width, channels = x.shape
+    tmp = np.empty((h_out, width, channels), dtype=np.float32)
+    out = np.empty((h_out, w_out, channels), dtype=np.float32)
+    idx_r32 = np.ascontiguousarray(idx_r, dtype=np.int32)
+    idx_c32 = np.ascontiguousarray(idx_c, dtype=np.int32)
+    w_r32 = np.ascontiguousarray(w_r, dtype=np.float32)
+    w_c32 = np.ascontiguousarray(w_c, dtype=np.float32)
+    _NATIVE_LIB.vg_resize_f32(
+        x.ctypes.data_as(f32p), height, width, channels,
+        idx_r32.ctypes.data_as(i32p), w_r32.ctypes.data_as(f32p),
+        idx_r32.shape[1], h_out,
+        idx_c32.ctypes.data_as(i32p), w_c32.ctypes.data_as(f32p),
+        idx_c32.shape[1], w_out,
+        tmp.ctypes.data_as(f32p), out.ctypes.data_as(f32p),
+    )
+    return out if had_c else out[:, :, 0]
+
+
 def resize_np(
     mat: np.ndarray,
     resized_shape: Tuple[int, int],
     interpolation: Interpolation = Interpolation.LINEAR,
 ) -> np.ndarray:
-    """Resize an (H, W) or (H, W, C) numpy array; preserves dtype."""
+    """Resize an (H, W) or (H, W, C) numpy array; preserves dtype.
+
+    Same tap weights as the device matmul path, applied via the native C++
+    kernel when available (numpy fallback; float32 accumulation, like
+    cv2)."""
     resized_height, resized_width = resized_shape
     height, width = mat.shape[:2]
     if (height, width) == (resized_height, resized_width):
         return mat.copy()
 
-    w_rows = build_resize_weights(height, resized_height, interpolation).astype(np.float64)
-    w_cols = build_resize_weights(width, resized_width, interpolation).astype(np.float64)
+    idx_r, w_r = build_resize_taps(height, resized_height, interpolation)
+    idx_c, w_c = build_resize_taps(width, resized_width, interpolation)
+    w_r = w_r.astype(np.float32)
+    w_c = w_c.astype(np.float32)
 
-    flat = mat.reshape(height, -1).astype(np.float64)
-    out = w_rows @ flat  # (H', W*C)
-    out = out.reshape(resized_height, width, -1)
-    out = np.einsum('hwc,vw->hvc', out, w_cols)
-    out = out.reshape(resized_height, resized_width, *mat.shape[2:])
+    src = mat.astype(np.float32)
 
+    native_out = _resize_native(
+        src, idx_r, w_r, idx_c, w_c, resized_height, resized_width
+    )
+    if native_out is not None:
+        if np.issubdtype(mat.dtype, np.integer):
+            info = np.iinfo(mat.dtype)
+            native_out = np.clip(np.round(native_out), info.min, info.max)
+        return native_out.astype(mat.dtype)
+
+    extra = (1,) * (src.ndim - 1)
+
+    def axis0_pass(x, idx, w):
+        out = np.zeros((idx.shape[0],) + x.shape[1:], dtype=np.float32)
+        for t in range(idx.shape[1]):
+            out += x[idx[:, t]] * w[:, t].reshape(-1, *extra)
+        return out
+
+    def transpose01(x):
+        # Contiguous leading-axis layout: gathers become big row memcpys.
+        return np.ascontiguousarray(np.moveaxis(x, 1, 0))
+
+    # Order the passes to keep intermediates small (rows-first cost scales
+    # with H_out * W_in; cols-first with H_in * W_out).
+    rows_first = (
+        resized_height * width + resized_height * resized_width
+        <= height * resized_width + resized_height * resized_width
+    )
+    if rows_first:
+        out1 = axis0_pass(src, idx_r, w_r)                 # (H', W, C)
+        out_t = axis0_pass(transpose01(out1), idx_c, w_c)  # (W', H', C)
+        transposed = True
+    else:
+        out1 = axis0_pass(transpose01(src), idx_c, w_c)    # (W', H, C)
+        out_t = axis0_pass(transpose01(out1), idx_r, w_r)  # (H', W', C)
+        transposed = False
+
+    # Convert dtype while contiguous, then lay out the result.
     if np.issubdtype(mat.dtype, np.integer):
         info = np.iinfo(mat.dtype)
-        out = np.clip(np.round(out), info.min, info.max)
-    return out.astype(mat.dtype)
+        out_t = np.clip(np.round(out_t), info.min, info.max)
+    out_t = out_t.astype(mat.dtype)
+    if transposed:
+        return np.ascontiguousarray(np.moveaxis(out_t, 1, 0))
+    return out_t

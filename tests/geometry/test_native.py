@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 
 import vkit_tpu.geometry as geometry
-from vkit_tpu.geometry import _numpy_impl as pyimpl
+pyimpl = geometry.pure  # pure-python snapshot (module names are rebound to native)
 
 native = pytest.importorskip(
     'vkit_tpu.geometry._native', reason='native geometry library not built'

@@ -117,6 +117,10 @@ def build_resize_weights(
     return weights.astype(np.float32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
 def build_resize_taps(
     n_src: int,
     n_dst: int,
@@ -126,7 +130,8 @@ def build_resize_taps(
 
     ``out[i] = sum_t src[idx[i, t]] * w[i, t]``.  The dense matrix drives
     the MXU on device; this drives the O(N^2 * T) host path (a dense
-    matmul at page sizes is O(N^3) — seconds at 2522^2).
+    matmul at page sizes is O(N^3) — seconds at 2522^2).  Results are
+    cached (read-only) — the same box/char sizes recur constantly.
     """
     dense = build_resize_weights(n_src, n_dst, interpolation)
     nz_counts = (dense != 0).sum(axis=1)
@@ -137,6 +142,8 @@ def build_resize_taps(
         nz = np.flatnonzero(dense[i])
         idx[i, :len(nz)] = nz
         w[i, :len(nz)] = dense[i, nz]
+    idx.setflags(write=False)
+    w.setflags(write=False)
     return idx, w
 
 

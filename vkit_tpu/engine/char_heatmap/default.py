@@ -82,11 +82,19 @@ class CharHeatmapDefaultEngine(
         score_map_max = ScoreMap.from_shape(shape)
         score_map_min = ScoreMap.from_shape(shape, value=1.0)
 
-        for char_polygon in char_polygons:
-            trans_mat = warp_ops.solve_perspective(
-                self.np_char_points,
-                char_polygon.internals.np_self_relative_points.astype(np.float64),
+        # One batched linear solve for all per-char homographies.
+        if char_polygons:
+            src_quads = np.broadcast_to(
+                self.np_char_points, (len(char_polygons), 4, 2)
             )
+            dst_quads = np.stack([
+                polygon.internals.np_self_relative_points.astype(np.float64)
+                for polygon in char_polygons
+            ])
+            trans_mats = warp_ops.solve_perspective_batch(src_quads, dst_quads)
+
+        for char_idx, char_polygon in enumerate(char_polygons):
+            trans_mat = trans_mats[char_idx]
             char_bounding_box = char_polygon.bounding_box
             np_gaussian_map = warp_ops.warp_perspective_np(
                 self.np_gaussian_map,

@@ -17,40 +17,7 @@ from ..... import geometry
 from .....element import Point, PointList, Polygon, Shapable
 
 
-def solve_perspective_batch(src_quads: np.ndarray, dst_quads: np.ndarray) -> np.ndarray:
-    """Batched 4-point homography solve: (N,4,2),(N,4,2) -> (N,3,3)."""
-    n = src_quads.shape[0]
-    a = np.zeros((n, 8, 8), dtype=np.float64)
-    b = np.zeros((n, 8), dtype=np.float64)
-    x = src_quads[:, :, 0]
-    y = src_quads[:, :, 1]
-    u = dst_quads[:, :, 0]
-    v = dst_quads[:, :, 1]
-    for k in range(4):
-        r0 = 2 * k
-        a[:, r0, 0] = x[:, k]
-        a[:, r0, 1] = y[:, k]
-        a[:, r0, 2] = 1
-        a[:, r0, 6] = -u[:, k] * x[:, k]
-        a[:, r0, 7] = -u[:, k] * y[:, k]
-        b[:, r0] = u[:, k]
-        r1 = r0 + 1
-        a[:, r1, 3] = x[:, k]
-        a[:, r1, 4] = y[:, k]
-        a[:, r1, 5] = 1
-        a[:, r1, 6] = -v[:, k] * x[:, k]
-        a[:, r1, 7] = -v[:, k] * y[:, k]
-        b[:, r1] = v[:, k]
-    try:
-        coeffs = np.linalg.solve(a, b[..., None])[..., 0]
-    except np.linalg.LinAlgError:
-        # Degenerate cells (collapsed quads): least-squares per cell, which
-        # matches cv2.getPerspectiveTransform(DECOMP_SVD) behavior there.
-        coeffs = np.empty((n, 8))
-        for idx in range(n):
-            coeffs[idx], *_ = np.linalg.lstsq(a[idx], b[idx], rcond=None)
-    out = np.concatenate([coeffs, np.ones((n, 1))], axis=1)
-    return out.reshape(n, 3, 3)
+from .....ops.warp import solve_perspective_batch  # noqa: F401
 
 
 @attr.define

@@ -145,3 +145,38 @@ def test_noise_and_fog_run(batch):
     out = np.asarray(out)
     assert not np.array_equal(out, batch)
     assert out.shape == batch.shape
+
+
+def test_streaks_match_host(batch):
+    from vkit_tpu.mechanism.distortion import (
+        EllipseStreakConfig,
+        LineStreakConfig,
+        RectangleStreakConfig,
+        ellipse_streak,
+        line_streak,
+        rectangle_streak,
+    )
+
+    cases = [
+        ('line_streak', line_streak, [
+            LineStreakConfig(thickness=2, gap=6, alpha=0.8),
+            LineStreakConfig(thickness=1, gap=4, dash_thickness=2, dash_gap=2),
+            LineStreakConfig(enable_vert=False, color=(200, 30, 30)),
+        ]),
+        ('rectangle_streak', rectangle_streak, [
+            RectangleStreakConfig(thickness=2, alpha=0.7),
+            RectangleStreakConfig(short_side_min=6, short_side_step=8),
+            RectangleStreakConfig(aspect_ratio=1.5),
+        ]),
+        ('ellipse_streak', ellipse_streak, [
+            EllipseStreakConfig(thickness=2),
+            EllipseStreakConfig(short_side_min=8, alpha=0.6),
+            EllipseStreakConfig(aspect_ratio=0.8, color=(0, 0, 255)),
+        ]),
+    ]
+    for name, dist, configs in cases:
+        out = np.asarray(
+            batch_distort_images(name, configs, jnp.asarray(batch))
+        )
+        ref = _host(dist, configs, batch)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1, name

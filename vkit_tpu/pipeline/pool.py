@@ -26,6 +26,7 @@ class PipelinePool(Generic[_T_OUTPUT]):
         rng_seed: int,
         num_runs_reset_rng: Optional[int] = None,
         timeout: int = 60,
+        use_processes: bool = True,
     ):
         self.pipeline = pipeline
         self.num_runs_reset_rng = num_runs_reset_rng
@@ -58,12 +59,16 @@ class PipelinePool(Generic[_T_OUTPUT]):
                 ).bit_generator.state
             return output
 
+        # The synthesis pipeline is Python-bound: real processes by default
+        # (forked, so the closure worker needs no pickling), matching the
+        # reference's multiprocessing pool (vkit/pipeline/pool.py:95-124).
         self.pool: Pool[_T_OUTPUT] = Pool(
             config=PoolConfig(
                 inventory=inventory,
                 num_processes=num_processes,
                 rng_seed=rng_seed,
                 timeout=timeout,
+                use_processes=use_processes,
             ),
             func=worker,
         )

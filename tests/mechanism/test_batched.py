@@ -180,3 +180,19 @@ def test_streaks_match_host(batch):
         )
         ref = _host(dist, configs, batch)
         assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1, name
+
+
+def test_glass_blur_runs(batch):
+    from vkit_tpu.mechanism.distortion import GlassBlurConfig
+
+    out = np.asarray(batch_distort_images(
+        'glass_blur',
+        [GlassBlurConfig(sigma=s) for s in (0.7, 1.0, 1.4)],
+        jnp.asarray(batch),
+        jax.random.PRNGKey(1),
+    ))
+    assert out.shape == batch.shape
+    assert not np.array_equal(out, batch)
+    # The permutation preserves the (blurred) value multiset per image
+    # up to swap collisions; sanity: intensity stats stay close.
+    assert abs(float(out.mean()) - float(batch.mean())) < 8.0

@@ -196,3 +196,25 @@ def test_glass_blur_runs(batch):
     # The permutation preserves the (blurred) value multiset per image
     # up to swap collisions; sanity: intensity stats stay close.
     assert abs(float(out.mean()) - float(batch.mean())) < 8.0
+
+
+def test_batch_random_photometric(batch):
+    from vkit_tpu.mechanism import batch_random_photometric_distort
+
+    images = jnp.asarray(batch)
+    out1 = np.asarray(batch_random_photometric_distort(
+        images, level=6, rng=np.random.default_rng(7)
+    ))
+    out2 = np.asarray(batch_random_photometric_distort(
+        images, level=6, rng=np.random.default_rng(7)
+    ))
+    assert out1.shape == batch.shape and out1.dtype == np.uint8
+    assert np.array_equal(out1, out2)  # deterministic given the rng state
+    assert any(
+        not np.array_equal(out1[i], batch[i]) for i in range(len(batch))
+    )
+    # A different seed draws different policies.
+    out3 = np.asarray(batch_random_photometric_distort(
+        images, level=6, rng=np.random.default_rng(8)
+    ))
+    assert not np.array_equal(out1, out3)

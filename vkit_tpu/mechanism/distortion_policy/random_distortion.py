@@ -493,6 +493,37 @@ class RandomDistortionFactory:
             )
         return policies, policy_weights
 
+    def create_photometric_stage_config(
+        self,
+        config: Optional[
+            Union[Mapping[str, Any], PathType, RandomDistortionFactoryConfig]
+        ] = None,
+    ) -> RandomDistortionStageConfig:
+        """The photometric stage alone (used by mechanism.batched_random)."""
+        config = dyn_structure(
+            config,
+            RandomDistortionFactoryConfig,
+            support_path_type=True,
+            support_none_type=True,
+        )
+        photometric_policies, photometric_policy_weights = (
+            self.create_policies_and_policy_weights(
+                self.photometric_policy_factories,
+                self.photometric_policy_default_weights,
+                config,
+            )
+        )
+        return RandomDistortionStageConfig(
+            distortion_policies=photometric_policies,
+            distortion_policy_weights=photometric_policy_weights,
+            prob_enable=config.prob_photometric,
+            num_distortions_min=config.num_photometric_min,
+            num_distortions_max=config.num_photometric_max,
+            conflict_control_keyword_groups=(
+                config.photometric_conflict_control_keyword_groups
+            ),
+        )
+
     def create(
         self,
         config: Optional[
@@ -507,26 +538,7 @@ class RandomDistortionFactory:
         )
 
         stage_configs: List[RandomDistortionStageConfig] = []
-
-        photometric_policies, photometric_policy_weights = (
-            self.create_policies_and_policy_weights(
-                self.photometric_policy_factories,
-                self.photometric_policy_default_weights,
-                config,
-            )
-        )
-        stage_configs.append(
-            RandomDistortionStageConfig(
-                distortion_policies=photometric_policies,
-                distortion_policy_weights=photometric_policy_weights,
-                prob_enable=config.prob_photometric,
-                num_distortions_min=config.num_photometric_min,
-                num_distortions_max=config.num_photometric_max,
-                conflict_control_keyword_groups=(
-                    config.photometric_conflict_control_keyword_groups
-                ),
-            )
-        )
+        stage_configs.append(self.create_photometric_stage_config(config))
 
         geometric_policies, geometric_policy_weights = (
             self.create_policies_and_policy_weights(

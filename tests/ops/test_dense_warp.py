@@ -96,3 +96,49 @@ def test_batched_grid_warp_camera():
                 warped[i, :hh, :ww].astype(int) - ref.mat.astype(int)
             )
             assert diff[core].max() <= 2
+
+
+def test_batched_grid_warp_mls():
+    from scipy.ndimage import binary_erosion, gaussian_filter
+
+    from vkit_tpu.element import Image, Point, PointTuple
+    from vkit_tpu.mechanism.batched import batched_grid_warp
+    from vkit_tpu.mechanism.distortion import (
+        SimilarityMlsConfig,
+        similarity_mls,
+    )
+
+    rng = np.random.default_rng(0)
+    h = w = 96
+    img = gaussian_filter(rng.random((h, w, 3)) * 255, sigma=2).astype(np.uint8)
+
+    def mls(dy, dx):
+        src = PointTuple([
+            Point.create(y=0, x=0), Point.create(y=0, x=w - 1),
+            Point.create(y=h - 1, x=w - 1), Point.create(y=h - 1, x=0),
+            Point.create(y=h // 2, x=w // 2),
+        ])
+        dst = PointTuple([
+            Point.create(y=0, x=0), Point.create(y=0, x=w - 1),
+            Point.create(y=h - 1, x=w - 1), Point.create(y=h - 1, x=0),
+            Point.create(y=h // 2 + dy, x=w // 2 + dx),
+        ])
+        return SimilarityMlsConfig(
+            src_handle_points=src, dst_handle_points=dst, grid_size=12,
+        )
+
+    configs = [mls(5, 3), mls(-4, 6)]
+    imgs = jnp.asarray(np.stack([img] * len(configs)))
+    warped, shapes, covs = batched_grid_warp(
+        similarity_mls, configs, imgs, rng=np.random.default_rng(1)
+    )
+    warped = np.asarray(warped)
+    for i, cfg in enumerate(configs):
+        ref = similarity_mls.distort_image(
+            cfg, Image(mat=img), rng=np.random.default_rng(1)
+        )
+        hh, ww = shapes[i]
+        assert ref.shape == (hh, ww)
+        core = binary_erosion(covs[i], iterations=4)
+        diff = np.abs(warped[i, :hh, :ww].astype(int) - ref.mat.astype(int))
+        assert diff[core].max() <= 2

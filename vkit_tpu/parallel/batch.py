@@ -4,7 +4,7 @@ The reference applies distortions one image at a time on the CPU
 (vkit/mechanism/distortion/interface.py:214-310, one cv2 call per op).  The
 TPU-native path instead samples per-image parameters on the host (cheap,
 numpy) and runs the whole batch through a single traced program: geometric
-warp (backward maps from per-sample homographies, one gather), photometric
+warp (two-pass shifts+matmuls, ops/warp_mxu.py — gather-free), photometric
 chain (contrast/brightness/noise fused elementwise), JPEG simulation (8x8
 DCT as MXU matmuls with per-sample quant tables), and the final resize
 (tap-weight matmuls).  Static shapes, no per-sample Python, everything
@@ -114,46 +114,6 @@ def sample_synthesis_params(
         chroma_qtables=jnp.asarray(chroma),
         jpeg_enables=jnp.asarray(jpeg_enables),
     ), warp_statics
-
-
-def _affine_backward_maps_batch(trans_mats, dst_shape: Tuple[int, int]):
-    """(N, 3, 3) forward mats -> (N, H, W) backward map_y / map_x."""
-    inv = jnp.linalg.inv(trans_mats)  # (N, 3, 3)
-    dst_h, dst_w = dst_shape
-    xs = jnp.arange(dst_w, dtype=jnp.float32)
-    ys = jnp.arange(dst_h, dtype=jnp.float32)
-    grid_x, grid_y = jnp.meshgrid(xs, ys)
-    dst = jnp.stack([grid_x, grid_y, jnp.ones_like(grid_x)], axis=-1)  # (H,W,3)
-    src = jnp.einsum('hwk,njk->nhwj', dst, inv)
-    denom = src[..., 2]
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-    return src[..., 1] / denom, src[..., 0] / denom
-
-
-def _bilinear_gather(image_f32, map_y, map_x):
-    """Single-image bilinear backward warp, border = edge clamp."""
-    height, width = image_f32.shape[:2]
-    y0f = jnp.floor(map_y)
-    x0f = jnp.floor(map_x)
-    wy = (map_y - y0f)[..., None]
-    wx = (map_x - x0f)[..., None]
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, height - 1)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, width - 1)
-    y1 = jnp.clip(y0 + 1, 0, height - 1)
-    x1 = jnp.clip(x0 + 1, 0, width - 1)
-    flat = image_f32.reshape(height * width, -1)
-
-    def tap(ys, xs):
-        return flat[(ys * width + xs).reshape(-1)].reshape(
-            *ys.shape, flat.shape[-1]
-        )
-
-    return (
-        tap(y0, x0) * (1 - wy) * (1 - wx)
-        + tap(y0, x1) * (1 - wy) * wx
-        + tap(y1, x0) * wy * (1 - wx)
-        + tap(y1, x1) * wy * wx
-    )
 
 
 def _jpeg_single(rgb_f32, luma_q, chroma_q):

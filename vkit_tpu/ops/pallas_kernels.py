@@ -9,6 +9,7 @@ Used by ops/warp_mxu.py, where the backward affine warp is decomposed into
 per-line integer shifts (this kernel) + 3-tap one-hot matmuls (MXU).
 """
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,3 +97,179 @@ def row_shift_auto(x_padded, starts, out_width: int, rows_per_block: int = 128):
         x_padded, starts, out_width,
         rows_per_block=rows_per_block, interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Borderless variant: the whole (integer) shift as ONE 2048-lane roll per
+# row, borders synthesized in-VMEM.  No host-side padding materialization
+# (jnp.pad wrote + re-read an HBM copy of the input) and the DMA carries
+# only the real row, not a padded window: ~2x less memory traffic than
+# row_shift for typical warp shapes.
+# ---------------------------------------------------------------------------
+
+_WINDOW2 = 2048
+
+
+def _row_shift_window_kernel(
+    starts_ref, in_ref, out_ref, scratch_ref, *,
+    rows_per_block, in_width, out_width, border_value,
+):
+    b = pl.program_id(0)
+    lb = pl.program_id(1)
+    row0 = lb * rows_per_block
+
+    def body(r, carry):
+        s = starts_ref[b, row0 + r]
+        scratch_ref[0, :] = jnp.full(
+            (_WINDOW2,), border_value, dtype=scratch_ref.dtype
+        )
+        scratch_ref[0, :in_width] = in_ref[0, r, :]
+        rolled = pltpu.roll(scratch_ref[:, :], shift=-s, axis=1)
+        out_ref[0, r, :] = rolled[0, :out_width]
+        return carry
+
+    lax.fori_loop(0, rows_per_block, body, 0)
+
+
+def _row_shift_window_slab_kernel(
+    starts_ref, in_ref, out_ref, scratch_ref, *,
+    rows_per_block, channels, in_width, out_width, border_value,
+):
+    b = pl.program_id(0)
+    lb = pl.program_id(1)
+    row0 = lb * rows_per_block
+
+    def body(r, carry):
+        s = starts_ref[b, row0 + r]
+        scratch_ref[:, :] = jnp.full(
+            (channels, _WINDOW2), border_value, dtype=scratch_ref.dtype
+        )
+        scratch_ref[:, :in_width] = in_ref[0, r, :, :]
+        # One roll moves every channel of the row (same shift per sublane).
+        rolled = pltpu.roll(scratch_ref[:, :], shift=-s, axis=1)
+        out_ref[0, r, :, :] = rolled[:, :out_width]
+        return carry
+
+    lax.fori_loop(0, rows_per_block, body, 0)
+
+
+def row_shift_window_slab(
+    x,
+    starts,
+    out_width: int,
+    border_value: float = 0.0,
+    rows_per_block: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Channel-slab variant: ``out[b, l, c, j] = x[b, l, c, starts[b,l]+j]``.
+
+    ``x``: (B, L, C, W).  One roll per row covers all C channels (3x fewer
+    kernel iterations than row_shift_window on RGB batches).  Same bounds
+    requirements as row_shift_window.
+    """
+    B, L, C, in_width = x.shape
+    assert in_width + out_width <= _WINDOW2
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+
+    pad_l = (-L) % rows_per_block
+    if pad_l:
+        x = jnp.pad(x, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
+        starts = jnp.pad(starts, ((0, 0), (0, pad_l)))
+    L_padded = L + pad_l
+
+    kernel = functools.partial(
+        _row_shift_window_slab_kernel,
+        rows_per_block=rows_per_block,
+        channels=C,
+        in_width=in_width,
+        out_width=out_width,
+        border_value=border_value,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L_padded // rows_per_block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_per_block, C, in_width),
+                lambda b, lb, starts: (b, lb, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_block, C, out_width),
+            lambda b, lb, starts: (b, lb, 0, 0),
+        ),
+        scratch_shapes=[pltpu.VMEM((C, _WINDOW2), x.dtype)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, L_padded, C, out_width), x.dtype
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts.astype(jnp.int32), x)
+    if pad_l:
+        out = out[:, :L]
+    return out
+
+
+def row_shift_window(
+    x,
+    starts,
+    out_width: int,
+    border_value: float = 0.0,
+    rows_per_block: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """``out[b, l, j] = x[b, l, starts[b, l] + j]`` with border handling.
+
+    ``starts`` may be negative or run past the row; out-of-range positions
+    read ``border_value``.  Requirements (asserted):
+    ``in_width + out_width <= 2048`` and
+    ``-(2048 - in_width - out_width) <= starts <= 2048 - out_width``.
+    """
+    import functools as _functools
+
+    B, L, in_width = x.shape
+    assert in_width + out_width <= _WINDOW2
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+
+    pad_l = (-L) % rows_per_block
+    if pad_l:
+        x = jnp.pad(x, ((0, 0), (0, pad_l), (0, 0)))
+        starts = jnp.pad(starts, ((0, 0), (0, pad_l)))
+    L_padded = L + pad_l
+
+    kernel = _functools.partial(
+        _row_shift_window_kernel,
+        rows_per_block=rows_per_block,
+        in_width=in_width,
+        out_width=out_width,
+        border_value=border_value,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L_padded // rows_per_block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_per_block, in_width),
+                lambda b, lb, starts: (b, lb, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_block, out_width),
+            lambda b, lb, starts: (b, lb, 0),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, _WINDOW2), x.dtype)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, L_padded, out_width), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts.astype(jnp.int32), x)
+    if pad_l:
+        out = out[:, :L]
+    return out

@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_kernels import _ROLL_WINDOW, row_shift_auto
+from .pallas_kernels import (
+    _ROLL_WINDOW,
+    row_shift_auto,
+    row_shift_window,
+    row_shift_window_slab,
+)
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -113,18 +118,40 @@ def apply_line_resample(
     Jittable (statics must be passed as static).
     """
     n, c, l, m_in = x.shape
-    pad_hi = statics.m_padded - m_in - statics.pad_lo
-    assert pad_hi >= 0
-    x_p = jnp.pad(
-        x,
-        ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
-        constant_values=border_value,
-    )
-
     starts = jnp.repeat(plan.starts[:, None, :], c, axis=1).reshape(n * c, l)
-    shifted = row_shift_auto(
-        x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
+
+    # Borderless kernel path: the whole shift as one in-VMEM 2048-lane roll
+    # per row — no HBM-materialized padding, DMA carries only real rows.
+    # Static bounds: starts_rel = starts - pad_lo spans
+    # [-pad_lo, m_padded - ROLL_WINDOW - pad_lo].
+    rel_min = -statics.pad_lo
+    rel_max = statics.m_padded - _ROLL_WINDOW - statics.pad_lo
+    window_ok = (
+        m_in + statics.m_shift <= 2048
+        and rel_min >= -(2048 - m_in - statics.m_shift)
+        and rel_max <= 2048 - statics.m_shift
     )
+    if window_ok:
+        # Channel-slab layout: one roll per row shifts all C channels.
+        x_slab = x.transpose(0, 2, 1, 3)                  # (N, L, C, M)
+        shifted = row_shift_window_slab(
+            x_slab,
+            plan.starts - statics.pad_lo,
+            statics.m_shift,
+            border_value=border_value,
+        )                                                 # (N, L, C, m_shift)
+        shifted = shifted.transpose(0, 2, 1, 3)           # (N, C, L, m_shift)
+    else:
+        pad_hi = statics.m_padded - m_in - statics.pad_lo
+        assert pad_hi >= 0
+        x_p = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
+            constant_values=border_value,
+        )
+        shifted = row_shift_auto(
+            x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
+        )
     shifted = shifted.reshape(n, c * l, statics.m_shift)
 
     # One-hot 3-tap gather matrices, built on device from (N, J) indices.
@@ -341,17 +368,33 @@ def apply_dense_line_resample(
 ):
     """Resample (N, C, L, M_in) -> (N, C, L, out_len) at planned positions."""
     n, c, l, m_in = x.shape
-    pad_hi = statics.m_padded - m_in - statics.pad_lo
-    assert pad_hi >= 0
-    x_p = jnp.pad(
-        x, ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
-        constant_values=border_value,
-    )
-
     starts = jnp.repeat(plan.starts[:, None, :], c, axis=1).reshape(n * c, l)
-    shifted = row_shift_auto(
-        x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
+
+    rel_min = -statics.pad_lo
+    rel_max = statics.m_padded - _ROLL_WINDOW - statics.pad_lo
+    window_ok = (
+        m_in + statics.m_shift <= 2048
+        and rel_min >= -(2048 - m_in - statics.m_shift)
+        and rel_max <= 2048 - statics.m_shift
     )
+    if window_ok:
+        x_slab = x.transpose(0, 2, 1, 3)                  # (N, L, C, M)
+        shifted = row_shift_window_slab(
+            x_slab,
+            plan.starts - statics.pad_lo,
+            statics.m_shift,
+            border_value=border_value,
+        ).transpose(0, 2, 1, 3)                           # (N, C, L, m_shift)
+    else:
+        pad_hi = statics.m_padded - m_in - statics.pad_lo
+        assert pad_hi >= 0
+        x_p = jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
+            constant_values=border_value,
+        )
+        shifted = row_shift_auto(
+            x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
+        )
     shifted = shifted.reshape(n, c * l, statics.m_shift)
 
     jn = statics.out_len

@@ -108,17 +108,17 @@ def plan_line_resample(
 
 
 def apply_line_resample(
-    x,
+    x_slab,
     plan: LineResamplePlan,
     statics: LineResampleStatics,
     border_value: float = 0.0,
 ):
-    """Resample (N, C, L, M_in) along the last axis -> (N, C, L, out_len).
+    """Resample (N, L, C, M_in) along the last axis -> (N, L, C, out_len).
 
-    Jittable (statics must be passed as static).
+    Slab layout: lines lead, channels ride along (the Pallas kernel rolls a
+    whole (C, window) slab per line).  Jittable (statics static).
     """
-    n, c, l, m_in = x.shape
-    starts = jnp.repeat(plan.starts[:, None, :], c, axis=1).reshape(n * c, l)
+    n, l, c, m_in = x_slab.shape
 
     # Borderless kernel path: the whole shift as one in-VMEM 2048-lane roll
     # per row — no HBM-materialized padding, DMA carries only real rows.
@@ -132,27 +132,27 @@ def apply_line_resample(
         and rel_max <= 2048 - statics.m_shift
     )
     if window_ok:
-        # Channel-slab layout: one roll per row shifts all C channels.
-        x_slab = x.transpose(0, 2, 1, 3)                  # (N, L, C, M)
         shifted = row_shift_window_slab(
             x_slab,
             plan.starts - statics.pad_lo,
             statics.m_shift,
             border_value=border_value,
         )                                                 # (N, L, C, m_shift)
-        shifted = shifted.transpose(0, 2, 1, 3)           # (N, C, L, m_shift)
     else:
-        pad_hi = statics.m_padded - m_in - statics.pad_lo
-        assert pad_hi >= 0
+        starts = jnp.repeat(
+            plan.starts[:, :, None], c, axis=2
+        ).reshape(n, l * c)
         x_p = jnp.pad(
-            x,
-            ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
+            x_slab,
+            (
+                (0, 0), (0, 0), (0, 0),
+                (statics.pad_lo, statics.m_padded - m_in - statics.pad_lo),
+            ),
             constant_values=border_value,
         )
         shifted = row_shift_auto(
-            x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
-        )
-    shifted = shifted.reshape(n, c * l, statics.m_shift)
+            x_p.reshape(n, l * c, statics.m_padded), starts, statics.m_shift
+        ).reshape(n, l, c, statics.m_shift)
 
     # One-hot 3-tap gather matrices, built on device from (N, J) indices.
     jn = statics.out_len
@@ -162,19 +162,19 @@ def apply_line_resample(
         + jnp.arange(3, dtype=jnp.int32)[None, None, None, :]
     )                                                   # (N, 1, J, 3)
     taps = taps.transpose(0, 1, 3, 2).reshape(n, 1, 3 * jn)
-    g = (iota_m == taps).astype(x.dtype)                # (N, m_shift, 3J)
+    g = (iota_m == taps).astype(x_slab.dtype)           # (N, m_shift, 3J)
 
     a = jnp.einsum(
-        'nrm,nmq->nrq', shifted, g, preferred_element_type=jnp.float32
+        'nlcm,nmq->nlcq', shifted, g, preferred_element_type=jnp.float32
     )
-    a = a.reshape(n, c, l, 3, jn)
+    a = a.reshape(n, l, c, 3, jn)
 
     u = plan.frac_j[:, None, :] + plan.phi[:, :, None]  # (N, L, J) in [0, 2)
     w0 = jnp.maximum(1.0 - u, 0.0)
     w2 = jnp.maximum(u - 1.0, 0.0)
     w1 = 1.0 - w0 - w2
-    w = jnp.stack([w0, w1, w2], axis=2)[:, None]        # (N, 1, L, 3, J)
-    return (a * w).sum(axis=3)
+    w = jnp.stack([w0, w1, w2], axis=2)[:, :, None]     # (N, L, 1, 3, J)
+    return (a * w).sum(axis=3)                          # (N, L, C, J)
 
 
 class AffineWarpPlan(NamedTuple):
@@ -250,17 +250,16 @@ def apply_affine_warp(
     if not had_c:
         images = images[..., None]
     orig_dtype = images.dtype
-    x = images.astype(jnp.float32).transpose(0, 3, 1, 2)   # (N, C, H, W)
+    x = images.astype(jnp.float32)
 
-    # Pass V: lines = input columns; resample along rows.
-    x_t = x.transpose(0, 1, 3, 2)                          # (N, C, W_in, H_in)
-    tmp = apply_line_resample(x_t, plan.pass_v, statics.statics_v, border_value)
-    tmp = tmp.transpose(0, 1, 3, 2)                        # (N, C, H_out, W_in)
+    # Pass V: lines = input columns; resample along rows (slab layout).
+    x_v = x.transpose(0, 2, 3, 1)                          # (N, W_in, C, H_in)
+    tmp = apply_line_resample(x_v, plan.pass_v, statics.statics_v, border_value)
+    # (N, W_in, C, H_out) -> pass H layout: lines = output rows.
+    x_h = tmp.transpose(0, 3, 2, 1)                        # (N, H_out, C, W_in)
+    out = apply_line_resample(x_h, plan.pass_h, statics.statics_h, border_value)
 
-    # Pass H: lines = output rows; resample along columns.
-    out = apply_line_resample(tmp, plan.pass_h, statics.statics_h, border_value)
-
-    out = out.transpose(0, 2, 3, 1)                        # (N, H_out, W_out, C)
+    out = out.transpose(0, 1, 3, 2)                        # (N, H_out, W_out, C)
     if orig_dtype == jnp.uint8:
         out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     else:
@@ -366,9 +365,8 @@ def apply_dense_line_resample(
     statics: DenseLineStatics,
     border_value: float = 0.0,
 ):
-    """Resample (N, C, L, M_in) -> (N, C, L, out_len) at planned positions."""
-    n, c, l, m_in = x.shape
-    starts = jnp.repeat(plan.starts[:, None, :], c, axis=1).reshape(n * c, l)
+    """Resample (N, L, C, M_in) -> (N, L, C, out_len) at planned positions."""
+    n, l, c, m_in = x.shape
 
     rel_min = -statics.pad_lo
     rel_max = statics.m_padded - _ROLL_WINDOW - statics.pad_lo
@@ -378,36 +376,39 @@ def apply_dense_line_resample(
         and rel_max <= 2048 - statics.m_shift
     )
     if window_ok:
-        x_slab = x.transpose(0, 2, 1, 3)                  # (N, L, C, M)
         shifted = row_shift_window_slab(
-            x_slab,
+            x,
             plan.starts - statics.pad_lo,
             statics.m_shift,
             border_value=border_value,
-        ).transpose(0, 2, 1, 3)                           # (N, C, L, m_shift)
+        )                                                 # (N, L, C, m_shift)
     else:
-        pad_hi = statics.m_padded - m_in - statics.pad_lo
-        assert pad_hi >= 0
+        starts = jnp.repeat(
+            plan.starts[:, :, None], c, axis=2
+        ).reshape(n, l * c)
         x_p = jnp.pad(
-            x, ((0, 0), (0, 0), (0, 0), (statics.pad_lo, pad_hi)),
+            x,
+            (
+                (0, 0), (0, 0), (0, 0),
+                (statics.pad_lo, statics.m_padded - m_in - statics.pad_lo),
+            ),
             constant_values=border_value,
         )
         shifted = row_shift_auto(
-            x_p.reshape(n * c, l, statics.m_padded), starts, statics.m_shift
-        )
-    shifted = shifted.reshape(n, c * l, statics.m_shift)
+            x_p.reshape(n, l * c, statics.m_padded), starts, statics.m_shift
+        ).reshape(n, l, c, statics.m_shift)
 
     jn = statics.out_len
     iota_m = jnp.arange(statics.m_shift, dtype=jnp.int32)[None, :, None]
-    u = plan.u[:, None]                                   # (N, 1, L, J)
+    u = plan.u[:, :, None]                                # (N, L, 1, J)
 
-    # Accumulate tap-by-tap: T matmuls, never materializing (N,C,L,T,J).
-    out = jnp.zeros((n, c, l, jn), dtype=jnp.float32)
+    # Accumulate tap-by-tap: T matmuls, never materializing (N,L,C,T,J).
+    out = jnp.zeros((n, l, c, jn), dtype=jnp.float32)
     for t in range(statics.taps):
         g_t = (iota_m == (plan.i0 + t)[:, None, :]).astype(x.dtype)
         a_t = jnp.einsum(
-            'nrm,nmj->nrj', shifted, g_t, preferred_element_type=jnp.float32
-        ).reshape(n, c, l, jn)
+            'nlcm,nmj->nlcj', shifted, g_t, preferred_element_type=jnp.float32
+        )
         w_t = jnp.maximum(1.0 - jnp.abs(u - t), 0.0)
         out = out + a_t * w_t
     return out
@@ -487,21 +488,20 @@ def apply_dense_warp(
     if not had_c:
         images = images[..., None]
     orig_dtype = images.dtype
-    x = images.astype(jnp.float32).transpose(0, 3, 1, 2)   # (N, C, H, W)
+    x = images.astype(jnp.float32)
 
-    # Pass V: lines = input columns; resample along source rows.
-    x_t = x.transpose(0, 1, 3, 2)                          # (N, C, W_in, H_in)
+    # Pass V: lines = input columns; resample along source rows (slab).
+    x_v = x.transpose(0, 2, 3, 1)                          # (N, W_in, C, H_in)
     tmp = apply_dense_line_resample(
-        x_t, plan.pass_v, statics.statics_v, border_value
+        x_v, plan.pass_v, statics.statics_v, border_value
     )
-    tmp = tmp.transpose(0, 1, 3, 2)                        # (N, C, H_out, W_in)
-
-    # Pass H: lines = output rows; resample along columns.
+    # (N, W_in, C, H_out) -> pass H layout: lines = output rows.
+    x_h = tmp.transpose(0, 3, 2, 1)                        # (N, H_out, C, W_in)
     out = apply_dense_line_resample(
-        tmp, plan.pass_h, statics.statics_h, border_value
+        x_h, plan.pass_h, statics.statics_h, border_value
     )
 
-    out = out.transpose(0, 2, 3, 1)
+    out = out.transpose(0, 1, 3, 2)                        # (N, H_out, W_out, C)
     if orig_dtype == jnp.uint8:
         out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     else:

@@ -74,15 +74,20 @@ def _unblockify(blocks, height: int, width: int, block: int = 8):
 
 
 def _quantize_channel(channel, qtable):
-    """8x8 DCT → quantize → dequantize → IDCT, all as batched matmuls."""
+    """8x8 DCT → quantize → dequantize → IDCT, all as batched matmuls.
+
+    Transpose-free: the (H, W) channel is viewed as (H/8, 8, W/8, 8) and
+    both DCT contractions act on the in-place 8-axes (the explicit
+    blockify/unblockify transposes cost more HBM traffic than the DCTs).
+    """
     height, width = channel.shape
     dct = jnp.asarray(_dct_matrix())
-    blocks = _blockify(channel - 128.0)
-    coeffs = jnp.einsum('ij,bjk,lk->bil', dct, blocks, dct)
-    q = jnp.asarray(qtable, dtype=jnp.float32)
+    y = (channel - 128.0).reshape(height // 8, 8, width // 8, 8)
+    coeffs = jnp.einsum('ij,ajbk,lk->aibl', dct, y, dct)
+    q = jnp.asarray(qtable, dtype=jnp.float32)[None, :, None, :]
     coeffs = jnp.round(coeffs / q) * q
-    restored = jnp.einsum('ji,bjk,kl->bil', dct, coeffs, dct)
-    return _unblockify(restored, height, width) + 128.0
+    restored = jnp.einsum('ji,ajbk,kl->aibl', dct, coeffs, dct)
+    return restored.reshape(height, width) + 128.0
 
 
 def _pad_to_multiple(x, mult: int):

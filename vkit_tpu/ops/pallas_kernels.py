@@ -133,24 +133,28 @@ def _row_shift_window_kernel(
 
 def _row_shift_window_slab_kernel(
     starts_ref, in_ref, out_ref, scratch_ref, *,
-    rows_per_block, channels, in_width, out_width, border_value,
+    rows_per_block, channels, in_width, out_width, border_value, unroll,
 ):
     b = pl.program_id(0)
     lb = pl.program_id(1)
     row0 = lb * rows_per_block
 
-    def body(r, carry):
-        s = starts_ref[b, row0 + r]
-        scratch_ref[:, :] = jnp.full(
-            (channels, _WINDOW2), border_value, dtype=scratch_ref.dtype
-        )
-        scratch_ref[:, :in_width] = in_ref[0, r, :, :]
-        # One roll moves every channel of the row (same shift per sublane).
-        rolled = pltpu.roll(scratch_ref[:, :], shift=-s, axis=1)
-        out_ref[0, r, :, :] = rolled[:, :out_width]
+    def body(ru, carry):
+        # Unrolled: the per-iteration scalar/control overhead of the row
+        # loop is comparable to the roll itself.
+        for k in range(unroll):
+            r = ru * unroll + k
+            s = starts_ref[b, row0 + r]
+            scratch_ref[:, :] = jnp.full(
+                (channels, _WINDOW2), border_value, dtype=scratch_ref.dtype
+            )
+            scratch_ref[:, :in_width] = in_ref[0, r, :, :]
+            # One roll moves every channel of the row (same shift/sublane).
+            rolled = pltpu.roll(scratch_ref[:, :], shift=-s, axis=1)
+            out_ref[0, r, :, :] = rolled[:, :out_width]
         return carry
 
-    lax.fori_loop(0, rows_per_block, body, 0)
+    lax.fori_loop(0, rows_per_block // unroll, body, 0)
 
 
 def row_shift_window_slab(
@@ -178,6 +182,8 @@ def row_shift_window_slab(
         starts = jnp.pad(starts, ((0, 0), (0, pad_l)))
     L_padded = L + pad_l
 
+    unroll = 4
+    assert rows_per_block % unroll == 0
     kernel = functools.partial(
         _row_shift_window_slab_kernel,
         rows_per_block=rows_per_block,
@@ -185,6 +191,7 @@ def row_shift_window_slab(
         in_width=in_width,
         out_width=out_width,
         border_value=border_value,
+        unroll=unroll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

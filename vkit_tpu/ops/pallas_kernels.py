@@ -182,7 +182,7 @@ def row_shift_window_slab(
         starts = jnp.pad(starts, ((0, 0), (0, pad_l)))
     L_padded = L + pad_l
 
-    unroll = 4
+    unroll = 16
     assert rows_per_block % unroll == 0
     kernel = functools.partial(
         _row_shift_window_slab_kernel,

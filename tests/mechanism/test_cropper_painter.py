@@ -67,3 +67,19 @@ def test_painter_smoke(tmp_path):
     assert out.exists()
     # Something was painted.
     assert not np.array_equal(painter.image.mat, image.mat)
+
+
+def test_visualize_image_grid():
+    from vkit_tpu.mechanism.distortion.geometric.grid_rendering.grid_creator import (
+        create_src_image_grid,
+    )
+    from vkit_tpu.mechanism.distortion.geometric.grid_rendering.visualization import (
+        visualize_image_grid,
+    )
+
+    grid = create_src_image_grid(height=64, width=96, grid_size=16)
+    image = visualize_image_grid(grid)
+    assert image.shape == (64, 96)
+    # Grid lines drawn: not a blank canvas.
+    assert (image.mat < 128).any()
+    assert (image.mat > 128).any()

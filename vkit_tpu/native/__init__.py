@@ -70,6 +70,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.vg_trace_boundary.restype = ctypes.c_int
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vg_remap_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, f32p, ctypes.c_int, ctypes.c_int,
+        f32p, f32p,
+    ]
+    lib.vg_remap_f32.restype = None
     lib.vg_resize_f32.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, f32p, ctypes.c_int, ctypes.c_int,

@@ -189,6 +189,45 @@ int vg_trace_boundary(const int32_t* labels, int height, int width,
     }
 }
 
+// Bilinear backward-map remap on float32 (H, W, C), cv2 BORDER_CONSTANT
+// semantics (each out-of-range tap contributes the border value).  Single
+// pass, no temporaries — the numpy formulation allocates ~20 full-page
+// arrays, which is pathological on fault-slow hosts.
+void vg_remap_f32(
+    const float* src, int height, int width, int channels,
+    const float* map_y, const float* map_x, int out_h, int out_w,
+    const float* border, float* out) {
+    const long long row_len = (long long)width * channels;
+    for (long long p = 0; p < (long long)out_h * out_w; ++p) {
+        const float my = map_y[p];
+        const float mx = map_x[p];
+        const float y0f = std::floor(my);
+        const float x0f = std::floor(mx);
+        const float wy = my - y0f;
+        const float wx = mx - x0f;
+        const long long y0 = (long long)y0f;
+        const long long x0 = (long long)x0f;
+        float* dst = out + p * channels;
+        const float iwy = 1.0f - wy;
+        const float iwx = 1.0f - wx;
+        const long long ys[4] = {y0, y0, y0 + 1, y0 + 1};
+        const long long xs[4] = {x0, x0 + 1, x0, x0 + 1};
+        for (int ch = 0; ch < channels; ++ch) {
+            float v[4];
+            for (int t = 0; t < 4; ++t) {
+                if (ys[t] >= 0 && ys[t] < height && xs[t] >= 0 && xs[t] < width) {
+                    v[t] = src[ys[t] * row_len + xs[t] * channels + ch];
+                } else {
+                    v[t] = border[ch];
+                }
+            }
+            // Same multiply/add order as the numpy formulation (bit parity).
+            dst[ch] = ((v[0] * iwy) * iwx) + ((v[1] * iwy) * wx)
+                + ((v[2] * wy) * iwx) + ((v[3] * wy) * wx);
+        }
+    }
+}
+
 // Separable tap-based resize on float32 (H, W, C): the Python side supplies
 // the OpenCV-exact tap indices/weights (ops/resize_taps.build_resize_taps);
 // this applies them in two passes.  tmp: caller scratch (h_out * w * c).

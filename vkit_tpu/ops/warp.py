@@ -174,6 +174,40 @@ warp_perspective = warp_affine  # Same path; 3x3 matrix selects perspective.
 # --------------------------------------------------------------------------
 
 
+_REMAP_NATIVE = None
+_REMAP_NATIVE_TRIED = False
+
+
+def _remap_native(src_f32, map_y, map_x, border):
+    """C++ bilinear remap (vkit_tpu/native); None if unavailable."""
+    global _REMAP_NATIVE, _REMAP_NATIVE_TRIED
+    if not _REMAP_NATIVE_TRIED:
+        _REMAP_NATIVE_TRIED = True
+        try:
+            from ..native import load_library
+            _REMAP_NATIVE = load_library()
+        except Exception:  # noqa: BLE001
+            _REMAP_NATIVE = None
+    if _REMAP_NATIVE is None:
+        return None
+
+    import ctypes
+    f32p = ctypes.POINTER(ctypes.c_float)
+    height, width, channels = src_f32.shape
+    out_h, out_w = map_y.shape
+    src_c = np.ascontiguousarray(src_f32)
+    my = np.ascontiguousarray(map_y, dtype=np.float32)
+    mx = np.ascontiguousarray(map_x, dtype=np.float32)
+    border_c = np.ascontiguousarray(border, dtype=np.float32)
+    out = np.empty((out_h, out_w, channels), dtype=np.float32)
+    _REMAP_NATIVE.vg_remap_f32(
+        src_c.ctypes.data_as(f32p), height, width, channels,
+        my.ctypes.data_as(f32p), mx.ctypes.data_as(f32p), out_h, out_w,
+        border_c.ctypes.data_as(f32p), out.ctypes.data_as(f32p),
+    )
+    return out
+
+
 def remap_np(
     image: np.ndarray,
     map_y: np.ndarray,
@@ -181,7 +215,11 @@ def remap_np(
     interpolation: str = 'bilinear',
     border_value: float = 0.0,
 ) -> np.ndarray:
-    """Numpy twin of :func:`remap` (identical tap/border semantics)."""
+    """Numpy twin of :func:`remap` (identical tap/border semantics).
+
+    Bilinear goes through the native C++ kernel when available (bit-equal
+    float order; the numpy formulation allocates ~20 page-sized temporaries,
+    which is pathological at production page sizes)."""
     had_c = image.ndim == 3
     image3 = image if had_c else image[..., None]
     src = image3.astype(np.float32)
@@ -189,6 +227,15 @@ def remap_np(
     border = np.broadcast_to(
         np.asarray(border_value, dtype=np.float32), (src.shape[-1],)
     )
+
+    if interpolation == 'bilinear':
+        native_out = _remap_native(src, map_y, map_x, border)
+        if native_out is not None:
+            out = native_out if had_c else native_out[..., 0]
+            if image.dtype == np.uint8:
+                return np.clip(np.round(out), 0, 255).astype(np.uint8)
+            return out.astype(image.dtype)
+
     flat = src.reshape(height * width, -1)
 
     def tap(ys, xs):

@@ -130,7 +130,13 @@ class ScoreMap(Shapable):
         height, width = shape
         if is_prob:
             assert 0.0 <= value <= 1.0
-        mat = np.full((height, width), fill_value=value, dtype=np.float32)
+        if value == 0:
+            # calloc path: zero pages are mapped lazily (np.full eagerly
+            # writes the whole buffer — seconds at page sizes on
+            # fault-slow hosts).
+            mat = np.zeros((height, width), dtype=np.float32)
+        else:
+            mat = np.full((height, width), fill_value=value, dtype=np.float32)
         return cls(mat=mat, is_prob=is_prob)
 
     @classmethod

@@ -1,14 +1,30 @@
-"""Element layer: host-side label algebra.
+"""Element layer: host-side label algebra (geometry + raster set-ops).
 
-Capability parity: vkit/element/__init__.py:14-22.
+Public surface parity: vkit/element/__init__.py:14-22.
 """
-from .type import ElementSetOperationMode, Shapable
-from .point import Point, PointList, PointTuple
-from .line import Line
-from .box import Box, BoxOverlappingValidator
-from .polygon import Polygon, unionize_polygons
-from .mask import Mask, MaskSetItemConfig
-from .score_map import ScoreMap, ScoreMapSetItemConfig
-from .image import Image, ImageMode, ImageSetItemConfig
+from .blend import ElementSetOperationMode, Shapable
+from .geom import (
+    Box,
+    BoxOverlappingValidator,
+    Line,
+    Point,
+    PointList,
+    PointTuple,
+    Polygon,
+    estimate_polygon_height,
+    unionize_polygons,
+)
+from .raster import (
+    Mask,
+    MaskSetItemConfig,
+    ScoreMap,
+    ScoreMapSetItemConfig,
+    coverage,
+    lift,
+    mask_from_elements,
+    paint,
+    paint_many,
+)
+from .visual import Image, ImageMode, ImageSetItemConfig
 from .lexicon import Lexicon, LexiconCollection
 from ..ops.resize_taps import Interpolation

@@ -1,78 +1,74 @@
-"""Lexicon + LexiconCollection.
+"""Lexicon catalog: char + aliases + tags, with char/tag indices.
 
-Capability parity: vkit/element/lexicon.py:25-117.
+Behavioral spec: vkit/element/lexicon.py:25-117 (re-derived).
 """
 import hashlib
 import json
 import os
-from collections import defaultdict
-from typing import DefaultDict, List, Mapping, Optional, Sequence
+from dataclasses import dataclass, field
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
-import attr
-
-from ..utility.structure import structure
 from ..utility.type import PathType
 
 KEY_NO_TAG = '__no_tag'
 
 
-@attr.define(frozen=True)
+@dataclass(frozen=True)
 class Lexicon:
     char: str
-    aliases: Sequence[str] = attr.field(factory=tuple, converter=tuple)
-    tags: Sequence[str] = attr.field(factory=tuple, converter=tuple)
+    aliases: Tuple[str, ...] = ()
+    tags: Tuple[str, ...] = ()
     meta: Optional[Mapping[str, str]] = None
 
+    def __post_init__(self):
+        # Normalize list inputs from JSON into tuples.
+        object.__setattr__(self, 'aliases', tuple(self.aliases))
+        object.__setattr__(self, 'tags', tuple(self.tags))
+
     @property
-    def char_and_aliases(self):
+    def char_and_aliases(self) -> List[str]:
         return [self.char, *self.aliases]
 
     @property
     def unicode_id(self) -> str:
-        return hex(ord(self.char)).upper()[2:]
+        return f'{ord(self.char):X}'
 
 
-@attr.define
+@dataclass
 class LexiconCollection:
     lexicons: Sequence[Lexicon]
-    _cache: dict = attr.field(factory=dict, repr=False, init=False)
+    _by_char: Optional[Dict[str, Lexicon]] = field(default=None, repr=False)
+    _by_tag: Optional[Dict[str, List[Lexicon]]] = field(default=None, repr=False)
 
-    def _build_indices(self):
-        char_to_lexicon = {}
+    def _index(self) -> None:
+        by_char: Dict[str, Lexicon] = {}
+        by_tag: Dict[str, List[Lexicon]] = {}
         for lexicon in self.lexicons:
             for char in lexicon.char_and_aliases:
-                assert char not in char_to_lexicon
-                char_to_lexicon[char] = lexicon
-
-        tag_to_lexicons: DefaultDict[str, List[Lexicon]] = defaultdict(list)
-        for lexicon in self.lexicons:
-            if lexicon.tags:
-                for tag in lexicon.tags:
-                    tag_to_lexicons[tag].append(lexicon)
-            else:
-                tag_to_lexicons[KEY_NO_TAG].append(lexicon)
-
-        self._cache['char_to_lexicon'] = char_to_lexicon
-        self._cache['tag_to_lexicons'] = dict(tag_to_lexicons)
-        self._cache['tags'] = sorted(tag_to_lexicons)
+                assert char not in by_char, f'duplicate char {char!r}'
+                by_char[char] = lexicon
+            for tag in (lexicon.tags or (KEY_NO_TAG,)):
+                by_tag.setdefault(tag, []).append(lexicon)
+        self._by_char = by_char
+        self._by_tag = by_tag
 
     @property
     def char_to_lexicon(self) -> Mapping[str, Lexicon]:
-        if 'char_to_lexicon' not in self._cache:
-            self._build_indices()
-        return self._cache['char_to_lexicon']
+        if self._by_char is None:
+            self._index()
+        assert self._by_char is not None
+        return self._by_char
 
     @property
     def tag_to_lexicons(self) -> Mapping[str, Sequence[Lexicon]]:
-        if 'tag_to_lexicons' not in self._cache:
-            self._build_indices()
-        return self._cache['tag_to_lexicons']
+        if self._by_tag is None:
+            self._index()
+        assert self._by_tag is not None
+        return self._by_tag
 
     @property
     def tags(self) -> Sequence[str]:
-        if 'tags' not in self._cache:
-            self._build_indices()
-        return self._cache['tags']
+        return sorted(self.tag_to_lexicons)
 
     def has_char(self, char: str) -> bool:
         return char in self.char_to_lexicon
@@ -82,30 +78,32 @@ class LexiconCollection:
 
     @classmethod
     def from_file(cls, path: PathType) -> 'LexiconCollection':
-        path = os.path.expandvars(os.fspath(path))
-        with open(path) as fin:
+        with open(os.path.expandvars(os.fspath(path))) as fin:
             raw = json.load(fin)
-        lexicons = [structure(item, Lexicon) for item in raw]
-        return cls(lexicons=lexicons)
+        return cls(lexicons=[
+            Lexicon(
+                char=item['char'],
+                aliases=tuple(item.get('aliases') or ()),
+                tags=tuple(item.get('tags') or ()),
+                meta=item.get('meta'),
+            ) for item in raw
+        ])
 
-    def to_file(self, path: PathType):
-        path = os.path.expandvars(os.fspath(path))
+    def to_file(self, path: PathType) -> None:
         raw = [
             {
-                'char': lexicon.char,
-                'aliases': list(lexicon.aliases),
-                'tags': list(lexicon.tags),
-                'meta': dict(lexicon.meta) if lexicon.meta else None,
-            }
-            for lexicon in self.lexicons
+                'char': lx.char,
+                'aliases': list(lx.aliases),
+                'tags': list(lx.tags),
+                'meta': dict(lx.meta) if lx.meta else None,
+            } for lx in self.lexicons
         ]
-        with open(path, 'w') as fout:
+        with open(os.path.expandvars(os.fspath(path)), 'w') as fout:
             json.dump(raw, fout, indent=2, ensure_ascii=False)
 
     def get_hash(self) -> str:
-        sha256_algo = hashlib.sha256()
+        digest = hashlib.sha256()
         for lexicon in self.lexicons:
-            sha256_algo.update(lexicon.char.encode())
-            for alias in lexicon.aliases:
-                sha256_algo.update(alias.encode())
-        return sha256_algo.hexdigest()
+            for char in lexicon.char_and_aliases:
+                digest.update(char.encode())
+        return digest.hexdigest()

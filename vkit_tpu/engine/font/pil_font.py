@@ -470,8 +470,7 @@ def resize_and_trim_text_line_hori_default(
         char_boxes = [
             attr.evolve(
                 char_box,
-                box=attr.evolve(
-                    char_box.box,
+                box=char_box.box._replace(
                     up=char_box.up + pad_up,
                     down=char_box.down + pad_up,
                 ),
@@ -589,8 +588,7 @@ def resize_and_trim_text_line_vert_default(
         char_boxes = [
             attr.evolve(
                 char_box,
-                box=attr.evolve(
-                    char_box.box,
+                box=char_box.box._replace(
                     left=char_box.left + pad_left,
                     right=char_box.right + pad_left,
                 ),

@@ -61,7 +61,7 @@ def fill_text_line_to_seal_impression(
 
             # Resize only the width; height stays at the text line height.
             resized_width = max(1, round(resized_char_width_factor * char_glyph.width))
-            resized_box = attr.evolve(char_box.box, left=0, right=resized_width - 1)
+            resized_box = char_box.box._replace(left=0, right=resized_width - 1)
             char_score_map = ScoreMap.from_shape((text_line.box.height, resized_width))
 
             if char_glyph.score_map:

@@ -62,7 +62,7 @@ def gaussian_blur_image(config: GaussianBlurConfig, state, image: Image,
     image = to_rgb_image(image, mode)
     ksize = estimate_gaussian_kernel_size(config.sigma)
     mat = blur_ops.gaussian_blur_np(image.mat, config.sigma, ksize)
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 
@@ -96,7 +96,7 @@ def defocus_blur_image(config: DefocusBlurConfig, state, image: Image,
     mode = image.mode
     image = to_rgb_image(image, mode)
     mat = blur_ops.filter2d_np(image.mat, kernel)
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 
@@ -131,7 +131,7 @@ def motion_blur_image(config: MotionBlurConfig, state, image: Image,
     mode = image.mode
     image = to_rgb_image(image, mode)
     mat = blur_ops.filter2d_np(image.mat, kernel)
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 
@@ -198,7 +198,7 @@ def glass_blur_image(config: GlassBlurConfig, state, image: Image,
         image.shape, config.delta, config.loop, rng
     )
     mat = mat[pos_y, pos_x]
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 
@@ -236,7 +236,7 @@ def zoom_in_blur_image(config: ZoomInBlurConfig, state, image: Image,
 
     mat = (1 - config.alpha) * image.mat + config.alpha * np.round(acc / count)
     mat = np.clip(mat, 0, 255).astype(np.uint8)
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 

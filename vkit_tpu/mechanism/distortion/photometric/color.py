@@ -241,7 +241,7 @@ def histogram_equalization_image(config: HistogramEqualizationConfig, state,
     mat = extract_mat_from_image(image, np.uint8, config.channels)
     if mat.ndim == 2:
         new_mat = csp.equalize_hist(mat)
-        return attr.evolve(image, mat=new_mat)
+        return image.replace(mat=new_mat)
     channels_eq = [csp.equalize_hist(mat[:, :, idx]) for idx in range(mat.shape[-1])]
     return generate_new_image(image, np.dstack(channels_eq), config.channels)
 
@@ -356,7 +356,7 @@ def color_balance_image(config: ColorBalanceConfig, state, image: Image,
     out = color_balance_mat(np, mat, grayscale_like_mat, config.ratio)
     if channels:
         return generate_new_image(image, out, channels)
-    return attr.evolve(image, mat=out)
+    return image.replace(mat=out)
 
 
 color_balance = Distortion(
@@ -392,7 +392,7 @@ def channel_permutation_image(config: ChannelPermutationConfig, state,
     assert rng
     indices = rng.permutation(image.num_channels)
     mat = image.mat[:, :, indices]
-    return attr.evolve(image, mat=mat)
+    return image.replace(mat=mat)
 
 
 channel_permutation = Distortion(

@@ -31,7 +31,7 @@ def jpeg_quality_image(config: JpegQualityConfig, state, image: Image,
     mode = image.mode
     image = to_rgb_image(image, mode)
     mat = effect_ops.jpeg_quality_np(image.mat, config.quality)
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 
@@ -54,7 +54,7 @@ def pixelation_image(config: PixelationConfig, state, image: Image,
     resized_width = round(image.width * config.ratio)
     mat = resize_np(image.mat, (resized_height, resized_width), Interpolation.LINEAR)
     mat = resize_np(mat, image.shape, Interpolation.NEAREST)
-    return attr.evolve(image, mat=mat)
+    return image.replace(mat=mat)
 
 
 pixelation = Distortion(
@@ -159,7 +159,7 @@ def fog_image(config: FogConfig, state, image: Image,
         mat = (1 - mask[..., None]) * mat + mask[..., None] * fog_mat
 
     mat = np.clip(mat, 0, 255).astype(np.uint8)
-    image = attr.evolve(image, mat=mat)
+    image = image.replace(mat=mat)
     return to_original_image(image, mode)
 
 

@@ -53,7 +53,7 @@ def generate_new_image(
             new_image.mat[:, :, channels] = new_mat
         return new_image
     assert image.mat.shape == new_mat.shape
-    return attr.evolve(image, mat=new_mat)
+    return image.replace(mat=new_mat)
 
 
 def to_rgb_image(image: Image, mode: ImageMode) -> Image:

@@ -573,7 +573,7 @@ class PageLayoutStep(
             grid_idx=-1,
             text_line_idx=0,
             text_line_height=large_text_line_gird.height,
-            box=attr.evolve(large_text_line_gird, left=left, right=right),
+            box=large_text_line_gird._replace(left=left, right=right),
             glyph_sequence=FontEngineRunConfigGlyphSequence.HORI_DEFAULT,
         )
 

@@ -174,19 +174,19 @@ class PageTextLineLabelStep(
 
     @classmethod
     def generate_dilated_only_boxes(cls, box: Box, dilated_box: Box):
-        dilated_up_box = attr.evolve(dilated_box, down=box.up - 1)
+        dilated_up_box = dilated_box._replace(down=box.up - 1)
         if dilated_up_box.up > dilated_up_box.down:
             dilated_up_box = None
 
-        dilated_down_box = attr.evolve(dilated_box, up=box.down + 1)
+        dilated_down_box = dilated_box._replace(up=box.down + 1)
         if dilated_down_box.up > dilated_down_box.down:
             dilated_down_box = None
 
-        dilated_left_box = attr.evolve(box, left=dilated_box.left, right=box.left - 1)
+        dilated_left_box = box._replace(left=dilated_box.left, right=box.left - 1)
         if dilated_left_box.left > dilated_left_box.right:
             dilated_left_box = None
 
-        dilated_right_box = attr.evolve(box, left=box.right + 1, right=dilated_box.right)
+        dilated_right_box = box._replace(left=box.right + 1, right=dilated_box.right)
         if dilated_right_box.left > dilated_right_box.right:
             dilated_right_box = None
 

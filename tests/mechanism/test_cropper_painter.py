@@ -70,15 +70,13 @@ def test_painter_smoke(tmp_path):
 
 
 def test_visualize_image_grid():
-    from vkit_tpu.mechanism.distortion.geometric.grid_rendering.grid_creator import (
-        create_src_image_grid,
-    )
-    from vkit_tpu.mechanism.distortion.geometric.grid_rendering.visualization import (
-        visualize_image_grid,
+    from vkit_tpu.mechanism.distortion.warp_plan import (
+        uniform_lattice,
+        visualize_lattice,
     )
 
-    grid = create_src_image_grid(height=64, width=96, grid_size=16)
-    image = visualize_image_grid(grid)
+    lattice = uniform_lattice(height=64, width=96, grid_size=16)
+    image = visualize_lattice(lattice)
     assert image.shape == (64, 96)
     # Grid lines drawn: not a blank canvas.
     assert (image.mat < 128).any()

@@ -151,7 +151,8 @@ def test_rodrigues_vs_cv2():
     rng = np.random.default_rng(0)
     for _ in range(5):
         vec = rng.normal(size=3)
-        mine = gm.camera.rodrigues(vec)
+        theta = float(np.linalg.norm(vec))
+        mine = gm.camera.axis_angle_rotation(vec / theta, theta)
         ref, _ = cv2.Rodrigues(vec)
         assert np.allclose(mine, ref, atol=1e-8)
 
@@ -165,13 +166,16 @@ def test_camera_projection_vs_cv2():
         principal_point=[50, 60],
         camera_distance=100.0,
     )
-    model = gm.CameraModel(config)
+    model = gm.PinholeCamera(config)
+    axis = np.asarray(config.rotation_unit_vec, dtype=np.float64)
+    axis /= np.linalg.norm(axis)
+    rotation_vec = axis * np.radians(config.rotation_theta)
     pts = np.random.default_rng(1).uniform(0, 100, (10, 3))
-    mine = model.project_np_points_from_3d_to_2d(pts)
+    mine = model.project(pts)
     ref, _ = cv2.projectPoints(
         pts,
-        model.rotation_vec,
-        model.translation_vec,
+        rotation_vec,
+        model.translation.reshape(3, 1),
         np.array([[100.0, 0, 0], [0, 100.0, 0], [0, 0, 1]]),
         np.zeros(5),
     )
@@ -199,34 +203,30 @@ def test_similarity_mls(image):
 def test_mls_handle_identity():
     src = PointTuple.from_xy_pairs([(0, 0), (10, 0), (10, 10), (0, 10)])
     dst = PointTuple.from_xy_pairs([(0, 0), (10, 0), (10, 10), (0, 10)])
-    from vkit_tpu.mechanism.distortion.geometric.mls import SimilarityMlsPointProjector
-    projector = SimilarityMlsPointProjector(src, dst)
-    out = projector.project_np_points(np.array([[5.0, 5.0], [0.0, 0.0], [2.0, 7.0]]))
+    from vkit_tpu.mechanism.distortion.geometric.mls import similarity_mls_map
+    np_src = np.asarray(src.to_smooth_xy_pairs(), dtype=np.float64)
+    np_dst = np.asarray(dst.to_smooth_xy_pairs(), dtype=np.float64)
+    out = similarity_mls_map(np_src, np_dst,
+                             np.array([[5.0, 5.0], [0.0, 0.0], [2.0, 7.0]]))
     assert np.allclose(out, [[5, 5], [0, 0], [2, 7]], atol=1e-6)
 
 
 def test_grid_remap_vs_cv2_perspective(image):
     # A single-cell grid warp must match a plain perspective warp.
     cv2 = pytest.importorskip('cv2')
-    from vkit_tpu.mechanism.distortion.geometric.grid_rendering import (
-        ImageGrid, blend_src_to_dst_image,
-    )
-    from vkit_tpu.element import PointList
+    from vkit_tpu.mechanism.distortion.warp_plan import WarpPlan, warp_image
     h, w = image.shape
-    src_grid = ImageGrid(
-        points_2d=[
-            PointList.from_xy_pairs([(0, 0), (w - 1, 0)]),
-            PointList.from_xy_pairs([(0, h - 1), (w - 1, h - 1)]),
-        ],
-        grid_size=max(h, w),
+    src_lat = np.asarray(
+        [[(0, 0), (w - 1, 0)], [(0, h - 1), (w - 1, h - 1)]], dtype=np.float64
     )
-    dst_grid = ImageGrid(
-        points_2d=[
-            PointList.from_xy_pairs([(3, 2), (w - 6, 0)]),
-            PointList.from_xy_pairs([(0, h - 4), (w - 1, h - 1)]),
-        ],
+    dst_lat = np.asarray(
+        [[(3, 2), (w - 6, 0)], [(0, h - 4), (w - 1, h - 1)]], dtype=np.float64
     )
-    out = blend_src_to_dst_image(image, src_grid, dst_grid)
+    plan = WarpPlan(
+        src_shape=(h, w), dst_shape=(h, w),
+        src_lattice=src_lat, dst_lattice=dst_lat, grid_size=max(h, w),
+    )
+    out = warp_image(plan, image)
     mat = cv2.getPerspectiveTransform(
         np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]], dtype=np.float32),
         np.array([[3, 2], [w - 6, 0], [0, h - 4], [w - 1, h - 1]], dtype=np.float32),

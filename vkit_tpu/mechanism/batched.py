@@ -40,7 +40,7 @@ from ..ops.effect import (
 )
 from ..ops.resize import Interpolation, resize
 from .distortion.photometric.blur import estimate_gaussian_kernel_size
-from .distortion.photometric.opt import OutOfBoundBehavior
+from .distortion.photometric.base import OutOfBoundBehavior
 
 # ---------------------------------------------------------------------------
 # Helpers.
@@ -413,11 +413,7 @@ def _blend_streak_masks(images, masks, colors, alphas):
 
 
 def batched_line_streak(images, configs):
-    from .distortion.photometric.streak import (
-        fill_hori_dash_gap,
-        fill_vert_dash_gap,
-    )
-    from ..element import Mask
+    from .distortion.photometric.streak import line_streak_stencils
 
     n, h, w = images.shape[:3]
     # Two sequential blends, like the host path (line intersections are
@@ -425,21 +421,14 @@ def batched_line_streak(images, configs):
     masks_v = np.zeros((n, h, w), dtype=np.uint8)
     masks_h = np.zeros((n, h, w), dtype=np.uint8)
     for i, cfg in enumerate(configs):
-        step = cfg.thickness + cfg.gap
-        if cfg.enable_vert:
-            mask = Mask(mat=masks_v[i])
-            with mask.writable_context:
-                for off in range(cfg.thickness):
-                    mask.mat[:, off::step] = 1
-            fill_vert_dash_gap(cfg.dash_thickness, cfg.dash_gap, mask)
-            masks_v[i] = mask.mat
-        if cfg.enable_hori:
-            mask = Mask(mat=masks_h[i])
-            with mask.writable_context:
-                for off in range(cfg.thickness):
-                    mask.mat[off::step] = 1
-            fill_hori_dash_gap(cfg.dash_thickness, cfg.dash_gap, mask)
-            masks_h[i] = mask.mat
+        vert, hori = line_streak_stencils(
+            (h, w), cfg.thickness, cfg.gap, cfg.dash_thickness, cfg.dash_gap,
+            cfg.enable_vert, cfg.enable_hori,
+        )
+        if vert is not None:
+            masks_v[i] = vert
+        if hori is not None:
+            masks_h[i] = hori
     colors = _field(configs, 'color')
     alphas = _field(configs, 'alpha')
     out = _blend_streak_masks(images, masks_v, colors, alphas)
@@ -447,38 +436,38 @@ def batched_line_streak(images, configs):
 
 
 def batched_rectangle_streak(images, configs):
-    from ..element import Image as _Image
-    from .distortion.photometric.streak import rectangle_streak_image
+    from .distortion.photometric.streak import rectangle_streak_stencils
 
-    # The bar geometry is intricate; build each mask by running the host
-    # drawing on a zero canvas (cheap) and diffing.
     n, h, w = images.shape[:3]
     masks = np.zeros((n, h, w), dtype=np.uint8)
     for i, cfg in enumerate(configs):
-        probe_cfg = attr_evolve_streak(cfg, color=(255, 255, 255), alpha=1.0)
-        probe = rectangle_streak_image(
-            probe_cfg, None, _Image(mat=np.zeros((h, w, 3), dtype=np.uint8)),
-            None,
+        aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
+        vert, hori = rectangle_streak_stencils(
+            (h, w), cfg.thickness, aspect, cfg.short_side_min,
+            cfg.short_side_step, cfg.dash_thickness, cfg.dash_gap,
         )
-        masks[i] = (probe.mat[..., 0] > 0).astype(np.uint8)
+        masks[i] = vert | hori
     return _blend_streak_masks(
         images, masks, _field(configs, 'color'), _field(configs, 'alpha')
     )
 
 
 def batched_ellipse_streak(images, configs):
-    from ..element import Image as _Image
-    from .distortion.photometric.streak import ellipse_streak_image
+    from .distortion.photometric.streak import (
+        concentric_boxes,
+        ellipse_ring_stencil,
+    )
 
     n, h, w = images.shape[:3]
     masks = np.zeros((n, h, w), dtype=np.uint8)
     for i, cfg in enumerate(configs):
-        probe_cfg = attr_evolve_streak(cfg, color=(255, 255, 255), alpha=1.0)
-        probe = ellipse_streak_image(
-            probe_cfg, None, _Image(mat=np.zeros((h, w, 3), dtype=np.uint8)),
-            None,
+        aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
+        boxes = concentric_boxes(h, w, aspect, cfg.short_side_min,
+                                 cfg.short_side_step)
+        masks[i] = ellipse_ring_stencil(
+            (h, w), (w // 2, h // 2),
+            [(b.width // 2, b.height // 2) for b in boxes], cfg.thickness,
         )
-        masks[i] = (probe.mat[..., 0] > 0).astype(np.uint8)
     return _blend_streak_masks(
         images, masks, _field(configs, 'color'), _field(configs, 'alpha')
     )
@@ -504,9 +493,8 @@ def batched_grid_warp(
 ):
     """Batch a grid-rendering geometric distortion through the MXU warp.
 
-    Host work per sample: build the distortion state (src/dst ImageGrid)
-    and its dense backward maps — exactly what the per-element path feeds
-    cv2-style remap (grid_blender.py).  Device work: ONE two-pass
+    Host work per sample: build the warp plan and its dense backward maps
+    — exactly what the per-element path feeds the remap kernel.  Device work: ONE two-pass
     shifts+matmuls program over the whole batch (ops/warp_mxu.py dense
     path).  Per-sample canvases are padded to the batch max; returns
     (warped (N, Hmax, Wmax, C) uint8, result_shapes list).
@@ -523,18 +511,8 @@ def batched_grid_warp(
     shapes = []
     coverages = []
     for cfg in configs:
-        internals = distortion.prepare_internals(
-            config_or_config_generator=cfg,
-            state=None,
-            shapable_or_shape=(h_in, w_in),
-            rng=rng,
-        )
-        state = internals.state
-        map_y, map_x, cov = (
-            state.src_image_grid.generate_remap_params_with_coverage(
-                state.dst_image_grid
-            )
-        )
+        plan = distortion.plan(cfg, (h_in, w_in), rng)
+        map_y, map_x, cov = plan.backward_maps()
         map_y = np.asarray(map_y, dtype=np.float64).copy()
         map_x = np.asarray(map_x, dtype=np.float64).copy()
         # Uncovered dst pixels (outside every grid cell) hold

@@ -14,6 +14,7 @@ Python on the device path.  Photometric only (the geometric stage changes
 canvas shapes per sample; use parallel.synthesize_batch or
 batched_grid_warp for batched geometry).
 """
+import zlib
 from collections import defaultdict
 from typing import Optional, Sequence
 
@@ -71,12 +72,10 @@ def batch_random_photometric_distort(
         policies = ()
         if rng.random() <= stage_config.prob_enable:
             policies = stage.sample_distortion_policies(rng)
-        seq = []
-        for policy in policies:
-            generator = policy.config_generator_cls(
-                policy.config_for_config_generator, level
-            )
-            seq.append((policy.name, generator((height, width), rng)))
+        seq = [
+            (policy.name, policy.sample_config(level, (height, width), rng))
+            for policy in policies
+        ]
         sequences.append(seq)
 
     max_rounds = max((len(seq) for seq in sequences), default=0)
@@ -89,7 +88,7 @@ def batch_random_photometric_distort(
                 name_to_members[name].append((sample_idx, config))
 
         for name, members in sorted(name_to_members.items()):
-            key = jax.random.fold_in(key, hash(name) % (2**31))
+            key = jax.random.fold_in(key, zlib.crc32(name.encode()))
             if name in _PER_SAMPLE_ONLY:
                 groups = [[m] for m in members]
             else:

@@ -1,10 +1,11 @@
 from .interface import (
     Distortion,
     DistortionConfig,
-    DistortionNopState,
     DistortionResult,
-    DistortionState,
+    GeometricDistortion,
+    PhotometricDistortion,
 )
+from .warp_plan import WarpPlan
 from . import geometric, photometric
 from .photometric import (
     # color

@@ -1,31 +1,24 @@
-"""Distortion framework: config / state / per-element transform composition.
+"""Distortion framework v2: two op kinds, one orchestrator.
 
-Capability parity: vkit/mechanism/distortion/interface.py:49-913.
+A distortion is either
 
-A ``Distortion`` composes per-element functions (image / mask / score_map /
-active_mask / point(s) / polygon(s)) over a sampled ``config`` and derived
-``state``.  Geometric distortions may change the canvas shape via
-``state.result_shape``.  Config generators (callables of (shape, rng)) let
-policies sample level-scaled parameters; configs that consume randomness at
-apply time can freeze/replay their rng state for exact replay.
+* **photometric** — an image-space function ``apply(config, image, rng) ->
+  Image``; labels (masks / points / polygons) pass through unchanged; or
+* **geometric** — a planner ``plan(config, shape, rng) -> WarpPlan``: every
+  geometric op canonicalizes to one backward-warp representation (analytic
+  matrix or dense displacement field + forward point transform), and a single
+  engine (warp_plan.py) applies it to rasters and geometry alike.
+
+This replaces the reference's per-distortion composition of eight optional
+per-element functions (behavioral spec: vkit/mechanism/distortion/
+interface.py:49-913; re-derived).  RNG-consuming configs freeze the numpy
+bit-generator state on first use and replay it per element, so a sampled
+config is exactly reproducible.
 """
-from typing import (
-    Any,
-    Callable,
-    Generic,
-    Iterable,
-    Mapping,
-    Optional,
-    Sequence,
-    Tuple,
-    Type,
-    TypeVar,
-    Union,
-    cast,
-    get_origin,
-)
+from typing import Any, Callable, Mapping, Optional, Sequence, Tuple, Union
 
 import attr
+import numpy as np
 from numpy.random import Generator as RandomGenerator
 from numpy.random import default_rng
 
@@ -37,68 +30,49 @@ from ...element import (
     PointTuple,
     Polygon,
     ScoreMap,
-    Shapable,
 )
 from ...utility import dyn_structure, get_config_class_snake_case_name
+from .warp_plan import WarpPlan, warp_active_mask, warp_image, warp_mask, \
+    warp_points, warp_score_map
 
 
 class DistortionConfig:
+    """Base for distortion configs (attrs classes in the catalog).
 
-    _cached_name: str = ''
+    A config that declares an ``rng_state`` field is rng-consuming: the
+    orchestrator freezes the exterior rng's state into it on first use and
+    replays from that state on every apply.
+    """
+
+    _snake_name: str = ''
 
     @classmethod
     def get_name(cls) -> str:
-        if not cls._cached_name:
-            cls._cached_name = get_config_class_snake_case_name(cls.__name__)
-        return cls._cached_name
+        if not cls.__dict__.get('_snake_name'):
+            cls._snake_name = get_config_class_snake_case_name(cls.__name__)
+        return cls._snake_name
 
     @property
     def name(self) -> str:
         return self.get_name()
 
+    @classmethod
+    def consumes_rng(cls) -> bool:
+        return attr.has(cls) and any(
+            f.name == 'rng_state' for f in attr.fields(cls)  # type: ignore[arg-type]
+        )
+
+    # Back-compat spelling.
     @property
     def supports_rng_state(self) -> bool:
-        return False
-
-    @property
-    def rng_state(self) -> Optional[Mapping[str, Any]]:
-        return None
-
-    @rng_state.setter
-    def rng_state(self, val: Mapping[str, Any]):
-        pass
+        return self.consumes_rng()
 
 
-_T_CONFIG = TypeVar('_T_CONFIG', bound=DistortionConfig)
-
-
-class DistortionState(Generic[_T_CONFIG]):
-
-    def __init__(
-        self,
-        config: _T_CONFIG,
-        shape: Tuple[int, int],
-        rng: Optional[RandomGenerator],
-    ):
-        raise NotImplementedError()
-
-    @property
-    def result_shape(self) -> Optional[Tuple[int, int]]:
-        return None
-
-
-class DistortionNopState(DistortionState[_T_CONFIG]):
-
-    def __init__(
-        self,
-        config: _T_CONFIG,
-        shape: Tuple[int, int],
-        rng: Optional[RandomGenerator],
-    ):
-        raise NotImplementedError()
-
-
-_T_STATE = TypeVar('_T_STATE', bound=DistortionState)
+ConfigLike = Union[
+    DistortionConfig,
+    Mapping[str, Any],
+    Callable[[Tuple[int, int], RandomGenerator], Any],
+]
 
 
 @attr.define
@@ -118,363 +92,79 @@ class DistortionResult:
     meta: Optional[Mapping[str, Any]] = None
 
 
-@attr.define
-class DistortionInternals(Generic[_T_CONFIG, _T_STATE]):
-    config: _T_CONFIG
-    state: Optional[_T_STATE]
-    shape: Tuple[int, int]
-    rng: Optional[RandomGenerator]
-
-    def restore_rng_if_supported(self):
-        if self.rng:
-            assert self.config.supports_rng_state and self.config.rng_state
-            self.rng.bit_generator.state = self.config.rng_state
+def _shape_from(shapable_or_shape) -> Tuple[int, int]:
+    if isinstance(shapable_or_shape, (tuple, list)):
+        h, w = shapable_or_shape
+        return int(h), int(w)
+    return shapable_or_shape.shape
 
 
-ConfigOrGenerator = Union[
-    _T_CONFIG,
-    Mapping[str, Any],
-    Callable[[Tuple[int, int], RandomGenerator], Union[_T_CONFIG, Mapping[str, Any]]],
-]
+class Distortion:
+    """Shared orchestration: config resolution, rng freeze/replay, clip."""
 
-
-class Distortion(Generic[_T_CONFIG, _T_STATE]):
-
-    def __init__(
-        self,
-        config_cls: Type[_T_CONFIG],
-        state_cls: Type[_T_STATE],
-        func_image: Callable[..., Image],
-        func_mask: Optional[Callable[..., Mask]] = None,
-        func_score_map: Optional[Callable[..., ScoreMap]] = None,
-        func_active_mask: Optional[Callable[..., Mask]] = None,
-        func_point: Optional[Callable[..., Point]] = None,
-        func_points: Optional[Callable[..., PointTuple]] = None,
-        func_polygon: Optional[Callable[..., Polygon]] = None,
-        func_polygons: Optional[Callable[..., Sequence[Polygon]]] = None,
-    ):
+    def __init__(self, config_cls):
         self.config_cls = config_cls
-        self.state_cls = state_cls
-        self.func_image = func_image
-        self.func_mask = func_mask
-        self.func_score_map = func_score_map
-        self.func_active_mask = func_active_mask
-        self.func_point = func_point
-        self.func_points = func_points
-        self.func_polygon = func_polygon
-        self.func_polygons = func_polygons
 
     @property
     def is_geometric(self) -> bool:
-        return any((
-            self.func_point,
-            self.func_points,
-            self.func_polygon,
-            self.func_polygons,
-            self.func_active_mask,
-        ))
+        raise NotImplementedError()
 
-    def prepare_config_and_rng(
-        self,
-        config_or_config_generator,
-        shape: Tuple[int, int],
-        rng: Optional[RandomGenerator],
-    ) -> Tuple[_T_CONFIG, Optional[RandomGenerator]]:
-        if callable(config_or_config_generator):
-            if not rng:
-                raise RuntimeError('config_generator but rng is None.')
-            config = dyn_structure(config_or_config_generator(shape, rng), self.config_cls)
-        else:
-            config = dyn_structure(config_or_config_generator, self.config_cls)
+    # -- config / rng plumbing ------------------------------------------------
 
-        if config.supports_rng_state:
-            if not config.rng_state:
-                if not rng:
-                    raise RuntimeError('both config.rng_state and rng are None.')
-                config.rng_state = rng.bit_generator.state
-                # Advance the exterior rng so the next run differs.
-                rng.random()
-            # Replay from the frozen state on a private rng copy.
-            rng = default_rng()
-            rng.bit_generator.state = config.rng_state
-        else:
-            rng = None
+    def resolve_config(self, config_like: ConfigLike, shape: Tuple[int, int],
+                       rng: Optional[RandomGenerator]):
+        """Returns (config, apply_rng)."""
+        if callable(config_like) and not isinstance(config_like, DistortionConfig):
+            if rng is None:
+                raise RuntimeError('a config generator needs an rng')
+            config_like = config_like(shape, rng)
+        config = dyn_structure(config_like, self.config_cls)
 
-        return config, rng
+        if not config.consumes_rng():
+            return config, None
+        if getattr(config, 'rng_state', None) is None:
+            if rng is None:
+                raise RuntimeError(f'{config.name}: rng required to seed rng_state')
+            config.rng_state = rng.bit_generator.state
+            rng.random()  # Advance the exterior stream so reruns differ.
+        return config, self._replay_rng(config)
 
-    @classmethod
-    def get_shape_from_shapable_or_shape(
-        cls,
-        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-    ) -> Tuple[int, int]:
-        if isinstance(shapable_or_shape, (list, tuple)):
-            assert len(shapable_or_shape) == 2
-            return tuple(shapable_or_shape)  # type: ignore[return-value]
-        return shapable_or_shape.shape
+    @staticmethod
+    def _replay_rng(config) -> RandomGenerator:
+        rng = default_rng()
+        rng.bit_generator.state = config.rng_state
+        return rng
 
-    def prepare_internals(
-        self,
-        config_or_config_generator,
-        state: Optional[_T_STATE],
-        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-        rng: Optional[RandomGenerator] = None,
-        disable_state_initialization: bool = False,
-    ) -> DistortionInternals[_T_CONFIG, _T_STATE]:
-        shape = self.get_shape_from_shapable_or_shape(shapable_or_shape)
-        config, rng = self.prepare_config_and_rng(config_or_config_generator, shape, rng)
+    def generate_config(self, config_like: ConfigLike, shapable_or_shape,
+                        rng: Optional[RandomGenerator] = None):
+        config, _ = self.resolve_config(config_like, _shape_from(shapable_or_shape), rng)
+        return config
 
-        if get_origin(self.state_cls) is not DistortionNopState \
-                and self.state_cls is not DistortionNopState:
-            if state is None and not disable_state_initialization:
-                state = self.state_cls(config, shape, rng)
-        else:
-            state = None
+    # Subclasses implement the element transforms + distort().
 
-        return DistortionInternals(config, state, shape, rng)
 
-    def generate_config_and_state(
-        self,
-        config_or_config_generator,
-        state: Optional[_T_STATE] = None,
-        shapable_or_shape: Union[Shapable, Tuple[int, int], None] = None,
-        rng: Optional[RandomGenerator] = None,
-    ):
-        internals = self.prepare_internals(
-            config_or_config_generator=config_or_config_generator,
-            state=state,
-            shapable_or_shape=shapable_or_shape,
-            rng=rng,
-        )
-        return internals.config, internals.state
+class PhotometricDistortion(Distortion):
 
-    def generate_config(
-        self,
-        config_or_config_generator,
-        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-        rng: Optional[RandomGenerator] = None,
-    ):
-        internals = self.prepare_internals(
-            config_or_config_generator=config_or_config_generator,
-            state=None,
-            shapable_or_shape=shapable_or_shape,
-            rng=rng,
-            disable_state_initialization=True,
-        )
-        return internals.config
+    def __init__(self, config_cls, apply_image):
+        super().__init__(config_cls)
+        self._apply_image = apply_image
 
-    def generate_state(
-        self,
-        config_or_config_generator,
-        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-        rng: Optional[RandomGenerator] = None,
-    ):
-        internals = self.prepare_internals(
-            config_or_config_generator=config_or_config_generator,
-            state=None,
-            shapable_or_shape=shapable_or_shape,
-            rng=rng,
-        )
-        return internals.state
+    @property
+    def is_geometric(self) -> bool:
+        return False
 
-    # ------------------------------------------------------------------
-    # Per-element transforms.
-    # ------------------------------------------------------------------
-    def distort_image_based_on_internals(self, internals, image: Image) -> Image:
-        internals.restore_rng_if_supported()
-        return self.func_image(internals.config, internals.state, image, internals.rng)
+    def generate_state(self, config_like, shapable_or_shape, rng=None):
+        return None
 
-    def distort_image(self, config_or_config_generator, image: Image,
-                      state: Optional[_T_STATE] = None,
-                      rng: Optional[RandomGenerator] = None) -> Image:
-        internals = self.prepare_internals(
-            config_or_config_generator, state, image, rng
-        )
-        return self.distort_image_based_on_internals(internals, image)
-
-    def distort_mask_based_on_internals(self, internals, mask: Mask) -> Mask:
-        internals.restore_rng_if_supported()
-        if self.func_mask:
-            return self.func_mask(internals.config, internals.state, mask, internals.rng)
-        return mask
-
-    def distort_mask(self, config_or_config_generator, mask: Mask,
-                     state: Optional[_T_STATE] = None,
-                     rng: Optional[RandomGenerator] = None) -> Mask:
-        internals = self.prepare_internals(config_or_config_generator, state, mask, rng)
-        return self.distort_mask_based_on_internals(internals, mask)
-
-    def distort_score_map_based_on_internals(self, internals, score_map: ScoreMap):
-        internals.restore_rng_if_supported()
-        if self.func_score_map:
-            return self.func_score_map(
-                internals.config, internals.state, score_map, internals.rng
-            )
-        return score_map
-
-    def distort_score_map(self, config_or_config_generator, score_map: ScoreMap,
-                          state: Optional[_T_STATE] = None,
-                          rng: Optional[RandomGenerator] = None) -> ScoreMap:
-        internals = self.prepare_internals(
-            config_or_config_generator, state, score_map, rng
-        )
-        return self.distort_score_map_based_on_internals(internals, score_map)
-
-    def get_active_mask_based_on_internals(self, internals) -> Mask:
-        internals.restore_rng_if_supported()
-        if self.func_active_mask:
-            return self.func_active_mask(
-                internals.config, internals.state, internals.shape, internals.rng
-            )
-        # Fallback: distort an all-ones mask.  (The reference notes a cv.remap
-        # border artifact here — interface.py:542; our warp kernel's per-tap
-        # border masking does not have that artifact.)
-        mask = Mask.from_shape(internals.shape, value=1)
-        return self.distort_mask_based_on_internals(internals, mask)
-
-    def get_active_mask(self, config_or_config_generator,
-                        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-                        state: Optional[_T_STATE] = None,
-                        rng: Optional[RandomGenerator] = None) -> Mask:
-        internals = self.prepare_internals(
-            config_or_config_generator, state, shapable_or_shape, rng
-        )
-        return self.get_active_mask_based_on_internals(internals)
-
-    def distort_point_based_on_internals(self, internals, point: Point) -> Point:
-        internals.restore_rng_if_supported()
-        if self.func_point:
-            return self.func_point(
-                internals.config, internals.state, internals.shape, point, internals.rng
-            )
-        if self.func_points:
-            distorted_points = self.func_points(
-                internals.config,
-                internals.state,
-                internals.shape,
-                PointList.from_point(point),
-                internals.rng,
-            )
-            return distorted_points[0]
-        return point
-
-    def distort_point(self, config_or_config_generator,
-                      shapable_or_shape: Union[Shapable, Tuple[int, int]],
-                      point: Point,
-                      state: Optional[_T_STATE] = None,
-                      rng: Optional[RandomGenerator] = None) -> Point:
-        internals = self.prepare_internals(
-            config_or_config_generator, state, shapable_or_shape, rng
-        )
-        return self.distort_point_based_on_internals(internals, point)
-
-    def distort_points_based_on_internals(self, internals, points) -> PointTuple:
-        internals.restore_rng_if_supported()
-        points = PointTuple(points)
-        if self.func_points:
-            return PointTuple(
-                self.func_points(
-                    internals.config, internals.state, internals.shape, points,
-                    internals.rng,
-                )
-            )
-        new_points = PointList()
-        for point in points:
-            new_points.append(self.distort_point_based_on_internals(internals, point))
-        return new_points.to_point_tuple()
-
-    def distort_points(self, config_or_config_generator,
-                       shapable_or_shape: Union[Shapable, Tuple[int, int]],
-                       points,
-                       state: Optional[_T_STATE] = None,
-                       rng: Optional[RandomGenerator] = None) -> PointTuple:
-        internals = self.prepare_internals(
-            config_or_config_generator, state, shapable_or_shape, rng
-        )
-        return self.distort_points_based_on_internals(internals, points)
-
-    def distort_polygon_based_on_internals(self, internals, polygon: Polygon) -> Polygon:
-        internals.restore_rng_if_supported()
-        if self.func_polygon:
-            return self.func_polygon(
-                internals.config, internals.state, internals.shape, polygon, internals.rng
-            )
-        if self.func_polygons:
-            distorted_polygons = self.func_polygons(
-                internals.config, internals.state, internals.shape, [polygon],
-                internals.rng,
-            )
-            return distorted_polygons[0]
-        new_points = self.distort_points_based_on_internals(internals, polygon.points)
-        return Polygon.create(points=new_points)
-
-    def distort_polygon(self, config_or_config_generator,
-                        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-                        polygon: Polygon,
-                        state: Optional[_T_STATE] = None,
-                        rng: Optional[RandomGenerator] = None) -> Polygon:
-        internals = self.prepare_internals(
-            config_or_config_generator, state, shapable_or_shape, rng
-        )
-        return self.distort_polygon_based_on_internals(internals, polygon)
-
-    def distort_polygons_based_on_internals(self, internals, polygons):
-        internals.restore_rng_if_supported()
-        polygons = tuple(polygons)
-        if self.func_polygons:
-            return self.func_polygons(
-                internals.config, internals.state, internals.shape, polygons,
-                internals.rng,
-            )
-        return [
-            self.distort_polygon_based_on_internals(internals, polygon)
-            for polygon in polygons
-        ]
-
-    def distort_polygons(self, config_or_config_generator,
-                         shapable_or_shape: Union[Shapable, Tuple[int, int]],
-                         polygons,
-                         state: Optional[_T_STATE] = None,
-                         rng: Optional[RandomGenerator] = None):
-        internals = self.prepare_internals(
-            config_or_config_generator, state, shapable_or_shape, rng
-        )
-        return self.distort_polygons_based_on_internals(internals, polygons)
-
-    # ------------------------------------------------------------------
-    # Orchestration.
-    # ------------------------------------------------------------------
-    @classmethod
-    def get_shape(
-        cls,
-        shapable_or_shape=None,
-        image: Optional[Image] = None,
-        mask: Optional[Mask] = None,
-        score_map: Optional[ScoreMap] = None,
-    ) -> Tuple[int, int]:
-        if shapable_or_shape is None:
-            shapable_or_shape = image or mask or score_map
-        assert shapable_or_shape is not None
-        return cls.get_shape_from_shapable_or_shape(shapable_or_shape)
-
-    def clip_result_elements(self, result: DistortionResult):
-        if not self.is_geometric:
-            return
-        if result.point:
-            result.point = result.point.to_clipped_point(result.shape)
-        if result.points:
-            result.points = result.points.to_clipped_points(result.shape)
-        if result.corner_points:
-            result.corner_points = result.corner_points.to_clipped_points(result.shape)
-        if result.polygon:
-            result.polygon = result.polygon.to_clipped_polygon(result.shape)
-        if result.polygons:
-            result.polygons = [
-                polygon.to_clipped_polygon(result.shape) for polygon in result.polygons
-            ]
+    def distort_image(self, config_like: ConfigLike, image: Image,
+                      rng: Optional[RandomGenerator] = None,
+                      state=None) -> Image:
+        config, apply_rng = self.resolve_config(config_like, image.shape, rng)
+        return self._apply_image(config, image, apply_rng)
 
     def distort(
         self,
-        config_or_config_generator,
+        config_or_config_generator: ConfigLike,
         shapable_or_shape=None,
         image: Optional[Image] = None,
         mask: Optional[Mask] = None,
@@ -490,56 +180,180 @@ class Distortion(Generic[_T_CONFIG, _T_STATE]):
         disable_clip_result_elements: bool = False,
         rng: Optional[RandomGenerator] = None,
     ) -> DistortionResult:
-        shape = self.get_shape(
-            shapable_or_shape=shapable_or_shape,
-            image=image,
-            mask=mask,
-            score_map=score_map,
-        )
-        internals = self.prepare_internals(
-            config_or_config_generator=config_or_config_generator,
-            state=None,
-            shapable_or_shape=shape,
-            rng=rng,
-        )
+        if shapable_or_shape is None:
+            shapable_or_shape = image or mask or score_map
+        shape = _shape_from(shapable_or_shape)
+        config, apply_rng = self.resolve_config(config_or_config_generator, shape, rng)
 
         result = DistortionResult(shape=shape)
-        if self.is_geometric:
-            assert internals.state and internals.state.result_shape
-            result.shape = internals.state.result_shape
-
-        if image:
-            result.image = self.distort_image_based_on_internals(internals, image)
-            assert result.shape == result.image.shape
-        if mask:
-            result.mask = self.distort_mask_based_on_internals(internals, mask)
-            assert result.shape == result.mask.shape
-        if score_map:
-            result.score_map = self.distort_score_map_based_on_internals(
-                internals, score_map
-            )
-            assert result.shape == result.score_map.shape
-        if point:
-            result.point = self.distort_point_based_on_internals(internals, point)
-        if points:
-            result.points = self.distort_points_based_on_internals(internals, points)
-        if corner_points:
-            result.corner_points = self.distort_points_based_on_internals(
-                internals, corner_points
-            )
-        if polygon:
-            result.polygon = self.distort_polygon_based_on_internals(internals, polygon)
-        if polygons:
-            result.polygons = self.distort_polygons_based_on_internals(internals, polygons)
+        if image is not None:
+            result.image = self._apply_image(config, image, apply_rng)
+            assert result.image.shape == shape
+        # Labels are untouched by photometric ops.
+        result.mask = mask
+        result.score_map = score_map
+        result.point = point
+        result.points = PointTuple(points) if points else None
+        result.corner_points = PointTuple(corner_points) if corner_points else None
+        result.polygon = polygon
+        result.polygons = tuple(polygons) if polygons else None
         if get_active_mask:
-            result.active_mask = self.get_active_mask_based_on_internals(internals)
-            assert result.shape == result.active_mask.shape
+            result.active_mask = Mask.from_shape(shape, value=1)
         if get_config:
-            result.config = internals.config
+            result.config = config
         if get_state:
-            result.state = internals.state
+            result.state = None
+        return result
+
+
+class GeometricDistortion(Distortion):
+
+    def __init__(self, config_cls, plan_fn):
+        super().__init__(config_cls)
+        self._plan_fn = plan_fn
+
+    @property
+    def is_geometric(self) -> bool:
+        return True
+
+    def plan(self, config_like: ConfigLike, shapable_or_shape,
+             rng: Optional[RandomGenerator] = None) -> WarpPlan:
+        shape = _shape_from(shapable_or_shape)
+        config, apply_rng = self.resolve_config(config_like, shape, rng)
+        return self._plan_fn(config, shape, apply_rng)
+
+    # ``state`` for a geometric distortion IS its warp plan.
+    def generate_state(self, config_like, shapable_or_shape, rng=None) -> WarpPlan:
+        return self.plan(config_like, shapable_or_shape, rng)
+
+    def distort_image(self, config_like, image: Image,
+                      rng: Optional[RandomGenerator] = None,
+                      state: Optional[WarpPlan] = None) -> Image:
+        plan = state or self.plan(config_like, image.shape, rng)
+        return warp_image(plan, image)
+
+    def distort_mask(self, config_like, mask: Mask,
+                     rng: Optional[RandomGenerator] = None,
+                     state: Optional[WarpPlan] = None) -> Mask:
+        plan = state or self.plan(config_like, mask.shape, rng)
+        return warp_mask(plan, mask)
+
+    def distort_score_map(self, config_like, score_map: ScoreMap,
+                          rng: Optional[RandomGenerator] = None,
+                          state: Optional[WarpPlan] = None) -> ScoreMap:
+        plan = state or self.plan(config_like, score_map.shape, rng)
+        return warp_score_map(plan, score_map)
+
+    def distort_point(self, config_like, shapable_or_shape, point: Point,
+                      rng: Optional[RandomGenerator] = None,
+                      state: Optional[WarpPlan] = None) -> Point:
+        plan = state or self.plan(config_like, shapable_or_shape, rng)
+        return warp_points(plan, PointTuple.from_point(point))[0]
+
+    def distort_points(self, config_like, shapable_or_shape, points,
+                       rng: Optional[RandomGenerator] = None,
+                       state: Optional[WarpPlan] = None) -> PointTuple:
+        plan = state or self.plan(config_like, shapable_or_shape, rng)
+        return warp_points(plan, PointTuple(points))
+
+    def distort_polygon(self, config_like, shapable_or_shape, polygon: Polygon,
+                        rng: Optional[RandomGenerator] = None,
+                        state: Optional[WarpPlan] = None) -> Polygon:
+        plan = state or self.plan(config_like, shapable_or_shape, rng)
+        return Polygon.from_np_xy(plan.map_points(polygon.np_xy))
+
+    def distort_polygons(self, config_like, shapable_or_shape, polygons,
+                         rng: Optional[RandomGenerator] = None,
+                         state: Optional[WarpPlan] = None) -> Sequence[Polygon]:
+        plan = state or self.plan(config_like, shapable_or_shape, rng)
+        # One vectorized transform over the concatenation of all rings.
+        polygons = tuple(polygons)
+        if not polygons:
+            return ()
+        counts = [p.num_points for p in polygons]
+        merged = np.concatenate([p.np_xy for p in polygons], axis=0)
+        mapped = plan.map_points(merged)
+        out = []
+        offset = 0
+        for count in counts:
+            out.append(Polygon.from_np_xy(mapped[offset:offset + count]))
+            offset += count
+        return out
+
+    def get_active_mask(self, config_like, shapable_or_shape,
+                        rng: Optional[RandomGenerator] = None,
+                        state: Optional[WarpPlan] = None) -> Mask:
+        plan = state or self.plan(config_like, shapable_or_shape, rng)
+        return warp_active_mask(plan)
+
+    def distort(
+        self,
+        config_or_config_generator: ConfigLike,
+        shapable_or_shape=None,
+        image: Optional[Image] = None,
+        mask: Optional[Mask] = None,
+        score_map: Optional[ScoreMap] = None,
+        point: Optional[Point] = None,
+        points=None,
+        corner_points=None,
+        polygon: Optional[Polygon] = None,
+        polygons=None,
+        get_active_mask: bool = False,
+        get_config: bool = False,
+        get_state: bool = False,
+        disable_clip_result_elements: bool = False,
+        rng: Optional[RandomGenerator] = None,
+    ) -> DistortionResult:
+        if shapable_or_shape is None:
+            shapable_or_shape = image or mask or score_map
+        shape = _shape_from(shapable_or_shape)
+        config, apply_rng = self.resolve_config(config_or_config_generator, shape, rng)
+        plan = self._plan_fn(config, shape, apply_rng)
+
+        result = DistortionResult(shape=plan.dst_shape)
+        if image is not None:
+            result.image = warp_image(plan, image)
+            assert result.image.shape == result.shape
+        if mask is not None:
+            result.mask = warp_mask(plan, mask)
+            assert result.mask.shape == result.shape
+        if score_map is not None:
+            result.score_map = warp_score_map(plan, score_map)
+            assert result.score_map.shape == result.shape
+        if point is not None:
+            result.point = warp_points(plan, PointTuple.from_point(point))[0]
+        if points:
+            result.points = warp_points(plan, PointTuple(points))
+        if corner_points:
+            result.corner_points = warp_points(plan, PointTuple(corner_points))
+        if polygon is not None:
+            result.polygon = Polygon.from_np_xy(plan.map_points(polygon.np_xy))
+        if polygons:
+            result.polygons = self.distort_polygons(
+                config, shape, polygons, state=plan
+            )
+        if get_active_mask:
+            result.active_mask = warp_active_mask(plan)
+            assert result.active_mask.shape == result.shape
+        if get_config:
+            result.config = config
+        if get_state:
+            result.state = plan
 
         if not disable_clip_result_elements:
-            self.clip_result_elements(result)
-
+            self._clip_geometry(result)
         return result
+
+    @staticmethod
+    def _clip_geometry(result: DistortionResult) -> None:
+        shape = result.shape
+        if result.point:
+            result.point = result.point.to_clipped_point(shape)
+        if result.points:
+            result.points = result.points.to_clipped_points(shape)
+        if result.corner_points:
+            result.corner_points = result.corner_points.to_clipped_points(shape)
+        if result.polygon:
+            result.polygon = result.polygon.to_clipped_polygon(shape)
+        if result.polygons:
+            result.polygons = [p.to_clipped_polygon(shape) for p in result.polygons]

@@ -1,60 +1,36 @@
-from .blur import (
-    GaussianBlurConfig,
-    DefocusBlurConfig,
-    MotionBlurConfig,
-    GlassBlurConfig,
-    ZoomInBlurConfig,
-    gaussian_blur,
-    defocus_blur,
-    motion_blur,
-    glass_blur,
-    zoom_in_blur,
-)
+from .base import OutOfBoundBehavior
 from .color import (
-    MeanShiftConfig,
-    ColorShiftConfig,
-    BrightnessShiftConfig,
-    StdShiftConfig,
-    BoundaryEqualizationConfig,
-    HistogramEqualizationConfig,
-    ComplementConfig,
-    PosterizationConfig,
-    ColorBalanceConfig,
-    ChannelPermutationConfig,
-    mean_shift,
-    color_shift,
-    brightness_shift,
-    std_shift,
-    boundary_equalization,
-    histogram_equalization,
-    complement,
-    posterization,
-    color_balance,
-    channel_permutation,
+    MeanShiftConfig, mean_shift,
+    ColorShiftConfig, color_shift,
+    BrightnessShiftConfig, brightness_shift,
+    StdShiftConfig, std_shift,
+    BoundaryEqualizationConfig, boundary_equalization,
+    HistogramEqualizationConfig, histogram_equalization,
+    ComplementConfig, complement,
+    PosterizationConfig, posterization,
+    ColorBalanceConfig, color_balance,
+    ChannelPermutationConfig, channel_permutation,
 )
-from .effect import (
-    JpegQualityConfig,
-    PixelationConfig,
-    FogConfig,
-    jpeg_quality,
-    pixelation,
-    fog,
+from .blur import (
+    GaussianBlurConfig, gaussian_blur,
+    DefocusBlurConfig, defocus_blur,
+    MotionBlurConfig, motion_blur,
+    GlassBlurConfig, glass_blur,
+    ZoomInBlurConfig, zoom_in_blur,
 )
 from .noise import (
-    GaussionNoiseConfig,
-    PoissonNoiseConfig,
-    ImpulseNoiseConfig,
-    SpeckleNoiseConfig,
-    gaussion_noise,
-    poisson_noise,
-    impulse_noise,
-    speckle_noise,
+    GaussionNoiseConfig, gaussion_noise,
+    PoissonNoiseConfig, poisson_noise,
+    ImpulseNoiseConfig, impulse_noise,
+    SpeckleNoiseConfig, speckle_noise,
+)
+from .effect import (
+    JpegQualityConfig, jpeg_quality,
+    PixelationConfig, pixelation,
+    FogConfig, fog,
 )
 from .streak import (
-    LineStreakConfig,
-    RectangleStreakConfig,
-    EllipseStreakConfig,
-    line_streak,
-    rectangle_streak,
-    ellipse_streak,
+    LineStreakConfig, line_streak,
+    RectangleStreakConfig, rectangle_streak,
+    EllipseStreakConfig, ellipse_streak,
 )

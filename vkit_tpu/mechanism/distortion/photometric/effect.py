@@ -1,10 +1,9 @@
-"""Effect-family photometric distortions (3): jpeg_quality, pixelation, fog.
+"""Effect-family photometric ops (3): jpeg_quality, pixelation, fog.
 
-Capability parity: vkit/mechanism/distortion/photometric/effect.py:26-216.
-JPEG runs through the on-device codec simulation (vkit_tpu/ops/effect —
-block DCT + quality-scaled quant tables) instead of a cv.imencode roundtrip;
-pixelation through the MXU resize; fog through a fresh diamond-square
-implementation on the numpy rng (replayable via frozen rng state).
+Behavioral spec: vkit/mechanism/distortion/photometric/effect.py:26-216
+(re-derived).  JPEG runs through the block-DCT codec simulation
+(vkit_tpu/ops/effect), not a cv.imencode roundtrip; fog is a diamond-square
+plasma fractal replayable from a frozen rng state.
 """
 from typing import Any, Mapping, Optional, Tuple
 
@@ -15,9 +14,8 @@ from numpy.random import Generator as RandomGenerator
 from ....element import Image, ImageMode
 from ....ops import effect as effect_ops
 from ....ops.resize_taps import Interpolation, resize_np
-from ..interface import Distortion, DistortionConfig, DistortionNopState
-from .blur import RngStateMixin
-from .opt import to_original_image, to_rgb_image
+from ..interface import DistortionConfig
+from .base import apply_in_rgb, clip_u8, photometric_op
 
 
 @attr.define
@@ -25,21 +23,13 @@ class JpegQualityConfig(DistortionConfig):
     quality: int
 
 
-def jpeg_quality_image(config: JpegQualityConfig, state, image: Image,
-                       rng: Optional[RandomGenerator]) -> Image:
+@photometric_op(JpegQualityConfig)
+def jpeg_quality(config: JpegQualityConfig, image: Image, rng) -> Image:
     assert 0 <= config.quality <= 100
-    mode = image.mode
-    image = to_rgb_image(image, mode)
-    mat = effect_ops.jpeg_quality_np(image.mat, config.quality)
-    image = image.replace(mat=mat)
-    return to_original_image(image, mode)
-
-
-jpeg_quality = Distortion(
-    config_cls=JpegQualityConfig,
-    state_cls=DistortionNopState[JpegQualityConfig],
-    func_image=jpeg_quality_image,
-)
+    return apply_in_rgb(
+        image,
+        lambda im: im.replace(mat=effect_ops.jpeg_quality_np(im.mat, config.quality)),
+    )
 
 
 @attr.define
@@ -47,21 +37,15 @@ class PixelationConfig(DistortionConfig):
     ratio: float
 
 
-def pixelation_image(config: PixelationConfig, state, image: Image,
-                     rng: Optional[RandomGenerator]) -> Image:
+@photometric_op(PixelationConfig)
+def pixelation(config: PixelationConfig, image: Image, rng) -> Image:
     assert 0 < config.ratio < 1
-    resized_height = round(image.height * config.ratio)
-    resized_width = round(image.width * config.ratio)
-    mat = resize_np(image.mat, (resized_height, resized_width), Interpolation.LINEAR)
-    mat = resize_np(mat, image.shape, Interpolation.NEAREST)
-    return image.replace(mat=mat)
-
-
-pixelation = Distortion(
-    config_cls=PixelationConfig,
-    state_cls=DistortionNopState[PixelationConfig],
-    func_image=pixelation_image,
-)
+    small = resize_np(
+        image.mat,
+        (round(image.height * config.ratio), round(image.width * config.ratio)),
+        Interpolation.LINEAR,
+    )
+    return image.replace(mat=resize_np(small, image.shape, Interpolation.NEAREST))
 
 
 def generate_diamond_square_mask(
@@ -71,10 +55,9 @@ def generate_diamond_square_mask(
 ) -> np.ndarray:
     """Plasma fractal in [0, 1] via diamond-square midpoint displacement.
 
-    Fresh implementation (same algorithm family as the reference's
-    effect.py:89-143): start from a (2^n + 1) grid with random corners; at
-    each scale, midpoints take the neighbor average lerped with fresh uniform
-    noise by ``roughness**iteration``; finally crop a random window.
+    Start from a (2^n + 1) grid with random corners; at each scale, midpoints
+    take the neighbor average lerped with fresh uniform noise by
+    ``roughness**iteration``; finally crop a random window.
     """
     assert 0.0 <= roughness <= 1.0
     height, width = shape
@@ -102,14 +85,12 @@ def generate_diamond_square_mask(
         wrap = np.arange(m + 1) % m
         wrap_prev = (np.arange(m + 1) - 1) % m
 
-        # Vertical-edge midpoints: (m, m+1) at rows half::step, cols 0::step.
         two_corners = corners[:-1, :] + corners[1:, :]
         two_centers = centers[:, wrap] + centers[:, wrap_prev]
         mids_v = (1 - rough) * (two_corners + two_centers) / 4.0 \
             + rough * rng.uniform(0, 1, two_corners.shape)
         grid[half:size:step, 0:size:step] = mids_v
 
-        # Horizontal-edge midpoints: (m+1, m) at rows 0::step, cols half::step.
         two_corners = corners[:, :-1] + corners[:, 1:]
         two_centers = centers[wrap, :] + centers[wrap_prev, :]
         mids_h = (1 - rough) * (two_corners + two_centers) / 4.0 \
@@ -125,46 +106,34 @@ def generate_diamond_square_mask(
 
 
 @attr.define
-class FogConfig(RngStateMixin, DistortionConfig):
+class FogConfig(DistortionConfig):
     roughness: float
     fog_rgb: Tuple[int, int, int] = (226, 238, 234)
     ratio_max: float = 1.0
     ratio_min: float = 0.0
-    _rng_state: Optional[Mapping[str, Any]] = None
+    rng_state: Optional[Mapping[str, Any]] = None
 
 
-def fog_image(config: FogConfig, state, image: Image,
-              rng: Optional[RandomGenerator]) -> Image:
+@photometric_op(FogConfig)
+def fog(config: FogConfig, image: Image, rng) -> Image:
     assert rng is not None
-    mode = image.mode
-    image = to_rgb_image(image, mode)
-
-    mask = generate_diamond_square_mask(image.shape, config.roughness, rng)
-    mask = mask - mask.min()
-    mask = mask / max(mask.max(), 1e-6)
     assert config.ratio_min < config.ratio_max
-    mask = mask * (config.ratio_max - config.ratio_min) + config.ratio_min
 
-    mat = image.mat.astype(np.float32)
-    if image.mode == ImageMode.GRAYSCALE:
-        val = (
-            0.2126 * config.fog_rgb[0]
-            + 0.7152 * config.fog_rgb[1]
-            + 0.0722 * config.fog_rgb[2]
-        )
-        mat = (1 - mask) * mat + mask * val
-    else:
-        assert image.mode == ImageMode.RGB
-        fog_mat = np.full((*image.shape, 3), config.fog_rgb, dtype=np.float32)
-        mat = (1 - mask[..., None]) * mat + mask[..., None] * fog_mat
+    def run(im: Image) -> Image:
+        veil = generate_diamond_square_mask(im.shape, config.roughness, rng)
+        veil = veil - veil.min()
+        veil = veil / max(float(veil.max()), 1e-6)
+        veil = veil * (config.ratio_max - config.ratio_min) + config.ratio_min
 
-    mat = np.clip(mat, 0, 255).astype(np.uint8)
-    image = image.replace(mat=mat)
-    return to_original_image(image, mode)
+        mat = im.mat.astype(np.float32)
+        if im.mode == ImageMode.GRAYSCALE:
+            r, g, b = config.fog_rgb
+            luminance = 0.2126 * r + 0.7152 * g + 0.0722 * b
+            mat = (1 - veil) * mat + veil * luminance
+        else:
+            assert im.mode == ImageMode.RGB
+            tint = np.asarray(config.fog_rgb, dtype=np.float32)
+            mat = (1 - veil[..., None]) * mat + veil[..., None] * tint
+        return im.replace(mat=clip_u8(mat))
 
-
-fog = Distortion(
-    config_cls=FogConfig,
-    state_cls=DistortionNopState[FogConfig],
-    func_image=fog_image,
-)
+    return apply_in_rgb(image, run)

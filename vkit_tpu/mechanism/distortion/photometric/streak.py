@@ -1,34 +1,160 @@
-"""Streak-family photometric distortions (3): line / rectangle / ellipse.
+"""Streak-family photometric ops (3): line / rectangle / ellipse streaks.
 
-Capability parity: vkit/mechanism/distortion/photometric/streak.py:24-337.
-cv.ellipse stroking is replaced by an implicit-equation ring rasterizer.
+Behavioral spec: vkit/mechanism/distortion/photometric/streak.py:24-337
+(re-derived).  Streak footprints build as vectorized numpy stencils
+(modular-arithmetic line fields, slice-filled frame bars, implicit-equation
+ellipse rings — no cv.ellipse); the batched device path reuses the same
+stencil builders directly.
 """
 from typing import List, Optional, Tuple
 
 import attr
 import numpy as np
-from numpy.random import Generator as RandomGenerator
 
 from ....element import Box, Image, Mask
-from ..interface import Distortion, DistortionConfig, DistortionNopState
+from ..interface import DistortionConfig
+from .base import photometric_op
 
 
-def fill_vert_dash_gap(dash_thickness: int, dash_gap: int, mask: Mask):
+def _dash_rows(length: int, dash_thickness: int, dash_gap: int) -> np.ndarray:
+    """Bool vector: True where the dash gap blanks this row/column."""
     if dash_thickness <= 0 or dash_gap <= 0:
-        return
-    with mask.writable_context:
-        step = dash_thickness + dash_gap
-        for offset_y in range(dash_gap):
-            mask.mat[offset_y::step] = 0
+        return np.zeros(length, dtype=bool)
+    period = dash_thickness + dash_gap
+    return (np.arange(length) % period) < dash_gap
 
 
-def fill_hori_dash_gap(dash_thickness: int, dash_gap: int, mask: Mask):
-    if dash_thickness <= 0 or dash_gap <= 0:
-        return
-    with mask.writable_context:
-        step = dash_thickness + dash_gap
-        for offset_x in range(dash_gap):
-            mask.mat[:, offset_x::step] = 0
+def line_streak_stencils(
+    shape: Tuple[int, int],
+    thickness: int,
+    gap: int,
+    dash_thickness: int = 0,
+    dash_gap: int = 0,
+    enable_vert: bool = True,
+    enable_hori: bool = True,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """(vertical, horizontal) uint8 stencils, or None where disabled."""
+    height, width = shape
+    period = thickness + gap
+    vert = hori = None
+    if enable_vert:
+        cols = (np.arange(width) % period) < thickness
+        vert = np.broadcast_to(cols, shape) & ~_dash_rows(
+            height, dash_thickness, dash_gap
+        )[:, None]
+        vert = vert.astype(np.uint8)
+    if enable_hori:
+        rows = (np.arange(height) % period) < thickness
+        hori = rows[:, None] & ~_dash_rows(width, dash_thickness, dash_gap)[None, :]
+        hori = hori.astype(np.uint8)
+    return vert, hori
+
+
+def concentric_boxes(
+    height: int,
+    width: int,
+    aspect_ratio: float,
+    short_side_min: int,
+    short_side_step: int,
+) -> List[Box]:
+    """Centered boxes growing by short_side_step until both sides overflow."""
+    center_y, center_x = height // 2, width // 2
+    out: List[Box] = []
+    idx = 0
+    while True:
+        short_side = short_side_min + idx * short_side_step
+        if aspect_ratio >= 1:
+            box_h = short_side
+            box_w = round(box_h * aspect_ratio)
+        elif 0 < aspect_ratio < 1:
+            box_w = short_side
+            box_h = round(box_w / aspect_ratio)
+        else:
+            raise NotImplementedError(f'aspect_ratio={aspect_ratio}')
+        up = center_y - box_h // 2
+        left = center_x - box_w // 2
+        box = Box(up, up + box_h - 1, left, left + box_w - 1)
+        if (0 <= box.up and box.down < height) or (0 <= box.left and box.right < width):
+            out.append(box)
+            idx += 1
+        else:
+            return out
+
+
+def rectangle_streak_stencils(
+    shape: Tuple[int, int],
+    thickness: int,
+    aspect_ratio: float,
+    short_side_min: int,
+    short_side_step: int,
+    dash_thickness: int = 0,
+    dash_gap: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(vertical-bar, horizontal-bar) stencils of concentric frames."""
+    height, width = shape
+    vert = np.zeros(shape, dtype=np.uint8)
+    hori = np.zeros(shape, dtype=np.uint8)
+
+    for box in concentric_boxes(height, width, aspect_ratio,
+                                short_side_min, short_side_step):
+        # Inner edges of the four frame bars.
+        in_up = box.down - thickness + 1
+        in_down = box.up + thickness - 1
+        in_left = box.right - thickness + 1
+        in_right = box.left + thickness - 1
+
+        y0, y1 = max(0, box.up), min(height - 1, box.down)
+        if y0 <= y1:
+            if 0 <= in_right < width:
+                vert[y0:y1 + 1, max(0, box.left):in_right + 1] = 1
+            if 0 <= in_left < width:
+                vert[y0:y1 + 1, in_left:min(width - 1, box.right) + 1] = 1
+
+        x0, x1 = max(0, in_right + 1), min(width - 1, in_left - 1)
+        if x0 <= x1:
+            if 0 <= in_down < height:
+                hori[max(0, box.up):in_down + 1, x0:x1 + 1] = 1
+            if 0 <= in_up < height:
+                hori[in_up:min(height - 1, box.down) + 1, x0:x1 + 1] = 1
+
+    vert[_dash_rows(height, dash_thickness, dash_gap)] = 0
+    hori[:, _dash_rows(width, dash_thickness, dash_gap)] = 0
+    return vert, hori
+
+
+def ellipse_ring_stencil(
+    shape: Tuple[int, int],
+    center_xy: Tuple[int, int],
+    axes_list: List[Tuple[int, int]],
+    thickness: int,
+) -> np.ndarray:
+    """Union of stroked ellipse outlines via their implicit equations: a
+    pixel is on a ring iff it lies between the ellipses with semi-axes
+    ± thickness/2."""
+    height, width = shape
+    cx, cy = center_xy
+    ys = np.arange(height, dtype=np.float64)[:, None] - cy
+    xs = np.arange(width, dtype=np.float64)[None, :] - cx
+    half = max(thickness / 2.0, 0.5)
+    stencil = np.zeros(shape, dtype=bool)
+    for a, b in axes_list:
+        if a <= 0 or b <= 0:
+            continue
+        outer = (xs / (a + half))**2 + (ys / (b + half))**2 <= 1.0
+        a_in, b_in = max(a - half, 0.0), max(b - half, 0.0)
+        if a_in > 0 and b_in > 0:
+            outer &= ~((xs / a_in)**2 + (ys / b_in)**2 < 1.0)
+        stencil |= outer
+    return stencil.astype(np.uint8)
+
+
+def _blend_stencils(image: Image, stencils, color, alpha: float) -> Image:
+    out = image.copy()
+    for stencil in stencils:
+        if stencil is None or not stencil.any():
+            continue
+        Mask(mat=stencil).fill_image(out, color, alpha=alpha)
+    return out
 
 
 @attr.define
@@ -43,76 +169,14 @@ class LineStreakConfig(DistortionConfig):
     enable_hori: bool = True
 
 
-def line_streak_image(config: LineStreakConfig, state, image: Image,
-                      rng: Optional[RandomGenerator]) -> Image:
-    masks: List[Mask] = []
-    step = config.thickness + config.gap
-
-    if config.enable_vert:
-        mask = Mask.from_shapable(image)
-        with mask.writable_context:
-            for offset_x in range(config.thickness):
-                mask.mat[:, offset_x::step] = 1
-        fill_vert_dash_gap(config.dash_thickness, config.dash_gap, mask)
-        masks.append(mask)
-
-    if config.enable_hori:
-        mask = Mask.from_shapable(image)
-        with mask.writable_context:
-            for offset_y in range(config.thickness):
-                mask.mat[offset_y::step] = 1
-        fill_hori_dash_gap(config.dash_thickness, config.dash_gap, mask)
-        masks.append(mask)
-
-    image = image.copy()
-    for mask in masks:
-        mask.fill_image(image, config.color, alpha=config.alpha)
-    return image
-
-
-line_streak = Distortion(
-    config_cls=LineStreakConfig,
-    state_cls=DistortionNopState[LineStreakConfig],
-    func_image=line_streak_image,
-)
-
-
-def generate_centered_boxes(
-    height: int,
-    width: int,
-    aspect_ratio: float,
-    short_side_min: int,
-    short_side_step: int,
-) -> List[Box]:
-    """Concentric boxes growing by short_side_step until both sides leave the
-    canvas (streak.py:109-141)."""
-    center_y = height // 2
-    center_x = width // 2
-
-    boxes: List[Box] = []
-    idx = 0
-    while True:
-        short_side = short_side_min + idx * short_side_step
-        if aspect_ratio >= 1:
-            height_min = short_side
-            width_min = round(height_min * aspect_ratio)
-        elif 0 < aspect_ratio < 1:
-            width_min = short_side
-            height_min = round(width_min / aspect_ratio)
-        else:
-            raise NotImplementedError()
-
-        up = center_y - height_min // 2
-        down = up + height_min - 1
-        left = center_x - width_min // 2
-        right = left + width_min - 1
-
-        if (0 <= up and down < height) or (0 <= left and right < width):
-            boxes.append(Box(up=up, down=down, left=left, right=right))
-            idx += 1
-        else:
-            break
-    return boxes
+@photometric_op(LineStreakConfig)
+def line_streak(config: LineStreakConfig, image: Image, rng) -> Image:
+    vert, hori = line_streak_stencils(
+        image.shape, config.thickness, config.gap,
+        config.dash_thickness, config.dash_gap,
+        config.enable_vert, config.enable_hori,
+    )
+    return _blend_stencils(image, (vert, hori), config.color, config.alpha)
 
 
 @attr.define
@@ -127,117 +191,17 @@ class RectangleStreakConfig(DistortionConfig):
     alpha: float = 1.0
 
 
-def rectangle_streak_image(config: RectangleStreakConfig, state, image: Image,
-                           rng: Optional[RandomGenerator]) -> Image:
-    aspect_ratio = config.aspect_ratio
-    if aspect_ratio is None:
-        aspect_ratio = image.width / image.height
-
-    boxes = generate_centered_boxes(
-        height=image.height,
-        width=image.width,
-        aspect_ratio=aspect_ratio,
-        short_side_min=config.short_side_min,
-        short_side_step=config.short_side_step,
+@photometric_op(RectangleStreakConfig)
+def rectangle_streak(config: RectangleStreakConfig, image: Image, rng) -> Image:
+    aspect = config.aspect_ratio
+    if aspect is None:
+        aspect = image.width / image.height
+    vert, hori = rectangle_streak_stencils(
+        image.shape, config.thickness, aspect,
+        config.short_side_min, config.short_side_step,
+        config.dash_thickness, config.dash_gap,
     )
-
-    # Frame each box with four bars of the configured thickness, clipped to
-    # the canvas (streak.py:168-250).
-    vert_bars: List[Box] = []
-    hori_bars: List[Box] = []
-    for box in boxes:
-        inner_up = box.down - config.thickness + 1
-        inner_down = box.up + config.thickness - 1
-        inner_left = box.right - config.thickness + 1
-        inner_right = box.left + config.thickness - 1
-
-        bar_up = max(0, box.up)
-        bar_down = min(image.height - 1, box.down)
-
-        # Left / right bars.
-        if 0 <= inner_right < image.width and bar_up <= bar_down:
-            vert_bars.append(
-                Box(up=bar_up, down=bar_down, left=max(0, box.left), right=inner_right)
-            )
-        if 0 <= inner_left < image.width and bar_up <= bar_down:
-            vert_bars.append(
-                Box(
-                    up=bar_up, down=bar_down, left=inner_left,
-                    right=min(image.width - 1, box.right),
-                )
-            )
-
-        bar_left = max(0, inner_right + 1)
-        bar_right = min(image.width - 1, inner_left - 1)
-
-        # Top / bottom bars.
-        if 0 <= inner_down < image.height and bar_left <= bar_right:
-            hori_bars.append(
-                Box(up=max(0, box.up), down=inner_down, left=bar_left, right=bar_right)
-            )
-        if 0 <= inner_up < image.height and bar_left <= bar_right:
-            hori_bars.append(
-                Box(
-                    up=inner_up, down=min(image.height - 1, box.down),
-                    left=bar_left, right=bar_right,
-                )
-            )
-
-    mask_vert = Mask.from_shapable(image)
-    with mask_vert.writable_context:
-        for bar in vert_bars:
-            mask_vert.mat[bar.up:bar.down + 1, bar.left:bar.right + 1] = 1
-    fill_vert_dash_gap(config.dash_thickness, config.dash_gap, mask_vert)
-
-    mask_hori = Mask.from_shapable(image)
-    with mask_hori.writable_context:
-        for bar in hori_bars:
-            mask_hori.mat[bar.up:bar.down + 1, bar.left:bar.right + 1] = 1
-    fill_hori_dash_gap(config.dash_thickness, config.dash_gap, mask_hori)
-
-    image = image.copy()
-    mask_vert.fill_image(image, config.color, alpha=config.alpha)
-    mask_hori.fill_image(image, config.color, alpha=config.alpha)
-    return image
-
-
-rectangle_streak = Distortion(
-    config_cls=RectangleStreakConfig,
-    state_cls=DistortionNopState[RectangleStreakConfig],
-    func_image=rectangle_streak_image,
-)
-
-
-def draw_ellipse_ring(
-    np_mask: np.ndarray,
-    center_xy: Tuple[int, int],
-    axes: Tuple[int, int],
-    thickness: int,
-):
-    """Rasterize a stroked ellipse outline via its implicit equation.
-
-    First-party replacement for cv.ellipse(..., thickness) at
-    streak.py:305-317: a pixel is on the ring iff it lies between the
-    ellipses with semi-axes ± thickness/2.
-    """
-    height, width = np_mask.shape
-    cx, cy = center_xy
-    a, b = axes
-    if a <= 0 or b <= 0:
-        return
-    half = max(thickness / 2.0, 0.5)
-    ys = np.arange(height, dtype=np.float64)[:, None] - cy
-    xs = np.arange(width, dtype=np.float64)[None, :] - cx
-    a_out = a + half
-    b_out = b + half
-    a_in = max(a - half, 0.0)
-    b_in = max(b - half, 0.0)
-    outer = (xs / a_out)**2 + (ys / b_out)**2 <= 1.0
-    if a_in > 0 and b_in > 0:
-        inner = (xs / a_in)**2 + (ys / b_in)**2 < 1.0
-    else:
-        inner = np.zeros_like(outer)
-    np_mask[outer & ~inner] = 1
+    return _blend_stencils(image, (vert, hori), config.color, config.alpha)
 
 
 @attr.define
@@ -250,38 +214,30 @@ class EllipseStreakConfig(DistortionConfig):
     alpha: float = 1.0
 
 
-def ellipse_streak_image(config: EllipseStreakConfig, state, image: Image,
-                         rng: Optional[RandomGenerator]) -> Image:
-    aspect_ratio = config.aspect_ratio
-    if aspect_ratio is None:
-        aspect_ratio = image.width / image.height
-
-    boxes = generate_centered_boxes(
-        height=image.height,
-        width=image.width,
-        aspect_ratio=aspect_ratio,
-        short_side_min=config.short_side_min,
-        short_side_step=config.short_side_step,
+@photometric_op(EllipseStreakConfig)
+def ellipse_streak(config: EllipseStreakConfig, image: Image, rng) -> Image:
+    aspect = config.aspect_ratio
+    if aspect is None:
+        aspect = image.width / image.height
+    boxes = concentric_boxes(
+        image.height, image.width, aspect,
+        config.short_side_min, config.short_side_step,
     )
-
-    mask = Mask.from_shapable(image)
-    center = (image.width // 2, image.height // 2)
-    with mask.writable_context:
-        for box in boxes:
-            draw_ellipse_ring(
-                mask.mat,
-                center_xy=center,
-                axes=(box.width // 2, box.height // 2),
-                thickness=config.thickness,
-            )
-
-    image = image.copy()
-    mask.fill_image(image, config.color, alpha=config.alpha)
-    return image
+    stencil = ellipse_ring_stencil(
+        image.shape,
+        (image.width // 2, image.height // 2),
+        [(box.width // 2, box.height // 2) for box in boxes],
+        config.thickness,
+    )
+    return _blend_stencils(image, (stencil,), config.color, config.alpha)
 
 
-ellipse_streak = Distortion(
-    config_cls=EllipseStreakConfig,
-    state_cls=DistortionNopState[EllipseStreakConfig],
-    func_image=ellipse_streak_image,
-)
+def draw_ellipse_ring(
+    np_mask: np.ndarray,
+    center_xy: Tuple[int, int],
+    axes: Tuple[int, int],
+    thickness: int,
+) -> None:
+    """In-place single stroked ellipse (used by the seal-impression engine)."""
+    stencil = ellipse_ring_stencil(np_mask.shape, center_xy, [axes], thickness)
+    np_mask[stencil > 0] = 1

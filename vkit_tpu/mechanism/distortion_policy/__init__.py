@@ -1,7 +1,7 @@
 from .type import (
-    DistortionConfigGenerator,
     DistortionPolicy,
     DistortionPolicyFactory,
+    policy_factory,
 )
 from .random_distortion import (
     RandomDistortion,

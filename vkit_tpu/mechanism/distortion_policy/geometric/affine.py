@@ -1,15 +1,13 @@
-"""Affine policy generators (5).
+"""Affine policy samplers (5).
 
-Capability parity: vkit/mechanism/distortion_policy/geometric/affine.py.
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/geometric/affine.py); sampling re-derived.
 """
-from typing import Tuple
-
 import attr
-from numpy.random import Generator as RandomGenerator
 
 from ....mechanism import distortion
 from ..opt import sample_float, sample_int
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
 @attr.define
@@ -19,24 +17,10 @@ class ShearHoriConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class ShearHoriConfigGenerator(
-    DistortionConfigGenerator[ShearHoriConfigGeneratorConfig, distortion.ShearHoriConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        angle = sample_int(
-            level=self.level,
-            value_min=self.config.angle_min,
-            value_max=self.config.angle_max,
-            prob_negative=self.config.prob_negative,
-            rng=rng,
-        )
-        return distortion.ShearHoriConfig(angle=angle)
-
-
-shear_hori_policy_factory = DistortionPolicyFactory(
-    distortion.shear_hori, ShearHoriConfigGenerator
-)
+@policy_factory(distortion.shear_hori, ShearHoriConfigGeneratorConfig)
+def shear_hori_policy_factory(knobs, level, shape, rng):
+    return dict(angle=sample_int(level, knobs.angle_min, knobs.angle_max,
+                                 knobs.prob_negative, rng))
 
 
 @attr.define
@@ -46,24 +30,10 @@ class ShearVertConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class ShearVertConfigGenerator(
-    DistortionConfigGenerator[ShearVertConfigGeneratorConfig, distortion.ShearVertConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        angle = sample_int(
-            level=self.level,
-            value_min=self.config.angle_min,
-            value_max=self.config.angle_max,
-            prob_negative=self.config.prob_negative,
-            rng=rng,
-        )
-        return distortion.ShearVertConfig(angle=angle)
-
-
-shear_vert_policy_factory = DistortionPolicyFactory(
-    distortion.shear_vert, ShearVertConfigGenerator
-)
+@policy_factory(distortion.shear_vert, ShearVertConfigGeneratorConfig)
+def shear_vert_policy_factory(knobs, level, shape, rng):
+    return dict(angle=sample_int(level, knobs.angle_min, knobs.angle_max,
+                                 knobs.prob_negative, rng))
 
 
 @attr.define
@@ -73,24 +43,15 @@ class RotateConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class RotateConfigGenerator(
-    DistortionConfigGenerator[RotateConfigGeneratorConfig, distortion.RotateConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        angle = sample_int(
-            level=self.level,
-            value_min=self.config.angle_min,
-            value_max=self.config.angle_max,
-            prob_negative=self.config.prob_negative,
-            rng=rng,
-        )
-        return distortion.RotateConfig(angle=angle)
+@policy_factory(distortion.rotate, RotateConfigGeneratorConfig)
+def rotate_policy_factory(knobs, level, shape, rng):
+    return dict(angle=sample_int(level, knobs.angle_min, knobs.angle_max,
+                                 knobs.prob_negative, rng))
 
 
-rotate_policy_factory = DistortionPolicyFactory(
-    distortion.rotate, RotateConfigGenerator
-)
+def _sample_skew_ratio(knobs, level, rng) -> float:
+    ratio = sample_float(level, knobs.ratio_min, knobs.ratio_max, None, rng)
+    return -ratio if rng.random() < knobs.prob_negative else ratio
 
 
 @attr.define
@@ -100,26 +61,9 @@ class SkewHoriConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class SkewHoriConfigGenerator(
-    DistortionConfigGenerator[SkewHoriConfigGeneratorConfig, distortion.SkewHoriConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        ratio = sample_float(
-            level=self.level,
-            value_min=self.config.ratio_min,
-            value_max=self.config.ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        if rng.random() < self.config.prob_negative:
-            ratio *= -1
-        return distortion.SkewHoriConfig(ratio=ratio)
-
-
-skew_hori_policy_factory = DistortionPolicyFactory(
-    distortion.skew_hori, SkewHoriConfigGenerator
-)
+@policy_factory(distortion.skew_hori, SkewHoriConfigGeneratorConfig)
+def skew_hori_policy_factory(knobs, level, shape, rng):
+    return dict(ratio=_sample_skew_ratio(knobs, level, rng))
 
 
 @attr.define
@@ -129,23 +73,6 @@ class SkewVertConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class SkewVertConfigGenerator(
-    DistortionConfigGenerator[SkewVertConfigGeneratorConfig, distortion.SkewVertConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        ratio = sample_float(
-            level=self.level,
-            value_min=self.config.ratio_min,
-            value_max=self.config.ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        if rng.random() < self.config.prob_negative:
-            ratio *= -1
-        return distortion.SkewVertConfig(ratio=ratio)
-
-
-skew_vert_policy_factory = DistortionPolicyFactory(
-    distortion.skew_vert, SkewVertConfigGenerator
-)
+@policy_factory(distortion.skew_vert, SkewVertConfigGeneratorConfig)
+def skew_vert_policy_factory(knobs, level, shape, rng):
+    return dict(ratio=_sample_skew_ratio(knobs, level, rng))

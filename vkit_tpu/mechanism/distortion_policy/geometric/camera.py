@@ -1,48 +1,42 @@
-"""Camera policy generators (4).
+"""Camera policy samplers (4).
 
-Capability parity: vkit/mechanism/distortion_policy/geometric/camera.py
-(rotation unit-vec z-mix sampling at camera.py:25-57).
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/geometric/camera.py); sampling re-derived.
 """
-from typing import Tuple
-
 import attr
 import numpy as np
-from numpy.random import Generator as RandomGenerator
 
 from ....mechanism import distortion
 from ..opt import generate_grid_size, sample_float, sample_int
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
-def sample_camera_model_config(
-    level: int,
-    level_1_max: int,
-    rotation_theta_max: int,
-    vec_z_max: float,
-    rng: RandomGenerator,
-) -> 'distortion.CameraModelConfig':
-    rotation_theta = sample_int(
-        level=level,
-        value_min=1,
-        value_max=rotation_theta_max,
-        prob_negative=0.5,
-        rng=rng,
-    )
-
+def _sample_camera_model(knobs, level, rng) -> 'distortion.CameraModelConfig':
+    rotation_theta = sample_int(level, 1, knobs.rotation_theta_max, 0.5, rng)
     theta_xy = rng.uniform(0, 2 * np.pi)
-    vec_x = np.cos(theta_xy)
-    vec_y = np.sin(theta_xy)
-    vec_z = 0.0
-    if level > level_1_max:
+    vec = [np.cos(theta_xy), np.sin(theta_xy), 0.0]
+    if level > knobs.level_1_max:
         # vec_z == 1 would degenerate to an in-plane (affine) rotation.
-        vec_z = rng.uniform(0, vec_z_max)
-        vec_x = (1 - vec_z) * vec_x
-        vec_y = (1 - vec_z) * vec_y
-
+        vec_z = rng.uniform(0, knobs.vec_z_max)
+        vec = [(1 - vec_z) * vec[0], (1 - vec_z) * vec[1], vec_z]
     return distortion.CameraModelConfig(
-        rotation_unit_vec=[vec_x, vec_y, vec_z],
-        rotation_theta=rotation_theta,
+        rotation_unit_vec=vec, rotation_theta=rotation_theta,
     )
+
+
+def _grid_size(knobs, shape) -> int:
+    return generate_grid_size(knobs.grid_size_min, knobs.grid_size_ratio, shape)
+
+
+def _sample_line_anchor(shape, rng):
+    """Random page point + direction + out-of-plane perturb vector."""
+    height, width = shape
+    anchor = (int(rng.integers(0, width)), int(rng.integers(0, height)))
+    direction = rng.uniform(0, 180)
+    perturb_z = max(shape) / 4
+    if rng.random() < 0.5:
+        perturb_z = -perturb_z
+    return anchor, direction, (0.0, 0.0, perturb_z)
 
 
 @attr.define
@@ -54,32 +48,12 @@ class CameraPlaneOnlyConfigGeneratorConfig:
     grid_size_ratio: float = 0.01
 
 
-class CameraPlaneOnlyConfigGenerator(
-    DistortionConfigGenerator[
-        CameraPlaneOnlyConfigGeneratorConfig, distortion.CameraPlaneOnlyConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        camera_model_config = sample_camera_model_config(
-            level=self.level,
-            level_1_max=self.config.level_1_max,
-            vec_z_max=self.config.vec_z_max,
-            rotation_theta_max=self.config.rotation_theta_max,
-            rng=rng,
-        )
-        grid_size = generate_grid_size(
-            self.config.grid_size_min, self.config.grid_size_ratio, shape
-        )
-        return distortion.CameraPlaneOnlyConfig(
-            camera_model_config=camera_model_config,
-            grid_size=grid_size,
-        )
-
-
-camera_plane_only_policy_factory = DistortionPolicyFactory(
-    distortion.camera_plane_only, CameraPlaneOnlyConfigGenerator
-)
+@policy_factory(distortion.camera_plane_only, CameraPlaneOnlyConfigGeneratorConfig)
+def camera_plane_only_policy_factory(knobs, level, shape, rng):
+    return dict(
+        camera_model_config=_sample_camera_model(knobs, level, rng),
+        grid_size=_grid_size(knobs, shape),
+    )
 
 
 @attr.define
@@ -94,55 +68,26 @@ class CameraCubicCurveConfigGeneratorConfig:
     grid_size_ratio: float = 0.01
 
 
-class CameraCubicCurveConfigGenerator(
-    DistortionConfigGenerator[
-        CameraCubicCurveConfigGeneratorConfig, distortion.CameraCubicCurveConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        curve_slope_range = sample_float(
-            level=self.level,
-            value_min=self.config.curve_slope_range_min,
-            value_max=self.config.curve_slope_range_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        alpha_ratio = rng.uniform()
-        curve_alpha = curve_slope_range * alpha_ratio
-        curve_beta = curve_slope_range - curve_alpha
-        curve_alpha = min(self.config.curve_slope_max, curve_alpha)
-        curve_beta = min(self.config.curve_slope_max, curve_beta)
-        if rng.random() < 0.5:
-            curve_alpha *= -1
-        if rng.random() < 0.5:
-            curve_beta *= -1
-
-        curve_direction = rng.uniform(0, 180)
-
-        camera_model_config = sample_camera_model_config(
-            level=self.level,
-            level_1_max=self.config.level_1_max,
-            rotation_theta_max=self.config.rotation_theta_max,
-            vec_z_max=self.config.vec_z_max,
-            rng=rng,
-        )
-        grid_size = generate_grid_size(
-            self.config.grid_size_min, self.config.grid_size_ratio, shape
-        )
-        return distortion.CameraCubicCurveConfig(
-            curve_alpha=curve_alpha,
-            curve_beta=curve_beta,
-            curve_direction=curve_direction,
-            curve_scale=1.0,
-            camera_model_config=camera_model_config,
-            grid_size=grid_size,
-        )
-
-
-camera_cubic_curve_policy_factory = DistortionPolicyFactory(
-    distortion.camera_cubic_curve, CameraCubicCurveConfigGenerator
-)
+@policy_factory(distortion.camera_cubic_curve, CameraCubicCurveConfigGeneratorConfig)
+def camera_cubic_curve_policy_factory(knobs, level, shape, rng):
+    # Split a sampled slope budget between the two curve endpoints.
+    budget = sample_float(level, knobs.curve_slope_range_min,
+                          knobs.curve_slope_range_max, None, rng)
+    split = rng.uniform()
+    alpha = min(knobs.curve_slope_max, budget * split)
+    beta = min(knobs.curve_slope_max, budget - budget * split)
+    if rng.random() < 0.5:
+        alpha = -alpha
+    if rng.random() < 0.5:
+        beta = -beta
+    return dict(
+        curve_alpha=alpha,
+        curve_beta=beta,
+        curve_direction=rng.uniform(0, 180),
+        curve_scale=1.0,
+        camera_model_config=_sample_camera_model(knobs, level, rng),
+        grid_size=_grid_size(knobs, shape),
+    )
 
 
 @attr.define
@@ -156,54 +101,19 @@ class CameraPlaneLineFoldConfigGeneratorConfig:
     grid_size_ratio: float = 0.01
 
 
-class CameraPlaneLineFoldConfigGenerator(
-    DistortionConfigGenerator[
-        CameraPlaneLineFoldConfigGeneratorConfig, distortion.CameraPlaneLineFoldConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        height, width = shape
-        fold_point = (int(rng.integers(0, width)), int(rng.integers(0, height)))
-        fold_direction = rng.uniform(0, 180)
-
-        fold_perturb_vec_z = max(shape) / 4
-        if rng.random() < 0.5:
-            fold_perturb_vec_z *= -1.0
-        fold_perturb_vec = (0.0, 0.0, fold_perturb_vec_z)
-
-        fold_alpha = sample_float(
-            level=self.level,
-            value_min=self.config.fold_alpha_min,
-            value_max=self.config.fold_alpha_max,
-            prob_reciprocal=None,
-            rng=rng,
-            inverse_level=True,
-        )
-
-        camera_model_config = sample_camera_model_config(
-            level=self.level,
-            level_1_max=self.config.level_1_max,
-            rotation_theta_max=self.config.rotation_theta_max,
-            vec_z_max=self.config.vec_z_max,
-            rng=rng,
-        )
-        grid_size = generate_grid_size(
-            self.config.grid_size_min, self.config.grid_size_ratio, shape
-        )
-        return distortion.CameraPlaneLineFoldConfig(
-            fold_point=fold_point,
-            fold_direction=fold_direction,
-            fold_perturb_vec=fold_perturb_vec,
-            fold_alpha=fold_alpha,
-            camera_model_config=camera_model_config,
-            grid_size=grid_size,
-        )
-
-
-camera_plane_line_fold_policy_factory = DistortionPolicyFactory(
-    distortion.camera_plane_line_fold, CameraPlaneLineFoldConfigGenerator
-)
+@policy_factory(distortion.camera_plane_line_fold, CameraPlaneLineFoldConfigGeneratorConfig)
+def camera_plane_line_fold_policy_factory(knobs, level, shape, rng):
+    anchor, direction, perturb_vec = _sample_line_anchor(shape, rng)
+    fold_alpha = sample_float(level, knobs.fold_alpha_min, knobs.fold_alpha_max,
+                              None, rng, inverse_level=True)
+    return dict(
+        fold_point=anchor,
+        fold_direction=direction,
+        fold_perturb_vec=perturb_vec,
+        fold_alpha=fold_alpha,
+        camera_model_config=_sample_camera_model(knobs, level, rng),
+        grid_size=_grid_size(knobs, shape),
+    )
 
 
 @attr.define
@@ -217,51 +127,16 @@ class CameraPlaneLineCurveConfigGeneratorConfig:
     grid_size_ratio: float = 0.01
 
 
-class CameraPlaneLineCurveConfigGenerator(
-    DistortionConfigGenerator[
-        CameraPlaneLineCurveConfigGeneratorConfig, distortion.CameraPlaneLineCurveConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        height, width = shape
-        curve_point = (int(rng.integers(0, width)), int(rng.integers(0, height)))
-        curve_direction = rng.uniform(0, 180)
-
-        curve_perturb_vec_z = max(shape) / 4
-        if rng.random() < 0.5:
-            curve_perturb_vec_z *= -1.0
-        curve_perturb_vec = (0.0, 0.0, curve_perturb_vec_z)
-
-        curve_alpha = sample_float(
-            level=self.level,
-            value_min=self.config.curve_alpha_min,
-            value_max=self.config.curve_alpha_max,
-            prob_reciprocal=None,
-            rng=rng,
-            inverse_level=True,
-        )
-
-        camera_model_config = sample_camera_model_config(
-            level=self.level,
-            level_1_max=self.config.level_1_max,
-            rotation_theta_max=self.config.rotation_theta_max,
-            vec_z_max=self.config.vec_z_max,
-            rng=rng,
-        )
-        grid_size = generate_grid_size(
-            self.config.grid_size_min, self.config.grid_size_ratio, shape
-        )
-        return distortion.CameraPlaneLineCurveConfig(
-            curve_point=curve_point,
-            curve_direction=curve_direction,
-            curve_perturb_vec=curve_perturb_vec,
-            curve_alpha=curve_alpha,
-            camera_model_config=camera_model_config,
-            grid_size=grid_size,
-        )
-
-
-camera_plane_line_curve_policy_factory = DistortionPolicyFactory(
-    distortion.camera_plane_line_curve, CameraPlaneLineCurveConfigGenerator
-)
+@policy_factory(distortion.camera_plane_line_curve, CameraPlaneLineCurveConfigGeneratorConfig)
+def camera_plane_line_curve_policy_factory(knobs, level, shape, rng):
+    anchor, direction, perturb_vec = _sample_line_anchor(shape, rng)
+    curve_alpha = sample_float(level, knobs.curve_alpha_min, knobs.curve_alpha_max,
+                               None, rng, inverse_level=True)
+    return dict(
+        curve_point=anchor,
+        curve_direction=direction,
+        curve_perturb_vec=perturb_vec,
+        curve_alpha=curve_alpha,
+        camera_model_config=_sample_camera_model(knobs, level, rng),
+        grid_size=_grid_size(knobs, shape),
+    )

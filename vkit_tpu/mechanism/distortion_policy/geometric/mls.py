@@ -1,17 +1,19 @@
-"""Similarity-MLS policy generator.
+"""Similarity-MLS policy sampler: corner-pinned control lattice with
+level-scaled random handle offsets.
 
-Capability parity: vkit/mechanism/distortion_policy/geometric/mls.py:27-111
-(corner-pinned control lattice with level-scaled random handle offsets).
+Parameter table matches the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/geometric/mls.py:27-111); sampling
+re-derived.
 """
-from typing import List, Tuple
+from typing import List
 
 import attr
 from numpy.random import Generator as RandomGenerator
 
-from ....element import Point, PointList
+from ....element import Point, PointTuple
 from ....mechanism import distortion
 from ..opt import SampleFloatMode, generate_grid_size, sample_float
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
 @attr.define
@@ -25,75 +27,50 @@ class SimilarityMlsConfigGeneratorConfig:
     grid_size_ratio: float = 0.01
 
 
-class SimilarityMlsConfigGenerator(
-    DistortionConfigGenerator[
-        SimilarityMlsConfigGeneratorConfig, distortion.SimilarityMlsConfig
+def _axis_coords(length: int, step: int, rng: RandomGenerator) -> List[int]:
+    """Coordinates covering [0, length-1] in shuffled ~step jumps."""
+    end = length - 1
+    jumps = [step] * (end // step)
+    remainder = end % step
+    if remainder:
+        # Fold the remainder into the last jump.
+        jumps = jumps[:-1] + [step + remainder] if len(jumps) > 1 else [end]
+    assert sum(jumps) == end
+    rng.shuffle(jumps)
+    coords = [0]
+    for jump in jumps:
+        coords.append(coords[-1] + jump)
+    return coords
+
+
+@policy_factory(distortion.similarity_mls, SimilarityMlsConfigGeneratorConfig)
+def similarity_mls_policy_factory(knobs, level, shape, rng):
+    height, width = shape
+    num_segments = int(rng.integers(knobs.num_segments_min, knobs.num_segments_max + 1))
+    step = (min(shape) - 1) // num_segments
+    if step < knobs.step_min:
+        # Too tight: degrade to corners only.
+        step = min(shape) - 1
+
+    ys = _axis_coords(height, step, rng)
+    xs = _axis_coords(width, step, rng)
+    src_handles = [Point.create(y=y, x=x) for y in ys for x in xs]
+
+    assert knobs.radius_max_ratio_max < 0.5
+    radius_ratio = sample_float(
+        level, knobs.radius_max_ratio_min, knobs.radius_max_ratio_max, None, rng,
+        mode=SampleFloatMode.QUAD,
+    )
+    radius = int(radius_ratio * step)
+    dst_handles = [
+        Point.create(
+            y=pt.y + int(rng.integers(-radius, radius + 1)),
+            x=pt.x + int(rng.integers(-radius, radius + 1)),
+        ) for pt in src_handles
     ]
-):
 
-    @classmethod
-    def generate_coord(cls, length: int, step: int, rng: RandomGenerator) -> List[int]:
-        """Axis coordinates covering [0, length-1] in shuffled ~step jumps."""
-        end = length - 1
-        if end % step == 0:
-            steps = [step] * (end // step)
-        else:
-            steps = [step] * (end // step - 1)
-            steps.append(step + end % step)
-        assert sum(steps) == end
-
-        rng.shuffle(steps)
-        coord: List[int] = [0]
-        for delta in steps:
-            coord.append(coord[-1] + delta)
-        return coord
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        short_side_length = min(shape)
-        num_segments = int(
-            rng.integers(self.config.num_segments_min, self.config.num_segments_max + 1)
-        )
-        step = (short_side_length - 1) // num_segments
-        if step < self.config.step_min:
-            # Too tight: degrade to corners only.
-            step = short_side_length - 1
-
-        height, width = shape
-        coord_y = self.generate_coord(height, step, rng)
-        coord_x = self.generate_coord(width, step, rng)
-        src_handle_points = PointList()
-        for y in coord_y:
-            for x in coord_x:
-                src_handle_points.append(Point.create(y=y, x=x))
-
-        assert self.config.radius_max_ratio_max < 0.5
-        radius_max_ratio = sample_float(
-            level=self.level,
-            value_min=self.config.radius_max_ratio_min,
-            value_max=self.config.radius_max_ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-            mode=SampleFloatMode.QUAD,
-        )
-        radius = int(radius_max_ratio * step)
-        dst_handle_points = PointList()
-        for point in src_handle_points:
-            delta_y = int(rng.integers(-radius, radius + 1))
-            delta_x = int(rng.integers(-radius, radius + 1))
-            dst_handle_points.append(
-                Point.create(y=point.y + delta_y, x=point.x + delta_x)
-            )
-
-        grid_size = generate_grid_size(
-            self.config.grid_size_min, self.config.grid_size_ratio, shape
-        )
-        return distortion.SimilarityMlsConfig(
-            src_handle_points=src_handle_points.to_point_tuple(),
-            dst_handle_points=dst_handle_points.to_point_tuple(),
-            grid_size=grid_size,
-        )
-
-
-similarity_mls_policy_factory = DistortionPolicyFactory(
-    distortion.similarity_mls, SimilarityMlsConfigGenerator
-)
+    return dict(
+        src_handle_points=PointTuple(src_handles),
+        dst_handle_points=PointTuple(dst_handles),
+        grid_size=generate_grid_size(knobs.grid_size_min, knobs.grid_size_ratio, shape),
+    )

@@ -1,8 +1,9 @@
-"""Level→parameter sampling helpers.
+"""Level -> parameter sampling helpers.
 
-Capability parity: vkit/mechanism/distortion_policy/opt.py:14-130
-(sample_int/sample_float level sub-range mapping with LINEAR/QUAD modes,
-inverse level, negative/reciprocal flips; sample_channels; grid size).
+Semantics contract (vkit/mechanism/distortion_policy/opt.py:14-130,
+re-derived): a level in [1, 10] selects the level-th sub-window of the
+value range; LINEAR slices uniformly, QUAD through -x^2 + 2x (front-loaded);
+``inverse_level`` flips severity; negative/reciprocal flips apply after.
 """
 from enum import Enum, auto
 from typing import Optional, Tuple
@@ -16,14 +17,25 @@ LEVEL_MAX = 10
 CHANNELS = [0, 1, 2]
 
 
-def sample_channels(rng: RandomGenerator):
-    num_channels = rng.integers(1, 4)
-    channels = None
-    if num_channels < 3:
-        channels = sorted(
-            rng_choice_with_size(rng, CHANNELS, int(num_channels), replace=False)
-        )
-    return channels
+class SampleFloatMode(Enum):
+    LINEAR = auto()
+    QUAD = auto()
+
+
+def _level_window(level: int, inverse: bool, mode: SampleFloatMode
+                  ) -> Tuple[float, float]:
+    if inverse:
+        level = LEVEL_MAX + 1 - level
+    lo = (level - 1) / LEVEL_MAX
+    hi = level / LEVEL_MAX
+    if mode is SampleFloatMode.QUAD:
+        lo = -lo * lo + 2 * lo
+        hi = -hi * hi + 2 * hi
+    return lo, hi
+
+
+def func_quad(x: float) -> float:
+    return -x * x + 2 * x
 
 
 def sample_int(
@@ -34,28 +46,16 @@ def sample_int(
     rng: RandomGenerator,
     inverse_level: bool = False,
 ) -> int:
-    if inverse_level:
-        level = LEVEL_MAX + 1 - level
-
-    value_range = value_max - value_min
-    level_value_min = round(value_min + (level - 1) / LEVEL_MAX * value_range)
-    level_value_max = round(value_min + level / LEVEL_MAX * value_range)
-    if level == LEVEL_MAX:
-        level_value_max += 1
-
-    value = int(rng.integers(level_value_min, max(level_value_min + 1, level_value_max)))
+    lo, hi = _level_window(level, inverse_level, SampleFloatMode.LINEAR)
+    span = value_max - value_min
+    bound_lo = round(value_min + lo * span)
+    bound_hi = round(value_min + hi * span)
+    if (LEVEL_MAX + 1 - level if inverse_level else level) == LEVEL_MAX:
+        bound_hi += 1
+    value = int(rng.integers(bound_lo, max(bound_lo + 1, bound_hi)))
     if prob_negative and rng.random() < prob_negative:
-        value *= -1
+        value = -value
     return value
-
-
-class SampleFloatMode(Enum):
-    LINEAR = auto()
-    QUAD = auto()
-
-
-def func_quad(x: float) -> float:
-    return -x**2 + 2 * x
 
 
 def sample_float(
@@ -67,31 +67,22 @@ def sample_float(
     mode: SampleFloatMode = SampleFloatMode.LINEAR,
     inverse_level: bool = False,
 ) -> float:
-    if inverse_level:
-        level = LEVEL_MAX + 1 - level
-
-    value_range = value_max - value_min
-    if mode == SampleFloatMode.LINEAR:
-        level_ratio_min = (level - 1) / LEVEL_MAX
-        level_ratio_max = level / LEVEL_MAX
-    elif mode == SampleFloatMode.QUAD:
-        level_ratio_min = func_quad((level - 1) / LEVEL_MAX)
-        level_ratio_max = func_quad(level / LEVEL_MAX)
-    else:
-        raise NotImplementedError()
-
-    value = rng.uniform(
-        value_min + level_ratio_min * value_range,
-        value_min + level_ratio_max * value_range,
-    )
+    lo, hi = _level_window(level, inverse_level, mode)
+    span = value_max - value_min
+    value = rng.uniform(value_min + lo * span, value_min + hi * span)
     if prob_reciprocal and rng.random() < prob_reciprocal:
         value = 1 / value
     return value
 
 
-def generate_grid_size(
-    grid_size_min: int,
-    grid_size_ratio: float,
-    shape: Tuple[int, int],
-) -> int:
+def sample_channels(rng: RandomGenerator):
+    """None (all channels) 1/3 of the time; else a sorted random subset."""
+    count = int(rng.integers(1, 4))
+    if count == 3:
+        return None
+    return sorted(rng_choice_with_size(rng, CHANNELS, count, replace=False))
+
+
+def generate_grid_size(grid_size_min: int, grid_size_ratio: float,
+                       shape: Tuple[int, int]) -> int:
     return max(grid_size_min, int(grid_size_ratio * max(shape)))

@@ -1,15 +1,13 @@
-"""Blur policy generators (5).
+"""Blur policy samplers (5).
 
-Capability parity: vkit/mechanism/distortion_policy/photometric/blur.py.
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/photometric/blur.py); sampling re-derived.
 """
-from typing import Tuple
-
 import attr
-from numpy.random import Generator as RandomGenerator
 
 from ....mechanism import distortion
 from ..opt import sample_float, sample_int
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
 @attr.define
@@ -18,26 +16,9 @@ class GaussianBlurConfigGeneratorConfig:
     sigma_max: float = 1.0
 
 
-class GaussianBlurConfigGenerator(
-    DistortionConfigGenerator[
-        GaussianBlurConfigGeneratorConfig, distortion.GaussianBlurConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        sigma = sample_float(
-            level=self.level,
-            value_min=self.config.sigma_min,
-            value_max=self.config.sigma_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        return distortion.GaussianBlurConfig(sigma=sigma)
-
-
-gaussian_blur_policy_factory = DistortionPolicyFactory(
-    distortion.gaussian_blur, GaussianBlurConfigGenerator
-)
+@policy_factory(distortion.gaussian_blur, GaussianBlurConfigGeneratorConfig)
+def gaussian_blur_policy_factory(knobs, level, shape, rng):
+    return dict(sigma=sample_float(level, knobs.sigma_min, knobs.sigma_max, None, rng))
 
 
 @attr.define
@@ -46,26 +27,9 @@ class DefocusBlurConfigGeneratorConfig:
     radius_max: int = 2
 
 
-class DefocusBlurConfigGenerator(
-    DistortionConfigGenerator[
-        DefocusBlurConfigGeneratorConfig, distortion.DefocusBlurConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        radius = sample_int(
-            level=self.level,
-            value_min=self.config.radius_min,
-            value_max=self.config.radius_max,
-            prob_negative=None,
-            rng=rng,
-        )
-        return distortion.DefocusBlurConfig(radius=radius)
-
-
-defocus_blur_policy_factory = DistortionPolicyFactory(
-    distortion.defocus_blur, DefocusBlurConfigGenerator
-)
+@policy_factory(distortion.defocus_blur, DefocusBlurConfigGeneratorConfig)
+def defocus_blur_policy_factory(knobs, level, shape, rng):
+    return dict(radius=sample_int(level, knobs.radius_min, knobs.radius_max, None, rng))
 
 
 @attr.define
@@ -74,27 +38,10 @@ class MotionBlurConfigGeneratorConfig:
     radius_max: int = 2
 
 
-class MotionBlurConfigGenerator(
-    DistortionConfigGenerator[
-        MotionBlurConfigGeneratorConfig, distortion.MotionBlurConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        radius = sample_int(
-            level=self.level,
-            value_min=self.config.radius_min,
-            value_max=self.config.radius_max,
-            prob_negative=None,
-            rng=rng,
-        )
-        angle = int(rng.integers(0, 360))
-        return distortion.MotionBlurConfig(radius=radius, angle=angle)
-
-
-motion_blur_policy_factory = DistortionPolicyFactory(
-    distortion.motion_blur, MotionBlurConfigGenerator
-)
+@policy_factory(distortion.motion_blur, MotionBlurConfigGeneratorConfig)
+def motion_blur_policy_factory(knobs, level, shape, rng):
+    radius = sample_int(level, knobs.radius_min, knobs.radius_max, None, rng)
+    return dict(radius=radius, angle=int(rng.integers(0, 360)))
 
 
 @attr.define
@@ -107,38 +54,13 @@ class GlassBlurConfigGeneratorConfig:
     loop_max: int = 4
 
 
-class GlassBlurConfigGenerator(
-    DistortionConfigGenerator[GlassBlurConfigGeneratorConfig, distortion.GlassBlurConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        sigma = sample_float(
-            level=self.level,
-            value_min=self.config.sigma_min,
-            value_max=self.config.sigma_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        delta = sample_int(
-            level=self.level,
-            value_min=self.config.delta_min,
-            value_max=self.config.delta_max,
-            prob_negative=None,
-            rng=rng,
-        )
-        loop = sample_int(
-            level=self.level,
-            value_min=self.config.loop_min,
-            value_max=self.config.loop_max,
-            prob_negative=None,
-            rng=rng,
-        )
-        return distortion.GlassBlurConfig(sigma=sigma, delta=delta, loop=loop)
-
-
-glass_blur_policy_factory = DistortionPolicyFactory(
-    distortion.glass_blur, GlassBlurConfigGenerator
-)
+@policy_factory(distortion.glass_blur, GlassBlurConfigGeneratorConfig)
+def glass_blur_policy_factory(knobs, level, shape, rng):
+    return dict(
+        sigma=sample_float(level, knobs.sigma_min, knobs.sigma_max, None, rng),
+        delta=sample_int(level, knobs.delta_min, knobs.delta_max, None, rng),
+        loop=sample_int(level, knobs.loop_min, knobs.loop_max, None, rng),
+    )
 
 
 @attr.define
@@ -151,31 +73,10 @@ class ZoomInBlurConfigGeneratorConfig:
     alpha_max: float = 0.7
 
 
-class ZoomInBlurConfigGenerator(
-    DistortionConfigGenerator[
-        ZoomInBlurConfigGeneratorConfig, distortion.ZoomInBlurConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        ratio = sample_float(
-            level=self.level,
-            value_min=self.config.ratio_min,
-            value_max=self.config.ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        step = sample_float(
-            level=self.level,
-            value_min=self.config.step_min,
-            value_max=self.config.step_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        alpha = rng.uniform(self.config.alpha_min, self.config.alpha_max)
-        return distortion.ZoomInBlurConfig(ratio=ratio, step=step, alpha=alpha)
-
-
-zoom_in_blur_policy_factory = DistortionPolicyFactory(
-    distortion.zoom_in_blur, ZoomInBlurConfigGenerator
-)
+@policy_factory(distortion.zoom_in_blur, ZoomInBlurConfigGeneratorConfig)
+def zoom_in_blur_policy_factory(knobs, level, shape, rng):
+    return dict(
+        ratio=sample_float(level, knobs.ratio_min, knobs.ratio_max, None, rng),
+        step=sample_float(level, knobs.step_min, knobs.step_max, None, rng),
+        alpha=rng.uniform(knobs.alpha_min, knobs.alpha_max),
+    )

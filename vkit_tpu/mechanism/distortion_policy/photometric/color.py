@@ -1,17 +1,14 @@
-"""Color policy generators (10).
+"""Color policy samplers (10).
 
-Capability parity: vkit/mechanism/distortion_policy/photometric/color.py
-(default parameter tables preserved exactly).
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/photometric/color.py); the sampling logic
+is re-derived as plain functions.
 """
-from typing import Tuple
-
 import attr
-from numpy.random import Generator as RandomGenerator
 
-from .... import mechanism
 from ....mechanism import distortion
 from ..opt import LEVEL_MAX, sample_channels, sample_float, sample_int
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
 @attr.define
@@ -23,41 +20,16 @@ class MeanShiftConfigGeneratorConfig:
     threshold_ratio_max: float = 1.5
 
 
-class MeanShiftConfigGenerator(
-    DistortionConfigGenerator[MeanShiftConfigGeneratorConfig, distortion.MeanShiftConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        delta = sample_int(
-            level=self.level,
-            value_min=0,
-            value_max=self.config.delta_max,
-            prob_negative=self.config.prob_negative,
-            rng=rng,
-        )
-        channels = sample_channels(rng)
-
-        threshold = None
-        if rng.random() < self.config.prob_enable_threshold:
-            ratio = rng.uniform(
-                self.config.threshold_ratio_min,
-                self.config.threshold_ratio_max,
-            )
-            if delta < 0:
-                threshold = round(-delta * ratio)
-            else:
-                threshold = round(255 - delta * ratio)
-
-        return distortion.MeanShiftConfig(
-            delta=delta,
-            channels=channels,
-            threshold=threshold,
-        )
-
-
-mean_shift_policy_factory = DistortionPolicyFactory(
-    distortion.mean_shift, MeanShiftConfigGenerator
-)
+@policy_factory(distortion.mean_shift, MeanShiftConfigGeneratorConfig)
+def mean_shift_policy_factory(knobs, level, shape, rng):
+    delta = sample_int(level, 0, knobs.delta_max, knobs.prob_negative, rng)
+    channels = sample_channels(rng)
+    threshold = None
+    if rng.random() < knobs.prob_enable_threshold:
+        ratio = rng.uniform(knobs.threshold_ratio_min, knobs.threshold_ratio_max)
+        # Gate so the shift cannot wrap: only headroom-side values move.
+        threshold = round(-delta * ratio) if delta < 0 else round(255 - delta * ratio)
+    return dict(delta=delta, channels=channels, threshold=threshold)
 
 
 @attr.define
@@ -66,24 +38,9 @@ class ColorShiftConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class ColorShiftConfigGenerator(
-    DistortionConfigGenerator[ColorShiftConfigGeneratorConfig, distortion.ColorShiftConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        delta = sample_int(
-            level=self.level,
-            value_min=0,
-            value_max=self.config.delta_max,
-            prob_negative=self.config.prob_negative,
-            rng=rng,
-        )
-        return distortion.ColorShiftConfig(delta=delta)
-
-
-color_shift_policy_factory = DistortionPolicyFactory(
-    distortion.color_shift, ColorShiftConfigGenerator
-)
+@policy_factory(distortion.color_shift, ColorShiftConfigGeneratorConfig)
+def color_shift_policy_factory(knobs, level, shape, rng):
+    return dict(delta=sample_int(level, 0, knobs.delta_max, knobs.prob_negative, rng))
 
 
 @attr.define
@@ -92,26 +49,9 @@ class BrightnessShiftConfigGeneratorConfig:
     prob_negative: float = 0.5
 
 
-class BrightnessShiftConfigGenerator(
-    DistortionConfigGenerator[
-        BrightnessShiftConfigGeneratorConfig, distortion.BrightnessShiftConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        delta = sample_int(
-            level=self.level,
-            value_min=0,
-            value_max=self.config.delta_max,
-            prob_negative=self.config.prob_negative,
-            rng=rng,
-        )
-        return distortion.BrightnessShiftConfig(delta=delta)
-
-
-brightness_shift_policy_factory = DistortionPolicyFactory(
-    distortion.brightness_shift, BrightnessShiftConfigGenerator
-)
+@policy_factory(distortion.brightness_shift, BrightnessShiftConfigGeneratorConfig)
+def brightness_shift_policy_factory(knobs, level, shape, rng):
+    return dict(delta=sample_int(level, 0, knobs.delta_max, knobs.prob_negative, rng))
 
 
 @attr.define
@@ -121,25 +61,11 @@ class StdShiftConfigGeneratorConfig:
     prob_reciprocal: float = 0.5
 
 
-class StdShiftConfigGenerator(
-    DistortionConfigGenerator[StdShiftConfigGeneratorConfig, distortion.StdShiftConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        scale = sample_float(
-            level=self.level,
-            value_min=self.config.scale_min,
-            value_max=self.config.scale_max,
-            prob_reciprocal=self.config.prob_reciprocal,
-            rng=rng,
-        )
-        channels = sample_channels(rng)
-        return distortion.StdShiftConfig(scale=scale, channels=channels)
-
-
-std_shift_policy_factory = DistortionPolicyFactory(
-    distortion.std_shift, StdShiftConfigGenerator
-)
+@policy_factory(distortion.std_shift, StdShiftConfigGeneratorConfig)
+def std_shift_policy_factory(knobs, level, shape, rng):
+    scale = sample_float(level, knobs.scale_min, knobs.scale_max,
+                         knobs.prob_reciprocal, rng)
+    return dict(scale=scale, channels=sample_channels(rng))
 
 
 @attr.define
@@ -147,20 +73,9 @@ class BoundaryEqualizationConfigGeneratorConfig:
     pass
 
 
-class BoundaryEqualizationConfigGenerator(
-    DistortionConfigGenerator[
-        BoundaryEqualizationConfigGeneratorConfig,
-        distortion.BoundaryEqualizationConfig,
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        return distortion.BoundaryEqualizationConfig(channels=sample_channels(rng))
-
-
-boundary_equalization_policy_factory = DistortionPolicyFactory(
-    distortion.boundary_equalization, BoundaryEqualizationConfigGenerator
-)
+@policy_factory(distortion.boundary_equalization, BoundaryEqualizationConfigGeneratorConfig)
+def boundary_equalization_policy_factory(knobs, level, shape, rng):
+    return dict(channels=sample_channels(rng))
 
 
 @attr.define
@@ -168,20 +83,9 @@ class HistogramEqualizationConfigGeneratorConfig:
     pass
 
 
-class HistogramEqualizationConfigGenerator(
-    DistortionConfigGenerator[
-        HistogramEqualizationConfigGeneratorConfig,
-        distortion.HistogramEqualizationConfig,
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        return distortion.HistogramEqualizationConfig(channels=sample_channels(rng))
-
-
-histogram_equalization_policy_factory = DistortionPolicyFactory(
-    distortion.histogram_equalization, HistogramEqualizationConfigGenerator
-)
+@policy_factory(distortion.histogram_equalization, HistogramEqualizationConfigGeneratorConfig)
+def histogram_equalization_policy_factory(knobs, level, shape, rng):
+    return dict(channels=sample_channels(rng))
 
 
 @attr.define
@@ -191,28 +95,15 @@ class ComplementConfigGeneratorConfig:
     threshold_max: int = 177
 
 
-class ComplementConfigGenerator(
-    DistortionConfigGenerator[ComplementConfigGeneratorConfig, distortion.ComplementConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        channels = sample_channels(rng)
-        threshold = None
-        enable_threshold_lte = rng.random() < 0.5
-        if self.level >= self.config.enable_threshold_level:
-            threshold = int(
-                rng.integers(self.config.threshold_min, self.config.threshold_max + 1)
-            )
-        return distortion.ComplementConfig(
-            threshold=threshold,
-            enable_threshold_lte=enable_threshold_lte,
-            channels=channels,
-        )
-
-
-complement_policy_factory = DistortionPolicyFactory(
-    distortion.complement, ComplementConfigGenerator
-)
+@policy_factory(distortion.complement, ComplementConfigGeneratorConfig)
+def complement_policy_factory(knobs, level, shape, rng):
+    channels = sample_channels(rng)
+    enable_threshold_lte = rng.random() < 0.5
+    threshold = None
+    if level >= knobs.enable_threshold_level:
+        threshold = int(rng.integers(knobs.threshold_min, knobs.threshold_max + 1))
+    return dict(threshold=threshold, enable_threshold_lte=enable_threshold_lte,
+                channels=channels)
 
 
 @attr.define
@@ -222,22 +113,10 @@ class PosterizationConfigGeneratorConfig:
     threshold_max: int = 177
 
 
-class PosterizationConfigGenerator(
-    DistortionConfigGenerator[
-        PosterizationConfigGeneratorConfig, distortion.PosterizationConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        # Map level to [1, 7] cleared bits.
-        num_bits = round(self.level / LEVEL_MAX * 7)
-        channels = sample_channels(rng)
-        return distortion.PosterizationConfig(num_bits=num_bits, channels=channels)
-
-
-posterization_policy_factory = DistortionPolicyFactory(
-    distortion.posterization, PosterizationConfigGenerator
-)
+@policy_factory(distortion.posterization, PosterizationConfigGeneratorConfig)
+def posterization_policy_factory(knobs, level, shape, rng):
+    # Level maps linearly onto [1, 7] cleared bits.
+    return dict(num_bits=round(level / LEVEL_MAX * 7), channels=sample_channels(rng))
 
 
 @attr.define
@@ -246,27 +125,11 @@ class ColorBalanceConfigGeneratorConfig:
     ratio_max: float = 1.0
 
 
-class ColorBalanceConfigGenerator(
-    DistortionConfigGenerator[
-        ColorBalanceConfigGeneratorConfig, distortion.ColorBalanceConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        ratio = sample_float(
-            level=self.level,
-            value_min=self.config.ratio_min,
-            value_max=self.config.ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-            inverse_level=True,
-        )
-        return distortion.ColorBalanceConfig(ratio=ratio)
-
-
-color_balance_policy_factory = DistortionPolicyFactory(
-    distortion.color_balance, ColorBalanceConfigGenerator
-)
+@policy_factory(distortion.color_balance, ColorBalanceConfigGeneratorConfig)
+def color_balance_policy_factory(knobs, level, shape, rng):
+    ratio = sample_float(level, knobs.ratio_min, knobs.ratio_max, None, rng,
+                         inverse_level=True)
+    return dict(ratio=ratio)
 
 
 @attr.define
@@ -274,16 +137,6 @@ class ChannelPermutationConfigGeneratorConfig:
     pass
 
 
-class ChannelPermutationConfigGenerator(
-    DistortionConfigGenerator[
-        ChannelPermutationConfigGeneratorConfig, distortion.ChannelPermutationConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        return distortion.ChannelPermutationConfig()
-
-
-channel_permutation_policy_factory = DistortionPolicyFactory(
-    distortion.channel_permutation, ChannelPermutationConfigGenerator
-)
+@policy_factory(distortion.channel_permutation, ChannelPermutationConfigGeneratorConfig)
+def channel_permutation_policy_factory(knobs, level, shape, rng):
+    return {}

@@ -1,15 +1,13 @@
-"""Effect policy generators (3).
+"""Effect policy samplers (3).
 
-Capability parity: vkit/mechanism/distortion_policy/photometric/effect.py.
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/photometric/effect.py); sampling re-derived.
 """
-from typing import Tuple
-
 import attr
-from numpy.random import Generator as RandomGenerator
 
 from ....mechanism import distortion
 from ..opt import sample_float, sample_int
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
 @attr.define
@@ -18,27 +16,11 @@ class JpegQualityConfigGeneratorConfig:
     quality_max: int = 50
 
 
-class JpegQualityConfigGenerator(
-    DistortionConfigGenerator[
-        JpegQualityConfigGeneratorConfig, distortion.JpegQualityConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        quality = sample_int(
-            level=self.level,
-            value_min=self.config.quality_min,
-            value_max=self.config.quality_max,
-            prob_negative=None,
-            rng=rng,
-            inverse_level=True,
-        )
-        return distortion.JpegQualityConfig(quality=quality)
-
-
-jpeg_quality_policy_factory = DistortionPolicyFactory(
-    distortion.jpeg_quality, JpegQualityConfigGenerator
-)
+@policy_factory(distortion.jpeg_quality, JpegQualityConfigGeneratorConfig)
+def jpeg_quality_policy_factory(knobs, level, shape, rng):
+    quality = sample_int(level, knobs.quality_min, knobs.quality_max, None, rng,
+                         inverse_level=True)
+    return dict(quality=quality)
 
 
 @attr.define
@@ -47,27 +29,11 @@ class PixelationConfigGeneratorConfig:
     ratio_max: float = 1.0
 
 
-class PixelationConfigGenerator(
-    DistortionConfigGenerator[
-        PixelationConfigGeneratorConfig, distortion.PixelationConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        ratio = sample_float(
-            level=self.level,
-            value_min=self.config.ratio_min,
-            value_max=self.config.ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-            inverse_level=True,
-        )
-        return distortion.PixelationConfig(ratio=ratio)
-
-
-pixelation_policy_factory = DistortionPolicyFactory(
-    distortion.pixelation, PixelationConfigGenerator
-)
+@policy_factory(distortion.pixelation, PixelationConfigGeneratorConfig)
+def pixelation_policy_factory(knobs, level, shape, rng):
+    ratio = sample_float(level, knobs.ratio_min, knobs.ratio_max, None, rng,
+                         inverse_level=True)
+    return dict(ratio=ratio)
 
 
 @attr.define
@@ -78,26 +44,11 @@ class FogConfigGeneratorConfig:
     ratio_max_max: float = 0.75
 
 
-class FogConfigGenerator(
-    DistortionConfigGenerator[FogConfigGeneratorConfig, distortion.FogConfig]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        roughness = sample_float(
-            level=self.level,
-            value_min=self.config.roughness_min,
-            value_max=self.config.roughness_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        ratio_max = sample_float(
-            level=self.level,
-            value_min=self.config.ratio_max_min,
-            value_max=self.config.ratio_max_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        return distortion.FogConfig(roughness=roughness, ratio_max=ratio_max)
-
-
-fog_policy_factory = DistortionPolicyFactory(distortion.fog, FogConfigGenerator)
+@policy_factory(distortion.fog, FogConfigGeneratorConfig)
+def fog_policy_factory(knobs, level, shape, rng):
+    return dict(
+        roughness=sample_float(level, knobs.roughness_min, knobs.roughness_max,
+                               None, rng),
+        ratio_max=sample_float(level, knobs.ratio_max_min, knobs.ratio_max_max,
+                               None, rng),
+    )

@@ -1,15 +1,13 @@
-"""Noise policy generators (4).
+"""Noise policy samplers (4).
 
-Capability parity: vkit/mechanism/distortion_policy/photometric/noise.py.
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/photometric/noise.py); sampling re-derived.
 """
-from typing import Tuple
-
 import attr
-from numpy.random import Generator as RandomGenerator
 
 from ....mechanism import distortion
 from ..opt import sample_float
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
 
 
 @attr.define
@@ -18,26 +16,9 @@ class GaussionNoiseConfigGeneratorConfig:
     std_max: float = 35.0
 
 
-class GaussionNoiseConfigGenerator(
-    DistortionConfigGenerator[
-        GaussionNoiseConfigGeneratorConfig, distortion.GaussionNoiseConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        std = sample_float(
-            level=self.level,
-            value_min=self.config.std_min,
-            value_max=self.config.std_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        return distortion.GaussionNoiseConfig(std=std)
-
-
-gaussion_noise_policy_factory = DistortionPolicyFactory(
-    distortion.gaussion_noise, GaussionNoiseConfigGenerator
-)
+@policy_factory(distortion.gaussion_noise, GaussionNoiseConfigGeneratorConfig)
+def gaussion_noise_policy_factory(knobs, level, shape, rng):
+    return dict(std=sample_float(level, knobs.std_min, knobs.std_max, None, rng))
 
 
 @attr.define
@@ -45,19 +26,9 @@ class PoissonNoiseConfigGeneratorConfig:
     pass
 
 
-class PoissonNoiseConfigGenerator(
-    DistortionConfigGenerator[
-        PoissonNoiseConfigGeneratorConfig, distortion.PoissonNoiseConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        return distortion.PoissonNoiseConfig()
-
-
-poisson_noise_policy_factory = DistortionPolicyFactory(
-    distortion.poisson_noise, PoissonNoiseConfigGenerator
-)
+@policy_factory(distortion.poisson_noise, PoissonNoiseConfigGeneratorConfig)
+def poisson_noise_policy_factory(knobs, level, shape, rng):
+    return {}
 
 
 @attr.define
@@ -66,34 +37,13 @@ class ImpulseNoiseConfigGeneratorConfig:
     prob_presv_max: float = 1.0
 
 
-class ImpulseNoiseConfigGenerator(
-    DistortionConfigGenerator[
-        ImpulseNoiseConfigGeneratorConfig, distortion.ImpulseNoiseConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        prob_presv = sample_float(
-            level=self.level,
-            value_min=self.config.prob_presv_min,
-            value_max=self.config.prob_presv_max,
-            prob_reciprocal=None,
-            rng=rng,
-            inverse_level=True,
-        )
-        prob_not_presv = 1 - prob_presv
-        salt_ratio = rng.uniform()
-        prob_salt = prob_not_presv * salt_ratio
-        prob_pepper = prob_not_presv - prob_salt
-        return distortion.ImpulseNoiseConfig(
-            prob_salt=prob_salt,
-            prob_pepper=prob_pepper,
-        )
-
-
-impulse_noise_policy_factory = DistortionPolicyFactory(
-    distortion.impulse_noise, ImpulseNoiseConfigGenerator
-)
+@policy_factory(distortion.impulse_noise, ImpulseNoiseConfigGeneratorConfig)
+def impulse_noise_policy_factory(knobs, level, shape, rng):
+    prob_keep = sample_float(level, knobs.prob_presv_min, knobs.prob_presv_max,
+                             None, rng, inverse_level=True)
+    budget = 1 - prob_keep
+    prob_salt = budget * rng.uniform()
+    return dict(prob_salt=prob_salt, prob_pepper=budget - prob_salt)
 
 
 @attr.define
@@ -102,23 +52,6 @@ class SpeckleNoiseConfigGeneratorConfig:
     std_max: float = 0.3
 
 
-class SpeckleNoiseConfigGenerator(
-    DistortionConfigGenerator[
-        SpeckleNoiseConfigGeneratorConfig, distortion.SpeckleNoiseConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        std = sample_float(
-            level=self.level,
-            value_min=self.config.std_min,
-            value_max=self.config.std_max,
-            prob_reciprocal=None,
-            rng=rng,
-        )
-        return distortion.SpeckleNoiseConfig(std=std)
-
-
-speckle_noise_policy_factory = DistortionPolicyFactory(
-    distortion.speckle_noise, SpeckleNoiseConfigGenerator
-)
+@policy_factory(distortion.speckle_noise, SpeckleNoiseConfigGeneratorConfig)
+def speckle_noise_policy_factory(knobs, level, shape, rng):
+    return dict(std=sample_float(level, knobs.std_min, knobs.std_max, None, rng))

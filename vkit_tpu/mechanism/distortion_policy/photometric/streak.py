@@ -1,15 +1,44 @@
-"""Streak policy generators (3).
+"""Streak policy samplers (3).
 
-Capability parity: vkit/mechanism/distortion_policy/photometric/streak.py.
+Parameter tables match the reference defaults exactly (config compat:
+vkit/mechanism/distortion_policy/photometric/streak.py); sampling re-derived.
 """
-from typing import Tuple
-
 import attr
-from numpy.random import Generator as RandomGenerator
 
 from ....mechanism import distortion
 from ..opt import sample_float
-from ..type import DistortionConfigGenerator, DistortionPolicyFactory
+from ..type import policy_factory
+
+
+def _sample_dash(knobs, long_side: int, rng):
+    if rng.random() >= knobs.prob_dash:
+        return 0, 0
+    thickness_ratio = float(rng.uniform(
+        knobs.dash_thickness_ratio_min, knobs.dash_thickness_ratio_max
+    ))
+    dash_thickness = round(thickness_ratio * long_side)
+    gap_ratio = float(rng.uniform(
+        knobs.dash_to_thickness_gap_ratio_min, knobs.dash_to_thickness_gap_ratio_max
+    ))
+    return dash_thickness, round(gap_ratio * dash_thickness)
+
+
+def _sample_concentric(knobs, level, shape, rng):
+    """Shared thickness / aspect / short-side geometry for rect + ellipse."""
+    long_side = max(shape)
+    min_ratio = sample_float(level, knobs.short_side_min_ratio_min,
+                             knobs.short_side_min_ratio_max, None, rng,
+                             inverse_level=True)
+    short_side_min = max(knobs.short_side_min, round(min_ratio * long_side))
+    step_ratio = rng.uniform(knobs.short_side_step_ratio_min,
+                             knobs.short_side_step_ratio_max)
+    return dict(
+        thickness=int(rng.integers(knobs.thickness_min, knobs.thickness_max + 1)),
+        aspect_ratio=rng.uniform(knobs.aspect_ratio_min, knobs.aspect_ratio_max),
+        short_side_min=short_side_min,
+        short_side_step=round(step_ratio * short_side_min),
+        alpha=rng.uniform(knobs.alpha_min, knobs.alpha_max),
+    )
 
 
 @attr.define
@@ -28,101 +57,25 @@ class LineStreakConfigGeneratorConfig:
     alpha_max: float = 1.0
 
 
-def _sample_dash(config, long_side_length: int, rng: RandomGenerator):
-    dash_thickness = 0
-    dash_gap = 0
-    if rng.random() < config.prob_dash:
-        dash_thickness_ratio = float(
-            rng.uniform(config.dash_thickness_ratio_min, config.dash_thickness_ratio_max)
-        )
-        dash_thickness = round(dash_thickness_ratio * long_side_length)
-        dash_to_thickness_gap_ratio = float(
-            rng.uniform(
-                config.dash_to_thickness_gap_ratio_min,
-                config.dash_to_thickness_gap_ratio_max,
-            )
-        )
-        dash_gap = round(dash_to_thickness_gap_ratio * dash_thickness)
-    return dash_thickness, dash_gap
-
-
-class LineStreakConfigGenerator(
-    DistortionConfigGenerator[
-        LineStreakConfigGeneratorConfig, distortion.LineStreakConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        long_side_length = max(shape)
-        gap_ratio = sample_float(
-            level=self.level,
-            value_min=self.config.gap_ratio_min,
-            value_max=self.config.gap_ratio_max,
-            prob_reciprocal=None,
-            rng=rng,
-            inverse_level=True,
-        )
-        gap = max(self.config.gap_min, round(gap_ratio * long_side_length))
-        thickness = int(
-            rng.integers(self.config.thickness_min, self.config.thickness_max + 1)
-        )
-        dash_thickness, dash_gap = _sample_dash(self.config, long_side_length, rng)
-        alpha = rng.uniform(self.config.alpha_min, self.config.alpha_max)
-
-        mode = rng.integers(0, 3)
-        enable_vert = mode in (0, 2)
-        enable_hori = mode in (1, 2)
-
-        return distortion.LineStreakConfig(
-            thickness=thickness,
-            gap=gap,
-            dash_thickness=dash_thickness,
-            dash_gap=dash_gap,
-            alpha=alpha,
-            enable_vert=enable_vert,
-            enable_hori=enable_hori,
-        )
-
-
-line_streak_policy_factory = DistortionPolicyFactory(
-    distortion.line_streak, LineStreakConfigGenerator
-)
-
-
-def sample_params_for_rectangle_and_ellipse_streak(
-    level: int,
-    thickness_min: int,
-    thickness_max: int,
-    aspect_ratio_min: float,
-    aspect_ratio_max: float,
-    short_side_min: int,
-    short_side_min_ratio_min: float,
-    short_side_min_ratio_max: float,
-    short_side_step_ratio_min: float,
-    short_side_step_ratio_max: float,
-    alpha_min: float,
-    alpha_max: float,
-    shape: Tuple[int, int],
-    rng: RandomGenerator,
-):
-    long_side_length = max(shape)
-    short_side_min_ratio = sample_float(
-        level=level,
-        value_min=short_side_min_ratio_min,
-        value_max=short_side_min_ratio_max,
-        prob_reciprocal=None,
-        rng=rng,
-        inverse_level=True,
+@policy_factory(distortion.line_streak, LineStreakConfigGeneratorConfig)
+def line_streak_policy_factory(knobs, level, shape, rng):
+    long_side = max(shape)
+    gap_ratio = sample_float(level, knobs.gap_ratio_min, knobs.gap_ratio_max,
+                             None, rng, inverse_level=True)
+    gap = max(knobs.gap_min, round(gap_ratio * long_side))
+    thickness = int(rng.integers(knobs.thickness_min, knobs.thickness_max + 1))
+    dash_thickness, dash_gap = _sample_dash(knobs, long_side, rng)
+    alpha = rng.uniform(knobs.alpha_min, knobs.alpha_max)
+    orientation = rng.integers(0, 3)  # 0: vert, 1: hori, 2: both
+    return dict(
+        thickness=thickness,
+        gap=gap,
+        dash_thickness=dash_thickness,
+        dash_gap=dash_gap,
+        alpha=alpha,
+        enable_vert=orientation in (0, 2),
+        enable_hori=orientation in (1, 2),
     )
-    short_side_min = max(short_side_min, round(short_side_min_ratio * long_side_length))
-    short_side_step_ratio = rng.uniform(
-        short_side_step_ratio_min, short_side_step_ratio_max
-    )
-    short_side_step = round(short_side_step_ratio * short_side_min)
-    thickness = int(rng.integers(thickness_min, thickness_max + 1))
-    aspect_ratio = rng.uniform(aspect_ratio_min, aspect_ratio_max)
-    alpha = rng.uniform(alpha_min, alpha_max)
-    return thickness, aspect_ratio, short_side_min, short_side_step, alpha
 
 
 @attr.define
@@ -145,47 +98,12 @@ class RectangleStreakConfigGeneratorConfig:
     alpha_max: float = 1.0
 
 
-class RectangleStreakConfigGenerator(
-    DistortionConfigGenerator[
-        RectangleStreakConfigGeneratorConfig, distortion.RectangleStreakConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        (
-            thickness, aspect_ratio, short_side_min, short_side_step, alpha,
-        ) = sample_params_for_rectangle_and_ellipse_streak(
-            level=self.level,
-            thickness_min=self.config.thickness_min,
-            thickness_max=self.config.thickness_max,
-            aspect_ratio_min=self.config.aspect_ratio_min,
-            aspect_ratio_max=self.config.aspect_ratio_max,
-            short_side_min=self.config.short_side_min,
-            short_side_min_ratio_min=self.config.short_side_min_ratio_min,
-            short_side_min_ratio_max=self.config.short_side_min_ratio_max,
-            short_side_step_ratio_min=self.config.short_side_step_ratio_min,
-            short_side_step_ratio_max=self.config.short_side_step_ratio_max,
-            alpha_min=self.config.alpha_min,
-            alpha_max=self.config.alpha_max,
-            shape=shape,
-            rng=rng,
-        )
-        long_side_length = max(shape)
-        dash_thickness, dash_gap = _sample_dash(self.config, long_side_length, rng)
-        return distortion.RectangleStreakConfig(
-            thickness=thickness,
-            aspect_ratio=aspect_ratio,
-            dash_thickness=dash_thickness,
-            dash_gap=dash_gap,
-            short_side_min=short_side_min,
-            short_side_step=short_side_step,
-            alpha=alpha,
-        )
-
-
-rectangle_streak_policy_factory = DistortionPolicyFactory(
-    distortion.rectangle_streak, RectangleStreakConfigGenerator
-)
+@policy_factory(distortion.rectangle_streak, RectangleStreakConfigGeneratorConfig)
+def rectangle_streak_policy_factory(knobs, level, shape, rng):
+    params = _sample_concentric(knobs, level, shape, rng)
+    dash_thickness, dash_gap = _sample_dash(knobs, max(shape), rng)
+    params.update(dash_thickness=dash_thickness, dash_gap=dash_gap)
+    return params
 
 
 @attr.define
@@ -203,40 +121,6 @@ class EllipseStreakConfigGeneratorConfig:
     alpha_max: float = 1.0
 
 
-class EllipseStreakConfigGenerator(
-    DistortionConfigGenerator[
-        EllipseStreakConfigGeneratorConfig, distortion.EllipseStreakConfig
-    ]
-):
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator):
-        (
-            thickness, aspect_ratio, short_side_min, short_side_step, alpha,
-        ) = sample_params_for_rectangle_and_ellipse_streak(
-            level=self.level,
-            thickness_min=self.config.thickness_min,
-            thickness_max=self.config.thickness_max,
-            aspect_ratio_min=self.config.aspect_ratio_min,
-            aspect_ratio_max=self.config.aspect_ratio_max,
-            short_side_min=self.config.short_side_min,
-            short_side_min_ratio_min=self.config.short_side_min_ratio_min,
-            short_side_min_ratio_max=self.config.short_side_min_ratio_max,
-            short_side_step_ratio_min=self.config.short_side_step_ratio_min,
-            short_side_step_ratio_max=self.config.short_side_step_ratio_max,
-            alpha_min=self.config.alpha_min,
-            alpha_max=self.config.alpha_max,
-            shape=shape,
-            rng=rng,
-        )
-        return distortion.EllipseStreakConfig(
-            thickness=thickness,
-            aspect_ratio=aspect_ratio,
-            short_side_min=short_side_min,
-            short_side_step=short_side_step,
-            alpha=alpha,
-        )
-
-
-ellipse_streak_policy_factory = DistortionPolicyFactory(
-    distortion.ellipse_streak, EllipseStreakConfigGenerator
-)
+@policy_factory(distortion.ellipse_streak, EllipseStreakConfigGeneratorConfig)
+def ellipse_streak_policy_factory(knobs, level, shape, rng):
+    return _sample_concentric(knobs, level, shape, rng)

@@ -1,80 +1,63 @@
-"""Policy framework: level-driven config generators around distortions.
+"""Policy framework v2: a policy = (distortion, knobs, sampler function).
 
-Capability parity: vkit/mechanism/distortion_policy/type.py:50-152.
+A *sampler* is a plain function ``sampler(knobs, level, shape, rng) ->
+config-dict-or-instance``; knobs are an attrs class holding the tunable
+parameter table (field names are part of the public config surface).  This
+replaces the reference's per-policy generator-class triple and its generic
+reflection (behavioral spec: vkit/mechanism/distortion_policy/type.py:50-152;
+re-derived).
 """
-from typing import Any, Generic, Mapping, Optional, Tuple, Type, TypeVar, Union
+from typing import Any, Callable, Generic, Mapping, Optional, Type, TypeVar, Union
 
 from numpy.random import Generator as RandomGenerator
 
-from ...element import (
-    Image,
-    Mask,
-    Point,
-    Polygon,
-    ScoreMap,
-    Shapable,
-)
-from ...utility import PathType, dyn_structure, get_generic_classes
-from ..distortion.interface import Distortion, DistortionConfig, DistortionState
+from ...utility import PathType, dyn_structure
+from ..distortion.interface import Distortion
 
-_T_GENERATOR_CONFIG = TypeVar('_T_GENERATOR_CONFIG')
-_T_CONFIG = TypeVar('_T_CONFIG', bound=DistortionConfig)
-_T_STATE = TypeVar('_T_STATE', bound=DistortionState)
+_T_KNOBS = TypeVar('_T_KNOBS')
+
+Sampler = Callable[..., Any]  # (knobs, level, shape, rng) -> config
 
 
-class DistortionConfigGenerator(Generic[_T_GENERATOR_CONFIG, _T_CONFIG]):
+class DistortionPolicy(Generic[_T_KNOBS]):
+    """A leveled random-config wrapper around one distortion."""
 
-    @classmethod
-    def get_generator_config_cls(cls) -> Type[_T_GENERATOR_CONFIG]:
-        return get_generic_classes(cls)[0]  # type: ignore[return-value]
-
-    @classmethod
-    def get_config_cls(cls) -> Type[_T_CONFIG]:
-        return get_generic_classes(cls)[1]  # type: ignore[return-value]
-
-    def __init__(self, config: _T_GENERATOR_CONFIG, level: int):
-        self.config = config
-        assert 1 <= level <= 10
-        self.level = level
-
-    def __call__(self, shape: Tuple[int, int], rng: RandomGenerator) -> _T_CONFIG:
-        raise NotImplementedError()
-
-
-class DistortionPolicy(Generic[_T_GENERATOR_CONFIG, _T_CONFIG, _T_STATE]):
-
-    def __init__(
-        self,
-        distortion: Distortion[_T_CONFIG, _T_STATE],
-        config_for_config_generator: _T_GENERATOR_CONFIG,
-        config_generator_cls: Type[
-            DistortionConfigGenerator[_T_GENERATOR_CONFIG, _T_CONFIG]
-        ],
-    ):
+    def __init__(self, distortion: Distortion, knobs: _T_KNOBS, sampler: Sampler):
         self.distortion = distortion
-        self.config_for_config_generator = config_for_config_generator
-        self.config_generator_cls = config_generator_cls
+        self.knobs = knobs
+        self.sampler = sampler
+
+    @property
+    def name(self) -> str:
+        return self.distortion.config_cls.get_name()
+
+    def __repr__(self):
+        return f'DistortionPolicy({self.name})'
+
+    def sample_config(self, level: int, shape, rng: RandomGenerator):
+        assert 1 <= level <= 10
+        raw = self.sampler(self.knobs, level, shape, rng)
+        return dyn_structure(raw, self.distortion.config_cls)
 
     def distort(
         self,
         level: int,
-        shapable_or_shape: Optional[Union[Shapable, Tuple[int, int]]] = None,
-        image: Optional[Image] = None,
-        mask: Optional[Mask] = None,
-        score_map: Optional[ScoreMap] = None,
-        point: Optional[Point] = None,
+        shapable_or_shape=None,
+        image=None,
+        mask=None,
+        score_map=None,
+        point=None,
         points=None,
         corner_points=None,
-        polygon: Optional[Polygon] = None,
+        polygon=None,
         polygons=None,
         rng: Optional[RandomGenerator] = None,
         enable_debug: bool = False,
     ):
-        config_generator = self.config_generator_cls(
-            self.config_for_config_generator, level
-        )
         return self.distortion.distort(
-            config_or_config_generator=config_generator,
+            config_or_config_generator=(
+                lambda shape, gen_rng: self.sample_config(level, shape, gen_rng)
+            ),
             shapable_or_shape=shapable_or_shape,
             image=image,
             mask=mask,
@@ -89,42 +72,34 @@ class DistortionPolicy(Generic[_T_GENERATOR_CONFIG, _T_CONFIG, _T_STATE]):
             get_state=enable_debug,
         )
 
+
+class DistortionPolicyFactory(Generic[_T_KNOBS]):
+
+    def __init__(self, distortion: Distortion, knobs_cls: Type[_T_KNOBS],
+                 sampler: Sampler):
+        self.distortion = distortion
+        self.knobs_cls = knobs_cls
+        self.sampler = sampler
+
     @property
     def name(self) -> str:
-        return self.config_generator_cls.get_config_cls().get_name()
-
-    def __repr__(self):
-        return f'DistortionPolicy({self.name})'
-
-
-class DistortionPolicyFactory(Generic[_T_GENERATOR_CONFIG, _T_CONFIG, _T_STATE]):
-
-    def __init__(
-        self,
-        distortion: Distortion[_T_CONFIG, _T_STATE],
-        config_generator_cls: Type[
-            DistortionConfigGenerator[_T_GENERATOR_CONFIG, _T_CONFIG]
-        ],
-    ):
-        self.distortion = distortion
-        self.config_generator_cls = config_generator_cls
+        return self.distortion.config_cls.get_name()
 
     def create(
         self,
-        config: Optional[Union[Mapping[str, Any], PathType, _T_GENERATOR_CONFIG]] = None,
-    ) -> DistortionPolicy[_T_GENERATOR_CONFIG, _T_CONFIG, _T_STATE]:
-        config = dyn_structure(
-            config,
-            self.config_generator_cls.get_generator_config_cls(),
-            support_path_type=True,
-            support_none_type=True,
+        config: Optional[Union[Mapping[str, Any], PathType, _T_KNOBS]] = None,
+    ) -> DistortionPolicy[_T_KNOBS]:
+        knobs = dyn_structure(
+            config, self.knobs_cls,
+            support_path_type=True, support_none_type=True,
         )
-        return DistortionPolicy(
-            self.distortion,
-            config,
-            self.config_generator_cls,
-        )
+        return DistortionPolicy(self.distortion, knobs, self.sampler)
 
-    @property
-    def name(self) -> str:
-        return self.config_generator_cls.get_config_cls().get_name()
+
+def policy_factory(distortion: Distortion, knobs_cls: Type[_T_KNOBS]):
+    """Decorator: a sampler function becomes a DistortionPolicyFactory."""
+
+    def wrap(sampler: Sampler) -> DistortionPolicyFactory:
+        return DistortionPolicyFactory(distortion, knobs_cls, sampler)
+
+    return wrap

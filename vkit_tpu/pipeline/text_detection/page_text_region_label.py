@@ -24,7 +24,6 @@ from ...engine.char_mask import (
     CharMaskEngineRunConfig,
     char_mask_engine_executor_aggregator_factory,
 )
-from ...mechanism.distortion.geometric.affine import affine_points
 from ...ops import warp as warp_ops
 from ...utility import normalize_to_probs
 from ..interface import PipelineStep, PipelineStepFactory
@@ -447,10 +446,12 @@ class PageTextRegionLabelStep(
             trans_mat = warp_ops.solve_perspective(np_src_points, np_dst_points)
 
             deviate_points = PointList()
-            for shifted_deviate_point in affine_points(
+            np_deviate = warp_ops.affine_np_points(
                 trans_mat.astype(np.float32),
-                deviate_points_in_bounding_box.to_point_tuple(),
-            ):
+                deviate_points_in_bounding_box.to_point_tuple().to_smooth_np_array(),
+            )
+            for dev_x, dev_y in np_deviate:
+                shifted_deviate_point = Point.create(y=float(dev_y), x=float(dev_x))
                 y = bounding_box.up + shifted_deviate_point.smooth_y
                 x = bounding_box.left + shifted_deviate_point.smooth_x
                 y = float(np.clip(y, 0, page_height - 1))

@@ -1,298 +1,145 @@
-"""Cropper: sample a crop window with pad/core geometry.
+"""Cropper: sample a (crop_size x crop_size) window with pad/core geometry.
 
-Capability parity: vkit/mechanism/cropper.py:28-376.  ``original_box`` lives
-in the source frame; ``target_box`` places the extracted content inside the
-(crop_size, crop_size) canvas; ``target_core_box``/``original_core_box``
-delimit the un-padded core region in each frame.
+Frames: ``original_box`` selects source pixels; ``target_box`` places them
+on the crop canvas; ``target_core_box`` / ``original_core_box`` delimit the
+un-padded core in each frame.  Behavioral spec: vkit/mechanism/cropper.py:
+28-376 (re-derived; one per-axis span sampler + one generic crop routine
+replace the per-raster-kind method triplication).
 """
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
-import attr
 from numpy.random import Generator as RandomGenerator
 
 from ..element import Box, Image, Mask, Point, ScoreMap
 
 
-@attr.define
-class CropperState:
-    height: int
-    width: int
-    pad_value: int
-    crop_size: int
-    original_box: Box
-    target_box: Box
-    target_core_box: Box
-    original_core_box: Box
+class AxisSpan(NamedTuple):
+    """Placement of one axis: source [begin, end] lands at target_offset."""
 
-    @classmethod
-    def sample_cropping_positions_along_axis(
-        cls,
-        core_size: int,
-        pad_size: int,
-        crop_size: int,
-        length: int,
-        rng: RandomGenerator,
-    ):
-        if core_size <= length:
-            core_begin = int(rng.integers(0, length - core_size + 1))
-            begin = core_begin - pad_size
-            target_offset = 0
-            if begin < 0:
-                target_offset = abs(begin)
-                begin = 0
-        else:
-            begin = 0
-            target_offset = pad_size
-            target_offset += int(rng.integers(0, core_size - length + 1))
+    target_offset: int
+    begin: int
+    end: int
 
-        end = min(length - 1, begin + (crop_size - target_offset) - 1)
-        return target_offset, begin, end
 
-    @classmethod
-    def create_from_cropping_positions(
-        cls,
-        height: int,
-        width: int,
-        pad_size: int,
-        pad_value: int,
-        core_size: int,
-        crop_size: int,
-        target_vert_offset: int,
-        original_up: int,
-        original_down: int,
-        target_hori_offset: int,
-        original_left: int,
-        original_right: int,
-    ) -> 'CropperState':
-        original_box = Box(
-            up=original_up, down=original_down,
-            left=original_left, right=original_right,
-        )
-        target_box = Box(
-            up=target_vert_offset,
-            down=target_vert_offset + original_box.height - 1,
-            left=target_hori_offset,
-            right=target_hori_offset + original_box.width - 1,
-        )
-        target_core_begin = pad_size
-        target_core_end = target_core_begin + core_size - 1
-        target_core_box = Box(
-            up=target_core_begin, down=target_core_end,
-            left=target_core_begin, right=target_core_end,
-        )
-        original_core_box = Box(
-            up=original_up + target_core_box.up - target_box.up,
-            down=original_down + target_core_box.down - target_box.down,
-            left=original_left + target_core_box.left - target_box.left,
-            right=original_right + target_core_box.right - target_box.right,
-        )
-        return CropperState(
-            height=height,
-            width=width,
-            pad_value=pad_value,
-            crop_size=crop_size,
-            original_box=original_box,
-            target_box=target_box,
-            target_core_box=target_core_box,
-            original_core_box=original_core_box,
-        )
+def _random_span(core_size: int, pad_size: int, crop_size: int, length: int,
+                 rng: RandomGenerator) -> AxisSpan:
+    if core_size <= length:
+        core_begin = int(rng.integers(0, length - core_size + 1))
+        begin = core_begin - pad_size
+        offset = max(0, -begin)
+        begin = max(0, begin)
+    else:
+        # Content shorter than the core: center-ish placement inside it.
+        begin = 0
+        offset = pad_size + int(rng.integers(0, core_size - length + 1))
+    end = min(length - 1, begin + (crop_size - offset) - 1)
+    return AxisSpan(offset, begin, end)
 
-    @classmethod
-    def create_from_random_proposal(
-        cls,
-        shape: Tuple[int, int],
-        core_size: int,
-        pad_size: int,
-        pad_value: int,
-        rng: RandomGenerator,
-    ) -> 'CropperState':
-        height, width = shape
-        crop_size = 2 * pad_size + core_size
-        target_vert_offset, original_up, original_down = (
-            cls.sample_cropping_positions_along_axis(
-                core_size=core_size, pad_size=pad_size, crop_size=crop_size,
-                length=height, rng=rng,
-            )
-        )
-        target_hori_offset, original_left, original_right = (
-            cls.sample_cropping_positions_along_axis(
-                core_size=core_size, pad_size=pad_size, crop_size=crop_size,
-                length=width, rng=rng,
-            )
-        )
-        return cls.create_from_cropping_positions(
-            height=height, width=width,
-            pad_size=pad_size, pad_value=pad_value,
-            core_size=core_size, crop_size=crop_size,
-            target_vert_offset=target_vert_offset,
-            original_up=original_up,
-            original_down=original_down,
-            target_hori_offset=target_hori_offset,
-            original_left=original_left,
-            original_right=original_right,
-        )
 
-    @classmethod
-    def create_from_center_point(
-        cls,
-        shape: Tuple[int, int],
-        core_size: int,
-        pad_size: int,
-        pad_value: int,
-        center_point: Point,
-    ) -> 'CropperState':
-        height, width = shape
-        crop_size = 2 * pad_size + core_size
-        assert 0 <= center_point.y < height
-        assert 0 <= center_point.x < width
-
-        target_vert_offset = 0
-        up = center_point.y - crop_size // 2
-        down = up + crop_size - 1
-        if up < 0:
-            target_vert_offset = abs(up)
-            up = 0
-        down = min(height - 1, down)
-
-        target_hori_offset = 0
-        left = center_point.x - crop_size // 2
-        right = left + crop_size - 1
-        if left < 0:
-            target_hori_offset = abs(left)
-            left = 0
-        right = min(width - 1, right)
-
-        return cls.create_from_cropping_positions(
-            height=height, width=width,
-            pad_size=pad_size, pad_value=pad_value,
-            core_size=core_size, crop_size=crop_size,
-            target_vert_offset=target_vert_offset,
-            original_up=up,
-            original_down=down,
-            target_hori_offset=target_hori_offset,
-            original_left=left,
-            original_right=right,
-        )
-
-    @property
-    def need_post_filling(self) -> bool:
-        return (
-            self.original_box.height != self.crop_size
-            or self.original_box.width != self.crop_size
-        )
-
-    @property
-    def cropped_shape(self) -> Tuple[int, int]:
-        return (self.crop_size, self.crop_size)
+def _centered_span(center: int, crop_size: int, length: int) -> AxisSpan:
+    begin = center - crop_size // 2
+    offset = max(0, -begin)
+    begin = max(0, begin)
+    end = min(length - 1, begin + crop_size - 1 - offset)
+    return AxisSpan(offset, begin, end)
 
 
 class Cropper:
 
-    @classmethod
-    def create_from_random_proposal(
-        cls,
-        shape: Tuple[int, int],
-        core_size: int,
-        pad_size: int,
-        rng: RandomGenerator,
-        pad_value: int = 0,
-    ) -> 'Cropper':
-        return Cropper(
-            CropperState.create_from_random_proposal(
-                shape=shape,
-                core_size=core_size,
-                pad_size=pad_size,
-                pad_value=pad_value,
-                rng=rng,
-            )
+    def __init__(self, shape: Tuple[int, int], core_size: int, pad_size: int,
+                 pad_value: int, vert: AxisSpan, hori: AxisSpan):
+        self.height, self.width = shape
+        self.core_size = core_size
+        self.pad_size = pad_size
+        self.pad_value = pad_value
+        self.crop_size = 2 * pad_size + core_size
+
+        self.original_box = Box(vert.begin, vert.end, hori.begin, hori.end)
+        self.target_box = Box(
+            vert.target_offset,
+            vert.target_offset + self.original_box.height - 1,
+            hori.target_offset,
+            hori.target_offset + self.original_box.width - 1,
+        )
+        self.target_core_box = Box(
+            pad_size, pad_size + core_size - 1,
+            pad_size, pad_size + core_size - 1,
+        )
+        # The core region mapped back into the source frame.
+        self.original_core_box = Box(
+            self.original_box.up + (self.target_core_box.up - self.target_box.up),
+            self.original_box.down + (self.target_core_box.down - self.target_box.down),
+            self.original_box.left + (self.target_core_box.left - self.target_box.left),
+            self.original_box.right + (self.target_core_box.right - self.target_box.right),
         )
 
     @classmethod
-    def create_from_center_point(
-        cls,
-        shape: Tuple[int, int],
-        core_size: int,
-        pad_size: int,
-        center_point: Point,
-        pad_value: int = 0,
-    ) -> 'Cropper':
-        return Cropper(
-            CropperState.create_from_center_point(
-                shape=shape,
-                core_size=core_size,
-                pad_size=pad_size,
-                pad_value=pad_value,
-                center_point=center_point,
-            )
+    def create_from_random_proposal(cls, shape: Tuple[int, int], core_size: int,
+                                    pad_size: int, rng: RandomGenerator,
+                                    pad_value: int = 0) -> 'Cropper':
+        height, width = shape
+        crop_size = 2 * pad_size + core_size
+        return cls(
+            shape, core_size, pad_size, pad_value,
+            vert=_random_span(core_size, pad_size, crop_size, height, rng),
+            hori=_random_span(core_size, pad_size, crop_size, width, rng),
         )
 
-    def __init__(self, cropper_state: CropperState):
-        self.cropper_state = cropper_state
-
-    @property
-    def original_box(self) -> Box:
-        return self.cropper_state.original_box
-
-    @property
-    def target_box(self) -> Box:
-        return self.cropper_state.target_box
-
-    @property
-    def target_core_box(self) -> Box:
-        return self.cropper_state.target_core_box
-
-    @property
-    def original_core_box(self) -> Box:
-        return self.cropper_state.original_core_box
+    @classmethod
+    def create_from_center_point(cls, shape: Tuple[int, int], core_size: int,
+                                 pad_size: int, center_point: Point,
+                                 pad_value: int = 0) -> 'Cropper':
+        height, width = shape
+        assert 0 <= center_point.y < height and 0 <= center_point.x < width
+        crop_size = 2 * pad_size + core_size
+        return cls(
+            shape, core_size, pad_size, pad_value,
+            vert=_centered_span(center_point.y, crop_size, height),
+            hori=_centered_span(center_point.x, crop_size, width),
+        )
 
     @property
     def need_post_filling(self) -> bool:
-        return self.cropper_state.need_post_filling
-
-    @property
-    def crop_size(self) -> int:
-        return self.cropper_state.crop_size
+        return self.original_box.shape != (self.crop_size, self.crop_size)
 
     @property
     def cropped_shape(self) -> Tuple[int, int]:
-        return self.cropper_state.cropped_shape
+        return self.crop_size, self.crop_size
 
-    @property
-    def pad_value(self) -> int:
-        return self.cropper_state.pad_value
+    # One generic crop routine serves every raster kind.
+
+    def _crop(self, raster, make_blank, core_only: bool):
+        from ..element.raster import lift, paint
+        out = lift(self.original_box, raster)
+        if self.need_post_filling:
+            blank = make_blank()
+            paint(blank, self.target_box, out)
+            out = blank
+        if core_only:
+            out = lift(self.target_core_box, out).to_box_attached(
+                self.target_core_box
+            )
+        return out
 
     def crop_mask(self, mask: Mask, core_only: bool = False) -> Mask:
-        mask = self.original_box.extract_mask(mask)
-        if self.need_post_filling:
-            new_mask = Mask.from_shape(self.cropped_shape)
-            self.target_box.fill_mask(new_mask, mask)
-            mask = new_mask
-        if core_only:
-            mask = self.target_core_box.extract_mask(mask)
-            mask = mask.to_box_attached(self.target_core_box)
-        return mask
+        return self._crop(
+            mask, lambda: Mask.from_shape(self.cropped_shape), core_only
+        )
 
-    def crop_score_map(self, score_map: ScoreMap, core_only: bool = False) -> ScoreMap:
-        score_map = self.original_box.extract_score_map(score_map)
-        if self.need_post_filling:
-            new_score_map = ScoreMap.from_shape(
-                self.cropped_shape, is_prob=score_map.is_prob
-            )
-            self.target_box.fill_score_map(new_score_map, score_map)
-            score_map = new_score_map
-        if core_only:
-            score_map = self.target_core_box.extract_score_map(score_map)
-            score_map = score_map.to_box_attached(self.target_core_box)
-        return score_map
+    def crop_score_map(self, score_map: ScoreMap, core_only: bool = False
+                       ) -> ScoreMap:
+        return self._crop(
+            score_map,
+            lambda: ScoreMap.from_shape(self.cropped_shape,
+                                        is_prob=score_map.is_prob),
+            core_only,
+        )
 
     def crop_image(self, image: Image) -> Image:
-        image = self.original_box.extract_image(image)
-        if self.need_post_filling:
-            new_image = Image.from_shape(
-                self.cropped_shape,
-                num_channels=image.num_channels,
-                value=self.pad_value,
-            )
-            self.target_box.fill_image(new_image, image)
-            image = new_image
-        return image
+        return self._crop(
+            image,
+            lambda: Image.from_shape(self.cropped_shape,
+                                     num_channels=image.num_channels,
+                                     value=self.pad_value),
+            core_only=False,
+        )

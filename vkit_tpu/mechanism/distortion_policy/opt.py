@@ -38,14 +38,9 @@ def func_quad(x: float) -> float:
     return -x * x + 2 * x
 
 
-def sample_int(
-    level: int,
-    value_min: int,
-    value_max: int,
-    prob_negative: Optional[float],
-    rng: RandomGenerator,
-    inverse_level: bool = False,
-) -> int:
+def sample_int(level: int, value_min: int, value_max: int,
+               prob_negative: Optional[float], rng: RandomGenerator,
+               inverse_level: bool = False) -> int:
     lo, hi = _level_window(level, inverse_level, SampleFloatMode.LINEAR)
     span = value_max - value_min
     bound_lo = round(value_min + lo * span)
@@ -58,15 +53,10 @@ def sample_int(
     return value
 
 
-def sample_float(
-    level: int,
-    value_min: float,
-    value_max: float,
-    prob_reciprocal: Optional[float],
-    rng: RandomGenerator,
-    mode: SampleFloatMode = SampleFloatMode.LINEAR,
-    inverse_level: bool = False,
-) -> float:
+def sample_float(level: int, value_min: float, value_max: float,
+                 prob_reciprocal: Optional[float], rng: RandomGenerator,
+                 mode: SampleFloatMode = SampleFloatMode.LINEAR,
+                 inverse_level: bool = False) -> float:
     lo, hi = _level_window(level, inverse_level, mode)
     span = value_max - value_min
     value = rng.uniform(value_min + lo * span, value_min + hi * span)

@@ -58,12 +58,7 @@ class BarcodeCode39EngineInitConfig:
 
 
 class BarcodeCode39Engine(
-    Engine[
-        BarcodeCode39EngineInitConfig,
-        NoneTypeEngineInitResource,
-        BarcodeEngineRunConfig,
-        ScoreMap,
-    ]
+    Engine[BarcodeCode39EngineInitConfig, NoneTypeEngineInitResource, BarcodeEngineRunConfig, ScoreMap]
 ):
 
     @classmethod

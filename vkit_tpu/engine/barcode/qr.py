@@ -1,10 +1,9 @@
 """QR barcode engine.
 
-Capability parity: vkit/engine/barcode/qr.py:33-97.  QR encoding is a
-host-side content step; unlike the reference's cv2.QRCodeEncoder call, the
-symbol is produced by the first-party ISO/IEC 18004 encoder in
-qr_encode.py (byte mode, ECC L) — cv2 appears only in tests, as the decode
-oracle.
+Behavioral spec: vkit/engine/barcode/qr.py:33-97 (re-derived).  The symbol
+comes from the first-party ISO/IEC 18004 encoder (qr_encode.py, byte mode,
+ECC L) rather than cv2.QRCodeEncoder; cv2 appears only in tests as the
+decode oracle.
 """
 import string
 from typing import Optional
@@ -18,24 +17,26 @@ from ..interface import Engine, EngineExecutorFactory, NoneTypeEngineInitResourc
 from .qr_encode import encode_qr
 from .type import BarcodeEngineRunConfig
 
-CV_PAYLOAD_TEXT_LENGTH_MAX = 150
+# Matches the capacity ceiling the reference imposes via cv2's encoder.
+PAYLOAD_LENGTH_CEILING = 150
+_ALPHABET = tuple(string.ascii_letters)
 
 
 @attr.define
 class BarcodeQrEngineInitConfig:
     payload_text_length_min: int = 1
-    payload_text_length_max: int = CV_PAYLOAD_TEXT_LENGTH_MAX
+    payload_text_length_max: int = PAYLOAD_LENGTH_CEILING
     alpha_min: float = 0.7
     alpha_max: float = 1.0
 
 
+def _random_payload(length_min: int, length_max: int, rng: RandomGenerator) -> str:
+    length = int(rng.integers(length_min, length_max + 1))
+    return ''.join(rng_choice_with_size(rng, _ALPHABET, size=length))
+
+
 class BarcodeQrEngine(
-    Engine[
-        BarcodeQrEngineInitConfig,
-        NoneTypeEngineInitResource,
-        BarcodeEngineRunConfig,
-        ScoreMap,
-    ]
+    Engine[BarcodeQrEngineInitConfig, NoneTypeEngineInitResource, BarcodeEngineRunConfig, ScoreMap]
 ):
 
     @classmethod
@@ -44,38 +45,26 @@ class BarcodeQrEngine(
 
     def __init__(self, init_config, init_resource=None):
         super().__init__(init_config, init_resource)
-        assert self.init_config.payload_text_length_max <= CV_PAYLOAD_TEXT_LENGTH_MAX
-        self.ascii_letters = tuple(string.ascii_letters)
+        assert init_config.payload_text_length_max <= PAYLOAD_LENGTH_CEILING
 
     def run(self, run_config: BarcodeEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> ScoreMap:
         assert rng is not None
-
-        payload_text_length = int(
-            rng.integers(
-                self.init_config.payload_text_length_min,
-                self.init_config.payload_text_length_max + 1,
-            )
-        )
-        payload_text = ''.join(
-            rng_choice_with_size(rng, self.ascii_letters, size=payload_text_length)
+        cfg = self.init_config
+        payload = _random_payload(
+            cfg.payload_text_length_min, cfg.payload_text_length_max, rng
         )
 
-        # Dark modules are the activated pixels.
-        mask = Mask(mat=encode_qr(payload_text))
-        assert mask.height == mask.width
+        # Dark modules become alpha-weighted activations.
+        modules = Mask(mat=encode_qr(payload))
+        assert modules.height == modules.width
+        score_map = ScoreMap.from_shapable(modules)
+        score_map[modules] = float(rng.uniform(cfg.alpha_min, cfg.alpha_max))
 
-        qrcode_score_map = ScoreMap.from_shapable(mask)
-        qrcode_score_map[mask] = float(
-            rng.uniform(self.init_config.alpha_min, self.init_config.alpha_max)
-        )
-
-        if qrcode_score_map.shape != (run_config.height, run_config.width):
-            qrcode_score_map = qrcode_score_map.to_resized_score_map(
-                resized_height=run_config.height,
-                resized_width=run_config.width,
-            )
-        return qrcode_score_map
+        target = (run_config.height, run_config.width)
+        if score_map.shape != target:
+            score_map = score_map.to_resized_score_map(*target)
+        return score_map
 
 
 barcode_qr_engine_executor_factory = EngineExecutorFactory(BarcodeQrEngine)

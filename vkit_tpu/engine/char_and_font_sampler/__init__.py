@@ -1,6 +1,8 @@
-"""Char + font sampling engine.
+"""Char + font sampling: draw a char sequence sized to the target box, then
+pick a font variant that covers every char.
 
-Capability parity: vkit/engine/char_and_font_sampler/__init__.py:39-137.
+Behavioral spec: vkit/engine/char_and_font_sampler/__init__.py:39-137
+(re-derived).
 """
 import logging
 import math
@@ -25,6 +27,12 @@ from ..interface import (
 )
 
 logger = logging.getLogger(__name__)
+
+# Chars per box ~ long side / char side, by layout direction.
+_ASPECT_BY_SEQUENCE = {
+    FontEngineRunConfigGlyphSequence.HORI_DEFAULT: lambda h, w: w / h,
+    FontEngineRunConfigGlyphSequence.VERT_DEFAULT: lambda h, w: h / w,
+}
 
 
 @attr.define
@@ -52,12 +60,7 @@ class CharAndFont:
 
 
 class CharAndFontSamplerEngine(
-    Engine[
-        NoneTypeEngineInitConfig,
-        CharAndFontSamplerEngineInitResource,
-        CharAndFontSamplerEngineRunConfig,
-        Optional[CharAndFont],
-    ]
+    Engine[NoneTypeEngineInitConfig, CharAndFontSamplerEngineInitResource, CharAndFontSamplerEngineRunConfig, Optional[CharAndFont]]
 ):
 
     @classmethod
@@ -67,48 +70,38 @@ class CharAndFontSamplerEngine(
     def __init__(self, init_config, init_resource=None):
         super().__init__(init_config, init_resource)
         assert init_resource
-        self.font_collection = init_resource.font_collection
-        self.lexicon_collection = init_resource.lexicon_collection
-        self.char_sampler_engine_executor_aggregator = (
-            init_resource.char_sampler_engine_executor_aggregator
-        )
+        self.resource = init_resource
 
     @classmethod
     def estimate_num_chars(cls, run_config: CharAndFontSamplerEngineRunConfig) -> int:
         if run_config.num_chars:
             return run_config.num_chars
-        if run_config.glyph_sequence == FontEngineRunConfigGlyphSequence.HORI_DEFAULT:
-            num_chars = run_config.width / run_config.height
-        elif run_config.glyph_sequence == FontEngineRunConfigGlyphSequence.VERT_DEFAULT:
-            num_chars = run_config.height / run_config.width
-        else:
-            raise NotImplementedError()
-        return math.ceil(num_chars * run_config.num_chars_factor)
+        aspect = _ASPECT_BY_SEQUENCE[run_config.glyph_sequence]
+        return math.ceil(
+            aspect(run_config.height, run_config.width) * run_config.num_chars_factor
+        )
 
     def run(self, run_config: CharAndFontSamplerEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Optional[CharAndFont]:
         assert rng is not None
-
-        num_chars = self.estimate_num_chars(run_config)
-        chars = self.char_sampler_engine_executor_aggregator.run(
+        chars = self.resource.char_sampler_engine_executor_aggregator.run(
             CharSamplerEngineRunConfig(
-                num_chars=num_chars,
+                num_chars=self.estimate_num_chars(run_config),
                 enable_aggregator_mode=True,
             ),
             rng,
         )
-        logger.debug(f'chars={chars}')
 
-        font_metas = self.font_collection.filter_font_metas(chars)
-        if not font_metas:
-            logger.warning(f'Cannot sample font_metas for chars={chars}')
+        # Only fonts whose glyph set covers every sampled char qualify.
+        candidates = self.resource.font_collection.filter_font_metas(chars)
+        if not candidates:
+            logger.warning(f'no font covers chars={chars!r}')
             return None
-
-        font_meta = rng_choice(rng, font_metas)
-        variant_idx = int(rng.integers(0, font_meta.num_font_variants))
-        font_variant = font_meta.get_font_variant(variant_idx)
-
-        return CharAndFont(chars=chars, font_variant=font_variant)
+        font_meta = rng_choice(rng, candidates)
+        variant = font_meta.get_font_variant(
+            int(rng.integers(0, font_meta.num_font_variants))
+        )
+        return CharAndFont(chars=chars, font_variant=variant)
 
 
 char_and_font_sampler_engine_executor_factory = EngineExecutorFactory(

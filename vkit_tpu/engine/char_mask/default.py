@@ -1,13 +1,14 @@
-"""Default char mask engine: fill char polygons into one mask.
+"""Default char-mask engine: the union of all char polygon footprints.
 
-Capability parity: vkit/engine/char_mask/default.py:31-54.
+Behavioral spec: vkit/engine/char_mask/default.py:31-54 (re-derived on the
+set-op rasterizer).
 """
 from typing import Optional
 
 import attr
 from numpy.random import Generator as RandomGenerator
 
-from ...element import Mask
+from ...element import mask_from_elements
 from ..interface import Engine, EngineExecutorFactory, NoneTypeEngineInitResource
 from .type import CharMask, CharMaskEngineRunConfig
 
@@ -18,12 +19,7 @@ class CharMaskDefaultEngineInitConfig:
 
 
 class CharMaskDefaultEngine(
-    Engine[
-        CharMaskDefaultEngineInitConfig,
-        NoneTypeEngineInitResource,
-        CharMaskEngineRunConfig,
-        CharMask,
-    ]
+    Engine[CharMaskDefaultEngineInitConfig, NoneTypeEngineInitResource, CharMaskEngineRunConfig, CharMask]
 ):
 
     @classmethod
@@ -32,10 +28,11 @@ class CharMaskDefaultEngine(
 
     def run(self, run_config: CharMaskEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> CharMask:
-        combined_chars_mask = Mask.from_shape((run_config.height, run_config.width))
-        for char_polygon in run_config.char_polygons:
-            char_polygon.fill_mask(combined_chars_mask, keep_max_value=True)
-        return CharMask(combined_chars_mask=combined_chars_mask)
+        return CharMask(
+            combined_chars_mask=mask_from_elements(
+                (run_config.height, run_config.width), run_config.char_polygons
+            )
+        )
 
 
 char_mask_default_engine_executor_factory = EngineExecutorFactory(CharMaskDefaultEngine)

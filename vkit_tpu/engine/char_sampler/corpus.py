@@ -1,6 +1,8 @@
-"""Corpus char sampler: random line from weighted txt files via byte seek.
+"""Corpus char sampler: a random line drawn by byte position from weighted
+text files.
 
-Capability parity: vkit/engine/char_sampler/corpus.py:31-158.
+Behavioral spec: vkit/engine/char_sampler/corpus.py:31-158 (re-derived;
+the enclosing line is located with block reads, not byte-at-a-time seeks).
 """
 import logging
 import os
@@ -20,6 +22,8 @@ from .type import (
 
 logger = logging.getLogger(__name__)
 
+_BLOCK = 4096
+
 
 @attr.define
 class CharSamplerCorpusEngineInitConfig:
@@ -29,13 +33,46 @@ class CharSamplerCorpusEngineInitConfig:
 CharSamplerCorpusEngineInitResource = CharSamplerEngineInitResource
 
 
+def read_enclosing_line(path: Path, size: int, pos: int) -> str:
+    """The text line containing byte ``pos``, located with block reads."""
+    with path.open('rb') as fin:
+        # Scan forward for the line end (inclusive bound at EOF).
+        end = pos + 1
+        fin.seek(end)
+        while end < size:
+            block = fin.read(_BLOCK)
+            if not block:
+                break
+            hit = block.find(b'\n')
+            if hit >= 0:
+                end += hit
+                break
+            end += len(block)
+        end = min(end, size)
+
+        # Scan backward for the preceding newline.
+        begin = pos
+        while begin > 0:
+            lo = max(0, begin - _BLOCK)
+            fin.seek(lo)
+            block = fin.read(begin - lo)
+            hit = block.rfind(b'\n')
+            if hit >= 0:
+                begin = lo + hit + 1
+                break
+            begin = lo
+
+        fin.seek(begin)
+        raw = fin.read(end - begin)
+    try:
+        return raw.decode()
+    except UnicodeError:
+        logger.exception(f'undecodable corpus line {raw[:64]!r}')
+        return ''
+
+
 class CharSamplerCorpusEngine(
-    Engine[
-        CharSamplerCorpusEngineInitConfig,
-        CharSamplerCorpusEngineInitResource,
-        CharSamplerEngineRunConfig,
-        Sequence[str],
-    ]
+    Engine[CharSamplerCorpusEngineInitConfig, CharSamplerCorpusEngineInitResource, CharSamplerEngineRunConfig, Sequence[str]]
 ):
 
     @classmethod
@@ -47,62 +84,28 @@ class CharSamplerCorpusEngine(
         assert init_resource
         self.lexicon_collection = init_resource.lexicon_collection
 
-        self.txt_file_size_pairs: List[Tuple[Path, int]] = []
+        self.files: List[Tuple[Path, int]] = []
         for txt_file in init_config.txt_files:
             path = Path(os.path.expandvars(os.fspath(txt_file)))
             assert path.exists()
-            self.txt_file_size_pairs.append((path, os.path.getsize(path)))
-        self.txt_file_probs = normalize_to_probs(
-            [size for _, size in self.txt_file_size_pairs]
-        )
-
-    @classmethod
-    def sample_text_line_from_file(
-        cls,
-        txt_file: Path,
-        size: int,
-        rng: RandomGenerator,
-    ) -> str:
-        # Seek to a random byte, expand to the enclosing line.
-        pos = int(rng.integers(0, size))
-        with txt_file.open('rb') as fin:
-            end = pos + 1
-            while end < size:
-                fin.seek(end)
-                if fin.read(1) == b'\n':
-                    break
-                end += 1
-            begin = pos
-            while begin >= 0:
-                fin.seek(begin)
-                if fin.read(1) == b'\n':
-                    break
-                begin -= 1
-            begin += 1
-            fin.seek(begin)
-            binary = fin.read(end - begin)
-            try:
-                return binary.decode()
-            except UnicodeError:
-                logger.exception(f'Failed to decode {binary!r}')
-                return ''
-
-    def sample_text_line(self, rng: RandomGenerator) -> str:
-        txt_file, size = rng_choice(rng, self.txt_file_size_pairs, probs=self.txt_file_probs)
-        return self.sample_text_line_from_file(txt_file, size, rng)
+            self.files.append((path, os.path.getsize(path)))
+        # Larger files hold more lines: weight by byte size.
+        self.file_probs = normalize_to_probs([size for _, size in self.files])
 
     def sample_and_prep_text(self, rng: RandomGenerator) -> str:
+        """Draw lines until one survives lexicon filtering."""
         while True:
-            text = self.sample_text_line(rng)
-            segments: List[str] = []
-            for segment in text.split():
-                segment = ''.join(
-                    char for char in segment if self.lexicon_collection.has_char(char)
+            path, size = rng_choice(rng, self.files, probs=self.file_probs)
+            line = read_enclosing_line(path, size, int(rng.integers(0, size)))
+            words = []
+            for word in line.split():
+                kept = ''.join(
+                    c for c in word if self.lexicon_collection.has_char(c)
                 )
-                if segment:
-                    segments.append(segment)
-            if segments:
-                return ' '.join(segments)
+                if kept:
+                    words.append(kept)
+            if words:
+                return ' '.join(words)
 
     def run(self, run_config: CharSamplerEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Sequence[str]:

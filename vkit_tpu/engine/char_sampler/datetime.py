@@ -1,11 +1,12 @@
-"""Datetime char sampler: strftime with random tz/format/delimiter swap.
+"""Datetime char sampler: strftime with random timezone / format /
+delimiter substitution.
 
-Capability parity: vkit/engine/char_sampler/datetime.py:28-127.  ``pytz`` is
-replaced by the stdlib ``zoneinfo``.
+Behavioral spec: vkit/engine/char_sampler/datetime.py:28-127 (re-derived;
+stdlib zoneinfo instead of pytz).
 """
 import time
 from datetime import date, datetime
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 from zoneinfo import ZoneInfo
 
 import attr
@@ -18,6 +19,8 @@ from .type import (
     CharSamplerEngineRunConfig,
     fill_chars_to_num,
 )
+
+_CANDIDATE_DELIMITERS = ('/', ':', '-', ',', '.', '*')
 
 
 @attr.define
@@ -32,12 +35,7 @@ CharSamplerDatetimeEngineInitResource = CharSamplerEngineInitResource
 
 
 class CharSamplerDatetimeEngine(
-    Engine[
-        CharSamplerDatetimeEngineInitConfig,
-        CharSamplerDatetimeEngineInitResource,
-        CharSamplerEngineRunConfig,
-        Sequence[str],
-    ]
+    Engine[CharSamplerDatetimeEngineInitConfig, CharSamplerDatetimeEngineInitResource, CharSamplerEngineRunConfig, Sequence[str]]
 ):
 
     @classmethod
@@ -49,31 +47,37 @@ class CharSamplerDatetimeEngine(
         assert init_resource
         self.lexicon_collection = init_resource.lexicon_collection
         self.delimiters = [
-            char for char in ['/', ':', '-', ',', '.', '*']
-            if self.lexicon_collection.has_char(char)
+            d for d in _CANDIDATE_DELIMITERS
+            if self.lexicon_collection.has_char(d)
         ]
-        self.ticks_begin = int(time.mktime(date(*init_config.datetime_begin).timetuple()))
-        self.ticks_end = int(time.mktime(date(*init_config.datetime_end).timetuple()))
+
+        def to_ticks(ymd: Tuple[int, int, int]) -> int:
+            return int(time.mktime(date(*ymd).timetuple()))
+
+        self.ticks_begin = to_ticks(init_config.datetime_begin)
+        self.ticks_end = to_ticks(init_config.datetime_end)
+
+    def _randomize_format(self, fmt: str, rng: RandomGenerator) -> str:
+        present = [d for d in self.delimiters if d in fmt]
+        if not present:
+            return fmt
+        victim = rng_choice(rng, present)
+        replacements = [d for d in self.delimiters if d != victim] + [' ']
+        return fmt.replace(victim, rng_choice(rng, replacements))
 
     def sample_datetime_text(self, rng: RandomGenerator) -> str:
-        ticks = int(rng.integers(self.ticks_begin, self.ticks_end + 1))
-        dt = datetime.fromtimestamp(ticks)
-        tz = ZoneInfo(rng_choice(rng, self.init_config.timezones))
-        dt = dt.replace(tzinfo=tz)
-
-        datetime_format = rng_choice(rng, self.init_config.datetime_formats)
-        delimiters = [d for d in self.delimiters if d in datetime_format]
-        if delimiters:
-            selected = rng_choice(rng, delimiters)
-            others = [d for d in self.delimiters if d != selected]
-            others.append(' ')
-            datetime_format = datetime_format.replace(selected, rng_choice(rng, others))
-
-        text = dt.strftime(datetime_format)
-        return ''.join(
-            char for char in text
-            if char.isspace() or self.lexicon_collection.has_char(char)
-        ).strip()
+        stamp = datetime.fromtimestamp(
+            int(rng.integers(self.ticks_begin, self.ticks_end + 1))
+        ).replace(tzinfo=ZoneInfo(rng_choice(rng, self.init_config.timezones)))
+        fmt = self._randomize_format(
+            rng_choice(rng, self.init_config.datetime_formats), rng
+        )
+        rendered = stamp.strftime(fmt)
+        kept = ''.join(
+            c for c in rendered
+            if c.isspace() or self.lexicon_collection.has_char(c)
+        )
+        return kept.strip()
 
     def run(self, run_config: CharSamplerEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Sequence[str]:

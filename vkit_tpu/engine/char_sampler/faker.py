@@ -124,12 +124,7 @@ CharSamplerFakerEngineInitResource = CharSamplerEngineInitResource
 
 
 class CharSamplerFakerEngine(
-    Engine[
-        CharSamplerFakerEngineInitConfig,
-        CharSamplerFakerEngineInitResource,
-        CharSamplerEngineRunConfig,
-        Sequence[str],
-    ]
+    Engine[CharSamplerFakerEngineInitConfig, CharSamplerFakerEngineInitResource, CharSamplerEngineRunConfig, Sequence[str]]
 ):
 
     @classmethod

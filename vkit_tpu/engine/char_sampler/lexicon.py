@@ -1,6 +1,6 @@
 """Lexicon char sampler: per-char tag-weighted draws with optional spaces.
 
-Capability parity: vkit/engine/char_sampler/lexicon.py:25-116.
+Behavioral spec: vkit/engine/char_sampler/lexicon.py:25-116 (re-derived).
 """
 from typing import List, Mapping, Optional, Sequence
 
@@ -10,6 +10,8 @@ from numpy.random import Generator as RandomGenerator
 from ...utility import normalize_to_probs, rng_choice
 from ..interface import Engine, EngineExecutorFactory
 from .type import CharSamplerEngineInitResource, CharSamplerEngineRunConfig
+
+_SPACE_TAG = '__space'
 
 
 @attr.define
@@ -22,15 +24,10 @@ CharSamplerLexiconEngineInitResource = CharSamplerEngineInitResource
 
 
 class CharSamplerLexiconEngine(
-    Engine[
-        CharSamplerLexiconEngineInitConfig,
-        CharSamplerLexiconEngineInitResource,
-        CharSamplerEngineRunConfig,
-        Sequence[str],
-    ]
+    Engine[CharSamplerLexiconEngineInitConfig, CharSamplerLexiconEngineInitResource, CharSamplerEngineRunConfig, Sequence[str]]
 ):
 
-    KEY_SPACE = '__space'
+    KEY_SPACE = _SPACE_TAG
 
     @classmethod
     def get_type_name(cls) -> str:
@@ -39,56 +36,54 @@ class CharSamplerLexiconEngine(
     def __init__(self, init_config, init_resource=None):
         super().__init__(init_config, init_resource)
         assert init_resource
-        self.lexicon_collection = init_resource.lexicon_collection
+        collection = init_resource.lexicon_collection
+        self.lexicon_collection = collection
+        self.tags = collection.tags
 
-        tag_weights = []
-        for tag in self.lexicon_collection.tags:
-            if init_config.tag_to_weight:
-                if tag not in init_config.tag_to_weight:
-                    raise RuntimeError(f'missing tag={tag} in tag_to_weight')
-                weight = init_config.tag_to_weight[tag]
-            else:
-                weight = len(self.lexicon_collection.tag_to_lexicons[tag])
-            tag_weights.append(weight)
+        def weight_of(tag: str) -> float:
+            if init_config.tag_to_weight is None:
+                # Default: proportional to the tag's lexicon count.
+                return len(collection.tag_to_lexicons[tag])
+            if tag not in init_config.tag_to_weight:
+                raise RuntimeError(f'tag {tag!r} missing from tag_to_weight')
+            return init_config.tag_to_weight[tag]
 
-        self.tags = self.lexicon_collection.tags
-        self.tag_probs = normalize_to_probs(tag_weights)
+        self.tag_probs = normalize_to_probs([weight_of(t) for t in self.tags])
 
-        self.with_space_tags = self.tags
-        self.with_space_tag_probs = self.tag_probs
+        # Space participates as a pseudo-tag with odds p / (1 - p).
         if init_config.prob_space > 0.0:
-            self.with_space_tags = (*self.tags, self.KEY_SPACE)
-            self.with_space_tag_probs = normalize_to_probs((
-                *self.tag_probs,
-                init_config.prob_space / (1 - init_config.prob_space),
-            ))
+            self.tags_or_space = (*self.tags, _SPACE_TAG)
+            self.tags_or_space_probs = normalize_to_probs(
+                (*self.tag_probs,
+                 init_config.prob_space / (1 - init_config.prob_space))
+            )
+        else:
+            self.tags_or_space = self.tags
+            self.tags_or_space_probs = self.tag_probs
+
+    def _draw_tag(self, rng: RandomGenerator, allow_space: bool) -> str:
+        tag = rng_choice(rng, self.tags_or_space, probs=self.tags_or_space_probs)
+        if tag == _SPACE_TAG and not allow_space:
+            tag = rng_choice(rng, self.tags, probs=self.tag_probs)
+        return tag
 
     def run(self, run_config: CharSamplerEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Sequence[str]:
         assert rng is not None
-
-        num_chars = run_config.num_chars
+        count = run_config.num_chars
         if run_config.enable_aggregator_mode:
-            num_chars = int(rng.integers(1, run_config.num_chars + 1))
+            count = int(rng.integers(1, run_config.num_chars + 1))
 
         chars: List[str] = []
-        for char_idx in range(num_chars):
-            tag = rng_choice(rng, self.with_space_tags, probs=self.with_space_tag_probs)
-            if tag == self.KEY_SPACE:
-                if (
-                    char_idx == 0
-                    or char_idx == num_chars - 1
-                    or chars[char_idx - 1].isspace()
-                ):
-                    # No leading / trailing / consecutive spaces.
-                    tag = rng_choice(rng, self.tags, probs=self.tag_probs)
-
-            if tag == self.KEY_SPACE:
+        for idx in range(count):
+            # No leading / trailing / consecutive spaces.
+            allow_space = 0 < idx < count - 1 and not chars[idx - 1].isspace()
+            tag = self._draw_tag(rng, allow_space)
+            if tag == _SPACE_TAG:
                 chars.append(' ')
             else:
                 lexicon = rng_choice(rng, self.lexicon_collection.tag_to_lexicons[tag])
                 chars.append(rng_choice(rng, lexicon.char_and_aliases))
-
         return chars
 
 

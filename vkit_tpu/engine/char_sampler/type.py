@@ -1,8 +1,9 @@
-"""Char sampler shared types.
+"""Char-sampler shared types and the text-assembly helpers.
 
-Capability parity: vkit/engine/char_sampler/type.py.
+Behavioral spec: vkit/engine/char_sampler/type.py + the shared
+concatenate-and-trim loop in each sampler (re-derived).
 """
-from typing import List, Sequence
+from typing import Callable, List, Sequence
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -21,30 +22,32 @@ class CharSamplerEngineRunConfig:
     enable_aggregator_mode: bool = False
 
 
+def trim_chars_tail(chars: List[str], num_chars: int) -> List[str]:
+    """Cut to num_chars; a trailing space swaps for the next non-space."""
+    if len(chars) <= num_chars:
+        return chars
+    overflow = chars[num_chars:]
+    chars = chars[:num_chars]
+    if chars[-1].isspace():
+        chars.pop()
+        assert not overflow[0].isspace()
+        chars.append(overflow[0])
+    return chars
+
+
 def fill_chars_to_num(
-    sample_text,
+    sample_text: Callable[[RandomGenerator], str],
     num_chars: int,
     rng: RandomGenerator,
 ) -> Sequence[str]:
-    """Concatenate sampled texts with single spaces to exactly ``num_chars``
-    (trim keeping a non-space tail) — the shared loop of every sampler's
-    non-aggregator path (e.g. vkit/engine/char_sampler/corpus.py:125-152)."""
+    """Join sampled texts with single spaces to exactly ``num_chars``."""
     if num_chars <= 0:
         return []
-
-    texts: List[str] = []
-    num_chars_in_texts = 0
-    while num_chars_in_texts + len(texts) - 1 < num_chars:
-        text = sample_text(rng)
-        texts.append(text)
-        num_chars_in_texts += len(text)
-
-    chars = list(' '.join(texts))
-    if len(chars) > num_chars:
-        rest = chars[num_chars:]
-        chars = chars[:num_chars]
-        if chars[-1].isspace():
-            chars.pop()
-            assert not rest[0].isspace()
-            chars.append(rest[0])
-    return chars
+    pieces: List[str] = []
+    total = 0
+    # total + (len(pieces) - 1) joining spaces must reach num_chars.
+    while total + len(pieces) - 1 < num_chars:
+        piece = sample_text(rng)
+        pieces.append(piece)
+        total += len(piece)
+    return trim_chars_tail(list(' '.join(pieces)), num_chars)

@@ -1,18 +1,19 @@
 """Text-line rendering via PIL's FreeType binding.
 
-Capability parity: vkit/engine/font/freetype.py:41-1175 — the full path:
-per-char glyph build (tight trim, baseline metrics, gamma→alpha score map,
-per-tag reference metrics), kerning-limit detection by sliding mask overlap,
-random char/word spacing, horizontal + vertical layout, resize/pad/trim with
+Behavioral spec: vkit/engine/font/freetype.py:41-1175 (re-derived) — per-char
+glyph build (tight trim, baseline metrics, gamma->alpha score map, per-tag
+reference metrics), kerning-limit detection by sliding mask overlap, random
+char/word spacing, horizontal + vertical layout, resize/pad/trim with
 residual-pixel cleanup, and three renderers:
 
-* ``freetype_default``  — grayscale antialiased,
-* ``freetype_lcd``      — subpixel RGB coverage (3x horizontal oversampling),
+* ``freetype_default``    — grayscale antialiased,
+* ``freetype_lcd``        — subpixel RGB coverage (3x horizontal oversampling),
 * ``freetype_monochrome`` — 1-bit.
 
 The reference drives freetype-py directly; here glyphs rasterize through
 PIL/FreeType (same library underneath) with metrics from ``getbbox`` /
-``getlength`` / ``getmetrics``.
+``getlength`` / ``getmetrics``.  Glyph placement computes all gaps up front
+and lays chars by cumulative offsets instead of a stateful advance loop.
 """
 import functools
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -71,12 +72,10 @@ def _rasterize_char(
     char: str,
     mode: str,
 ) -> Tuple[np.ndarray, int, int, float]:
-    """Render one char; returns (np_image, ink_top_rel_baseline, left_bearing,
-    advance).
+    """Render one char; returns (np_image, ascent, left_bearing, advance).
 
-    ``np_image`` is the tight ink bitmap; ink_top_rel_baseline is the distance
-    from the baseline down to the top ink row (negative above baseline
-    convention handled by caller).
+    ``np_image`` is the tight ink bitmap; ``ascent`` is the distance from the
+    baseline up to the top-most ink scanline (may be negative, e.g. '_').
     """
     ascent_font, descent = font.getmetrics()
     # Canvas large enough for any glyph incl. negative bearings.
@@ -100,7 +99,6 @@ def _rasterize_char(
     np_image = np_canvas[top:bottom + 1, left:right + 1]
 
     baseline_y = pad + ascent_font
-    # ascent: distance from baseline up to top-most ink scanline.
     ascent = baseline_y - top
     left_bearing = left - pad
     return np_image, ascent, left_bearing, advance
@@ -131,19 +129,17 @@ def build_char_glyph(
         score_map = ScoreMap(mat=np_alpha)
 
     font_variant = config.font_variant
-    tag_to_font_glyph_info = (
-        font_variant.font_glyph_info_collection.tag_to_font_glyph_info
-    )
+    tag_to_info = font_variant.font_glyph_info_collection.tag_to_font_glyph_info
     assert char in font_variant.char_to_tags
 
-    font_glyph_info = None
+    glyph_info = None
     for tag in font_variant.char_to_tags[char]:
-        cur = tag_to_font_glyph_info[tag]
-        if font_glyph_info is None:
-            font_glyph_info = cur
+        candidate = tag_to_info[tag]
+        if glyph_info is None:
+            glyph_info = candidate
         else:
-            assert font_glyph_info == cur
-    assert font_glyph_info is not None
+            assert glyph_info == candidate
+    assert glyph_info is not None
 
     font_size = estimate_font_size(config)
     return CharGlyph(
@@ -156,10 +152,10 @@ def build_char_glyph(
         pad_left=pad_left,
         pad_right=pad_right,
         ref_ascent_plus_pad_up=round(
-            font_glyph_info.ascent_plus_pad_up_min_to_font_size_ratio * font_size
+            glyph_info.ascent_plus_pad_up_min_to_font_size_ratio * font_size
         ),
-        ref_char_height=round(font_glyph_info.height_min_to_font_size_ratio * font_size),
-        ref_char_width=round(font_glyph_info.width_min_to_font_size_ratio * font_size),
+        ref_char_height=round(glyph_info.height_min_to_font_size_ratio * font_size),
+        ref_char_width=round(glyph_info.width_min_to_font_size_ratio * font_size),
     )
 
 
@@ -169,74 +165,63 @@ def render_char_glyphs_from_text(
     func_render_char_glyph: Callable[..., CharGlyph],
     chars: Sequence[str],
 ):
+    """Rasterize non-space chars, tracking how many spaces precede each."""
     char_glyphs: List[CharGlyph] = []
-    prev_num_spaces_for_char_glyphs: List[int] = []
-    num_spaces = 0
+    preceding_spaces: List[int] = []
+    pending = 0
     for idx, char in enumerate(chars):
         if char.isspace():
-            num_spaces += 1
+            if idx == 0:
+                raise RuntimeError('leading space')
+            pending += 1
             continue
         char_glyphs.append(func_render_char_glyph(run_config, font, char))
-        if idx == 0 and num_spaces > 0:
-            raise RuntimeError('Leading space(s) detected.')
-        prev_num_spaces_for_char_glyphs.append(num_spaces)
-        num_spaces = 0
-    if num_spaces > 0:
-        raise RuntimeError('Trailing space(s) detected.')
-    return char_glyphs, prev_num_spaces_for_char_glyphs
+        preceding_spaces.append(pending)
+        pending = 0
+    if pending:
+        raise RuntimeError('trailing space')
+    return char_glyphs, preceding_spaces
+
+
+def _pair_kerning_limit(np_prev: np.ndarray, prev_up: int,
+                        np_cur: np.ndarray, cur_up: int) -> int:
+    """Max slide-left of `cur` before its ink touches `prev`'s ink."""
+    overlap_up = max(prev_up, cur_up)
+    overlap_down = min(prev_up + np_prev.shape[0] - 1,
+                       cur_up + np_cur.shape[0] - 1)
+    if overlap_up > overlap_down:
+        return 0
+    band_prev = np_prev[overlap_up - prev_up:overlap_down - prev_up + 1]
+    band_cur = np_cur[overlap_up - cur_up:overlap_down - cur_up + 1]
+
+    slide_max = min(np_prev.shape[1] / 2, np_cur.shape[1] / 2)
+    slide = 1
+    while slide < slide_max:
+        if (band_prev[:, -slide:] & band_cur[:, :slide]).any():
+            return slide - 1
+        slide += 1
+    return slide
 
 
 def get_kerning_limits_hori_default(
     char_glyphs: Sequence[CharGlyph],
-    prev_num_spaces_for_char_glyphs: Sequence[int],
+    preceding_spaces: Sequence[int],
 ) -> List[int]:
-    """How far each glyph may slide left before its ink overlaps the previous
-    glyph's (freetype.py:251-311)."""
+    """Per-glyph slide-left allowance against its predecessor."""
     assert char_glyphs
-    ascent_max = max(char_glyph.ascent for char_glyph in char_glyphs)
+    ascent_max = max(glyph.ascent for glyph in char_glyphs)
+    masks = [glyph.get_glyph_mask().mat for glyph in char_glyphs]
+    ups = [ascent_max - glyph.ascent for glyph in char_glyphs]
 
-    kerning_limits: List[int] = []
-    prev_glyph_mask = None
-    prev_np_glyph_mask = None
-    prev_up = None
-    prev_down = None
-
-    for char_glyph, prev_num_spaces in zip(char_glyphs, prev_num_spaces_for_char_glyphs):
-        glyph_mask = char_glyph.get_glyph_mask()
-        np_glyph_mask = glyph_mask.mat
-        up = ascent_max - char_glyph.ascent
-        down = up + np_glyph_mask.shape[0] - 1
-
-        if prev_num_spaces == 0 and prev_np_glyph_mask is not None:
-            overlap_up = max(prev_up, up)
-            overlap_down = min(prev_down, down)
-            if overlap_up <= overlap_down:
-                overlap_prev = prev_np_glyph_mask[
-                    overlap_up - prev_up:overlap_down - prev_up + 1
-                ]
-                overlap_cur = np_glyph_mask[overlap_up - up:overlap_down - up + 1]
-
-                kerning_limit = 1
-                while kerning_limit < prev_glyph_mask.width / 2 \
-                        and kerning_limit < glyph_mask.width / 2:
-                    prev_tail = overlap_prev[:, -kerning_limit:]
-                    cur_head = overlap_cur[:, :kerning_limit]
-                    if (prev_tail & cur_head).any():
-                        kerning_limit -= 1
-                        break
-                    kerning_limit += 1
-                kerning_limits.append(kerning_limit)
-            else:
-                kerning_limits.append(0)
+    limits = [0]
+    for idx in range(1, len(char_glyphs)):
+        if preceding_spaces[idx] > 0:
+            limits.append(0)
         else:
-            kerning_limits.append(0)
-
-        prev_glyph_mask = glyph_mask
-        prev_np_glyph_mask = np_glyph_mask
-        prev_up = up
-        prev_down = down
-
-    return kerning_limits
+            limits.append(_pair_kerning_limit(
+                masks[idx - 1], ups[idx - 1], masks[idx], ups[idx]
+            ))
+    return limits
 
 
 def render_char_glyphs_in_text_line(
@@ -284,33 +269,32 @@ def render_char_glyphs_in_text_line(
     return Image(mat=np_image), Mask(mat=np_mask), score_map, char_boxes
 
 
-def _sample_space(style, char_widths_avg, prev_num_spaces, rng):
+def _sample_space(style, char_widths_avg, prev_num_spaces, rng) -> int:
+    """Word gap for prev_num_spaces > 0, else a char gap."""
     if prev_num_spaces > 0:
-        space = 0
-        for _ in range(prev_num_spaces):
-            space += round(
-                np.clip(
-                    rng.normal(
-                        loc=char_widths_avg * style.word_space_mean,
-                        scale=char_widths_avg * style.word_space_std,
-                    ),
-                    char_widths_avg * style.word_space_min,
-                    char_widths_avg * style.word_space_max,
-                )
-            )
-        return space
+        return sum(
+            round(np.clip(
+                rng.normal(loc=char_widths_avg * style.word_space_mean,
+                           scale=char_widths_avg * style.word_space_std),
+                char_widths_avg * style.word_space_min,
+                char_widths_avg * style.word_space_max,
+            )) for _ in range(prev_num_spaces)
+        )
     if rng.random() < style.prob_set_char_space_min:
         return round(char_widths_avg * style.char_space_min)
-    return round(
-        np.clip(
-            rng.normal(
-                loc=char_widths_avg * style.char_space_mean,
-                scale=char_widths_avg * style.char_space_std,
-            ),
-            char_widths_avg * style.char_space_min,
-            char_widths_avg * style.char_space_max,
-        )
-    )
+    return round(np.clip(
+        rng.normal(loc=char_widths_avg * style.char_space_mean,
+                   scale=char_widths_avg * style.char_space_std),
+        char_widths_avg * style.char_space_min,
+        char_widths_avg * style.char_space_max,
+    ))
+
+
+def _sample_all_spaces(style, char_glyphs, preceding_spaces, rng) -> List[int]:
+    widths_avg = float(np.mean([glyph.width for glyph in char_glyphs]))
+    return [
+        _sample_space(style, widths_avg, n, rng) for n in preceding_spaces
+    ]
 
 
 def place_char_glyphs_in_text_line_hori_default(
@@ -320,48 +304,43 @@ def place_char_glyphs_in_text_line_hori_default(
     kerning_limits: Sequence[int],
     rng: RandomGenerator,
 ):
+    """Baseline-aligned horizontal packing by cumulative offsets."""
     style = run_config.style
     assert char_glyphs
-    char_widths_avg = float(np.mean([cg.width for cg in char_glyphs]))
+    spaces = _sample_all_spaces(style, char_glyphs, prev_num_spaces_for_char_glyphs, rng)
 
-    import itertools
-    ascent_plus_pad_up_max = max(
-        itertools.chain.from_iterable(
-            (cg.ascent + cg.pad_up, cg.ref_ascent_plus_pad_up) for cg in char_glyphs
-        )
+    baseline = max(
+        max(g.ascent + g.pad_up for g in char_glyphs),
+        max(g.ref_ascent_plus_pad_up for g in char_glyphs),
     )
-    text_line_height = max(cg.ref_char_height for cg in char_glyphs)
+
+    # left[i] = left[i-1] + width[i-1] + pad_right[i-1]
+    #           + space[i] - kerning[i] + pad_left[i];  left[0] = 0.
+    lefts: List[int] = [0]
+    for idx in range(1, len(char_glyphs)):
+        prev = char_glyphs[idx - 1]
+        lefts.append(
+            lefts[-1] + prev.width + prev.pad_right
+            + spaces[idx] - kerning_limits[idx] + char_glyphs[idx].pad_left
+        )
 
     char_boxes: List[CharBox] = []
-    hori_offset = 0
-    for char_idx, (char_glyph, prev_num_spaces, kerning_limit) in enumerate(
-        zip(char_glyphs, prev_num_spaces_for_char_glyphs, kerning_limits)
-    ):
-        hori_offset -= kerning_limit
-        hori_offset += _sample_space(style, char_widths_avg, prev_num_spaces, rng)
+    for glyph, left in zip(char_glyphs, lefts):
+        up = baseline - glyph.ascent
+        char_boxes.append(CharBox(
+            char=glyph.char,
+            box=Box(up, up + glyph.height - 1, left, left + glyph.width - 1),
+        ))
 
-        up = ascent_plus_pad_up_max - char_glyph.ascent
-        down = up + char_glyph.height - 1
-        left = hori_offset + char_glyph.pad_left
-        if char_idx == 0:
-            left = 0
-        right = left + char_glyph.width - 1
-
-        char_boxes.append(
-            CharBox(
-                char=char_glyph.char,
-                box=Box(up=up, down=down, left=left, right=right),
-            )
-        )
-        text_line_height = max(text_line_height, down + 1 + char_glyph.pad_down)
-        hori_offset = right + 1
-        if char_idx < len(char_glyphs) - 1:
-            hori_offset += char_glyph.pad_right
-
+    line_height = max(
+        max(g.ref_char_height for g in char_glyphs),
+        max(cb.down + 1 + g.pad_down for cb, g in zip(char_boxes, char_glyphs)),
+    )
+    line_width = char_boxes[-1].right + 1
     return render_char_glyphs_in_text_line(
         style=style,
-        text_line_height=text_line_height,
-        text_line_width=hori_offset,
+        text_line_height=line_height,
+        text_line_width=line_width,
         char_glyphs=char_glyphs,
         char_boxes=char_boxes,
     )
@@ -373,50 +352,142 @@ def place_char_glyphs_in_text_line_vert_default(
     prev_num_spaces_for_char_glyphs: Sequence[int],
     rng: RandomGenerator,
 ):
-    import itertools
+    """Center-aligned vertical packing by cumulative offsets."""
     style = run_config.style
     assert char_glyphs
-    char_widths_avg = float(np.mean([cg.width for cg in char_glyphs]))
+    spaces = _sample_all_spaces(style, char_glyphs, prev_num_spaces_for_char_glyphs, rng)
 
-    text_line_width = max(
-        itertools.chain.from_iterable(
-            (cg.pad_left + cg.width + cg.pad_right, cg.ref_char_width)
-            for cg in char_glyphs
-        )
+    line_width = max(
+        max(g.pad_left + g.width + g.pad_right for g in char_glyphs),
+        max(g.ref_char_width for g in char_glyphs),
     )
-    text_line_width_mid = text_line_width // 2
+    center = line_width // 2
+
+    ups: List[int] = [0]
+    for idx in range(1, len(char_glyphs)):
+        prev = char_glyphs[idx - 1]
+        ups.append(
+            ups[-1] + prev.height + prev.pad_down
+            + spaces[idx] + char_glyphs[idx].pad_up
+        )
 
     char_boxes: List[CharBox] = []
-    vert_offset = 0
-    for char_idx, (char_glyph, prev_num_spaces) in enumerate(
-        zip(char_glyphs, prev_num_spaces_for_char_glyphs)
-    ):
-        vert_offset += _sample_space(style, char_widths_avg, prev_num_spaces, rng)
-
-        up = vert_offset + char_glyph.pad_up
-        if char_idx == 0:
-            up = 0
-        down = up + char_glyph.height - 1
-        left = text_line_width_mid - char_glyph.width // 2
-        right = left + char_glyph.width - 1
-
-        char_boxes.append(
-            CharBox(
-                char=char_glyph.char,
-                box=Box(up=up, down=down, left=left, right=right),
-            )
-        )
-        vert_offset = down + 1
-        if char_idx < len(char_glyphs) - 1:
-            vert_offset += char_glyph.pad_down
+    for glyph, up in zip(char_glyphs, ups):
+        left = center - glyph.width // 2
+        char_boxes.append(CharBox(
+            char=glyph.char,
+            box=Box(up, up + glyph.height - 1, left, left + glyph.width - 1),
+        ))
 
     return render_char_glyphs_in_text_line(
         style=style,
-        text_line_height=vert_offset,
-        text_line_width=text_line_width,
+        text_line_height=char_boxes[-1].down + 1,
+        text_line_width=line_width,
         char_glyphs=char_glyphs,
         char_boxes=char_boxes,
     )
+
+
+def _fit_cross_axis(run_config, image, mask, score_map, char_boxes,
+                    interpolation_enlarge, interpolation_shrink, is_hori):
+    """Resize to the target cross extent and center-pad the remainder."""
+    target = run_config.height if is_hori else run_config.width
+    current = image.height if is_hori else image.width
+    too_small = current / target < 0.8
+    too_large = current > target
+    interpolation = interpolation_shrink if too_large else interpolation_enlarge
+
+    if too_small or too_large:
+        resize_kw = {'resized_height': target} if is_hori else {'resized_width': target}
+        char_boxes = [
+            cb.to_conducted_resized_char_box(image, **resize_kw) for cb in char_boxes
+        ]
+        if score_map:
+            score_map = score_map.to_resized_score_map(
+                **resize_kw, interpolation=interpolation
+            )
+        new_image = image.to_resized_image(**resize_kw, interpolation=interpolation)
+        mask = mask.to_resized_mask(**resize_kw, interpolation=interpolation)
+        image = new_image
+
+    current = image.height if is_hori else image.width
+    if current != target:
+        pad = target - current
+        assert pad > 0
+        pad_lo = pad // 2
+        pad_hi = pad - pad_lo
+
+        if is_hori:
+            shape3 = (target, image.width, 3)
+            shape2 = (target, image.width)
+            sel = (slice(pad_lo, -pad_hi), slice(None))
+            shift = {'up': pad_lo, 'down': pad_lo}
+        else:
+            shape3 = (image.height, target, 3)
+            shape2 = (image.height, target)
+            sel = (slice(None), slice(pad_lo, -pad_hi))
+            shift = {'left': pad_lo, 'right': pad_lo}
+
+        np_image = np.full(shape3, 255, dtype=np.uint8)
+        np_image[sel] = image.mat
+        image.assign_mat(np_image)
+        np_mask = np.zeros(shape2, dtype=np.uint8)
+        np_mask[sel] = mask.mat
+        mask.assign_mat(np_mask)
+        char_boxes = [
+            attr.evolve(cb, box=cb.box._replace(
+                **{k: getattr(cb.box, k) + v for k, v in shift.items()}
+            )) for cb in char_boxes
+        ]
+        if score_map:
+            np_sm = np.zeros(shape2, dtype=np.float32)
+            np_sm[sel] = score_map.mat
+            score_map = ScoreMap(mat=np_sm)
+
+    return image, mask, score_map, char_boxes, interpolation
+
+
+def _find_last_fitting_char(char_boxes, limit: int, is_hori: bool) -> int:
+    """Index of the last char box fully inside [0, limit); -1 if none."""
+    edge = (lambda cb: cb.right) if is_hori else (lambda cb: cb.down)
+    last = len(char_boxes) - 1
+    while last >= 0 and edge(char_boxes[last]) >= limit:
+        last -= 1
+    if last == len(char_boxes) - 1:
+        # Overflow caused by trailing glyph padding: drop the last char.
+        last -= 1
+    if last >= 0 and edge(char_boxes[last]) >= limit:
+        return -1
+    return last
+
+
+def _erase_residual_glyph(image, mask, score_map, char_boxes, char_glyphs,
+                          last_idx, interpolation):
+    """Scrub pixels of the first dropped char that bleed into the kept span."""
+    kept_box = char_boxes[last_idx]
+    dropped_box = char_boxes[last_idx + 1]
+    if dropped_box.left > kept_box.right:
+        return
+
+    dropped_glyph = char_glyphs[last_idx + 1]
+    dropped_mask = dropped_glyph.get_glyph_mask(
+        box=dropped_box.box, enable_resize=True, interpolation=interpolation
+    )
+    dropped_mask.fill_image(image, (255, 255, 255))
+    dropped_mask.fill_mask(mask, 0)
+
+    if dropped_glyph.score_map and score_map:
+        kept_sm = char_glyphs[last_idx].score_map
+        assert kept_sm
+        if kept_sm.shape != kept_box.shape:
+            kept_sm = kept_sm.to_resized_score_map(
+                resized_height=kept_box.height,
+                resized_width=kept_box.width,
+                interpolation=interpolation,
+            )
+        # Zero the dropped char's area, then restore the kept char's alpha.
+        dropped_box.box.fill_score_map(score_map, 0)
+        kept_box.box.fill_score_map(score_map, kept_sm, keep_max_value=True)
 
 
 def resize_and_trim_text_line_hori_default(
@@ -429,112 +500,23 @@ def resize_and_trim_text_line_hori_default(
     char_boxes: Sequence[CharBox],
     char_glyphs: Sequence[CharGlyph],
 ):
-    is_too_small = image.height / run_config.height < 0.8
-    is_too_large = image.height > run_config.height
-    interpolation = interpolation_shrink if is_too_large else interpolation_enlarge
+    image, mask, score_map, char_boxes, interpolation = _fit_cross_axis(
+        run_config, image, mask, score_map, char_boxes,
+        interpolation_enlarge, interpolation_shrink, is_hori=True,
+    )
 
-    if is_too_small or is_too_large:
-        resized_image = image.to_resized_image(
-            resized_height=run_config.height, interpolation=interpolation
-        )
-        resized_mask = mask.to_resized_mask(
-            resized_height=run_config.height, interpolation=interpolation
-        )
-        char_boxes = [
-            char_box.to_conducted_resized_char_box(
-                shapable_or_shape=image, resized_height=run_config.height
-            ) for char_box in char_boxes
-        ]
-        if score_map:
-            score_map = score_map.to_resized_score_map(
-                resized_height=run_config.height, interpolation=interpolation
-            )
-        image = resized_image
-        mask = resized_mask
-
-    # Pad vertically to the target height.
-    if image.height != run_config.height:
-        pad_vert = run_config.height - image.height
-        assert pad_vert > 0
-        pad_up = pad_vert // 2
-        pad_down = pad_vert - pad_up
-
-        np_image = np.full((run_config.height, image.width, 3), 255, dtype=np.uint8)
-        np_image[pad_up:-pad_down] = image.mat
-        image.assign_mat(np_image)
-
-        np_mask = np.zeros((run_config.height, image.width), dtype=np.uint8)
-        np_mask[pad_up:-pad_down] = mask.mat
-        mask.assign_mat(np_mask)
-
-        char_boxes = [
-            attr.evolve(
-                char_box,
-                box=char_box.box._replace(
-                    up=char_box.up + pad_up,
-                    down=char_box.down + pad_up,
-                ),
-            ) for char_box in char_boxes
-        ]
-        if score_map:
-            padded = ScoreMap.from_shape((run_config.height, image.width))
-            with padded.writable_context:
-                padded.mat[pad_up:-pad_down] = score_map.mat
-            score_map = padded
-
-    # Trim overflowing chars.
     if image.width > run_config.width:
-        last_idx = len(char_boxes) - 1
-        while last_idx >= 0 and char_boxes[last_idx].right >= run_config.width:
-            last_idx -= 1
-        if last_idx == len(char_boxes) - 1:
-            # Overflow caused by trailing glyph padding: drop the last char.
-            last_idx -= 1
-        if last_idx < 0 or char_boxes[last_idx].right >= run_config.width:
+        last_idx = _find_last_fitting_char(char_boxes, run_config.width, True)
+        if last_idx < 0:
             return None, None, None, None, None
-
-        last_char_box = char_boxes[last_idx]
-        last_char_box_right = last_char_box.right
-
-        # Clean residual pixels of the first dropped char.
-        first_trimmed_box = char_boxes[last_idx + 1]
-        if first_trimmed_box.left <= last_char_box_right:
-            first_trimmed_glyph = char_glyphs[last_idx + 1]
-            trimmed_mask = first_trimmed_glyph.get_glyph_mask(
-                box=first_trimmed_box.box,
-                enable_resize=True,
-                interpolation=interpolation,
-            )
-            trimmed_mask.fill_image(image, (255, 255, 255))
-            trimmed_mask.fill_mask(mask, 0)
-
-            if first_trimmed_glyph.score_map:
-                assert score_map
-                trimmed_sm = first_trimmed_glyph.score_map
-                if trimmed_sm.shape != first_trimmed_box.shape:
-                    trimmed_sm = trimmed_sm.to_resized_score_map(
-                        resized_height=first_trimmed_box.height,
-                        resized_width=first_trimmed_box.width,
-                        interpolation=interpolation,
-                    )
-                last_sm = char_glyphs[last_idx].score_map
-                assert last_sm
-                if last_sm.shape != last_char_box.shape:
-                    last_sm = last_sm.to_resized_score_map(
-                        resized_height=last_char_box.height,
-                        resized_width=last_char_box.width,
-                        interpolation=interpolation,
-                    )
-                first_trimmed_box.box.fill_score_map(score_map, 0)
-                last_char_box.box.fill_score_map(
-                    score_map, last_sm, keep_max_value=True
-                )
-
+        _erase_residual_glyph(image, mask, score_map, char_boxes, char_glyphs,
+                              last_idx, interpolation)
+        edge = char_boxes[last_idx].right
         char_boxes = char_boxes[:last_idx + 1]
-        image.assign_mat(image.mat[:, :last_char_box_right + 1])
-        mask.assign_mat(mask.mat[:, :last_char_box_right + 1])
+        image.assign_mat(image.mat[:, :edge + 1])
+        mask.assign_mat(mask.mat[:, :edge + 1])
         if score_map:
-            score_map.assign_mat(score_map.mat[:, :last_char_box_right + 1])
+            score_map.assign_mat(score_map.mat[:, :edge + 1])
 
     return image, mask, score_map, char_boxes, interpolation
 
@@ -548,73 +530,21 @@ def resize_and_trim_text_line_vert_default(
     score_map: Optional[ScoreMap],
     char_boxes: Sequence[CharBox],
 ):
-    is_too_small = image.width / run_config.width < 0.8
-    is_too_large = image.width > run_config.width
-    interpolation = interpolation_shrink if is_too_large else interpolation_enlarge
-
-    if is_too_small or is_too_large:
-        resized_image = image.to_resized_image(
-            resized_width=run_config.width, interpolation=interpolation
-        )
-        resized_mask = mask.to_resized_mask(
-            resized_width=run_config.width, interpolation=interpolation
-        )
-        char_boxes = [
-            char_box.to_conducted_resized_char_box(
-                shapable_or_shape=image, resized_width=run_config.width
-            ) for char_box in char_boxes
-        ]
-        if score_map:
-            score_map = score_map.to_resized_score_map(
-                resized_width=run_config.width, interpolation=interpolation
-            )
-        image = resized_image
-        mask = resized_mask
-
-    if image.width != run_config.width:
-        pad_hori = run_config.width - image.width
-        assert pad_hori > 0
-        pad_left = pad_hori // 2
-        pad_right = pad_hori - pad_left
-
-        np_image = np.full((image.height, run_config.width, 3), 255, dtype=np.uint8)
-        np_image[:, pad_left:-pad_right] = image.mat
-        image.assign_mat(np_image)
-
-        np_mask = np.zeros((image.height, run_config.width), dtype=np.uint8)
-        np_mask[:, pad_left:-pad_right] = mask.mat
-        mask.assign_mat(np_mask)
-
-        char_boxes = [
-            attr.evolve(
-                char_box,
-                box=char_box.box._replace(
-                    left=char_box.left + pad_left,
-                    right=char_box.right + pad_left,
-                ),
-            ) for char_box in char_boxes
-        ]
-        if score_map:
-            padded = ScoreMap.from_shape((image.height, run_config.width))
-            with padded.writable_context:
-                padded.mat[:, pad_left:-pad_right] = score_map.mat
-            score_map = padded
+    image, mask, score_map, char_boxes, interpolation = _fit_cross_axis(
+        run_config, image, mask, score_map, char_boxes,
+        interpolation_enlarge, interpolation_shrink, is_hori=False,
+    )
 
     if image.height > run_config.height:
-        last_idx = len(char_boxes) - 1
-        while last_idx >= 0 and char_boxes[last_idx].down >= run_config.height:
-            last_idx -= 1
-        if last_idx == len(char_boxes) - 1:
-            last_idx -= 1
-        if last_idx < 0 or char_boxes[last_idx].down >= run_config.height:
+        last_idx = _find_last_fitting_char(char_boxes, run_config.height, False)
+        if last_idx < 0:
             return None, None, None, None, None
-
-        last_char_box_down = char_boxes[last_idx].down
+        edge = char_boxes[last_idx].down
         char_boxes = char_boxes[:last_idx + 1]
-        image.assign_mat(image.mat[:last_char_box_down + 1])
-        mask.assign_mat(mask.mat[:last_char_box_down + 1])
+        image.assign_mat(image.mat[:edge + 1])
+        mask.assign_mat(mask.mat[:edge + 1])
         if score_map:
-            score_map.assign_mat(score_map.mat[:last_char_box_down + 1])
+            score_map.assign_mat(score_map.mat[:edge + 1])
 
     return image, mask, score_map, char_boxes, interpolation
 
@@ -627,7 +557,7 @@ def render_text_line_meta(
     interpolation_enlarge: Interpolation = Interpolation.CUBIC,
     interpolation_shrink: Interpolation = Interpolation.AREA,
 ) -> Optional[TextLine]:
-    char_glyphs, prev_num_spaces_for_char_glyphs = render_char_glyphs_from_text(
+    char_glyphs, preceding_spaces = render_char_glyphs_from_text(
         run_config=run_config,
         font=font,
         func_render_char_glyph=func_render_char_glyph,
@@ -636,69 +566,49 @@ def render_text_line_meta(
     if not char_glyphs:
         return None
 
-    if run_config.glyph_sequence == FontEngineRunConfigGlyphSequence.HORI_DEFAULT:
-        kerning_limits = get_kerning_limits_hori_default(
-            char_glyphs, prev_num_spaces_for_char_glyphs
-        )
-        image, mask, score_map, char_boxes = place_char_glyphs_in_text_line_hori_default(
-            run_config=run_config,
-            char_glyphs=char_glyphs,
-            prev_num_spaces_for_char_glyphs=prev_num_spaces_for_char_glyphs,
-            kerning_limits=kerning_limits,
-            rng=rng,
+    is_hori = (
+        run_config.glyph_sequence == FontEngineRunConfigGlyphSequence.HORI_DEFAULT
+    )
+    if is_hori:
+        kerning_limits = get_kerning_limits_hori_default(char_glyphs, preceding_spaces)
+        placed = place_char_glyphs_in_text_line_hori_default(
+            run_config, char_glyphs, preceding_spaces, kerning_limits, rng
         )
         image, mask, score_map, char_boxes, interpolation = (
             resize_and_trim_text_line_hori_default(
-                run_config=run_config,
-                interpolation_enlarge=interpolation_enlarge,
-                interpolation_shrink=interpolation_shrink,
-                image=image,
-                mask=mask,
-                score_map=score_map,
-                char_boxes=char_boxes,
-                char_glyphs=char_glyphs,
+                run_config, interpolation_enlarge, interpolation_shrink,
+                *placed[:3], placed[3], char_glyphs,
             )
         )
-        is_hori = True
-    elif run_config.glyph_sequence == FontEngineRunConfigGlyphSequence.VERT_DEFAULT:
-        image, mask, score_map, char_boxes = place_char_glyphs_in_text_line_vert_default(
-            run_config=run_config,
-            char_glyphs=char_glyphs,
-            prev_num_spaces_for_char_glyphs=prev_num_spaces_for_char_glyphs,
-            rng=rng,
+    else:
+        placed = place_char_glyphs_in_text_line_vert_default(
+            run_config, char_glyphs, preceding_spaces, rng
         )
         image, mask, score_map, char_boxes, interpolation = (
             resize_and_trim_text_line_vert_default(
-                run_config=run_config,
-                interpolation_enlarge=interpolation_enlarge,
-                interpolation_shrink=interpolation_shrink,
-                image=image,
-                mask=mask,
-                score_map=score_map,
-                char_boxes=char_boxes,
+                run_config, interpolation_enlarge, interpolation_shrink,
+                *placed[:3], placed[3],
             )
         )
-        is_hori = False
-    else:
-        raise NotImplementedError()
 
     if image is None:
         return None
     assert mask is not None and char_boxes is not None
 
+    # The rendered text covers chars up to the last kept glyph.
     char_idx = 0
-    non_space_count = 0
-    while char_idx < len(run_config.chars) and non_space_count < len(char_boxes):
+    kept = 0
+    while char_idx < len(run_config.chars) and kept < len(char_boxes):
         if not run_config.chars[char_idx].isspace():
-            non_space_count += 1
+            kept += 1
         char_idx += 1
-    assert non_space_count == len(char_boxes)
+    assert kept == len(char_boxes)
 
-    box = Box.from_shapable(image)
-    image = image.to_box_attached(box)
-    mask = mask.to_box_attached(box)
+    anchor = Box.from_shapable(image)
+    image = image.to_box_attached(anchor)
+    mask = mask.to_box_attached(anchor)
     if score_map:
-        score_map = score_map.to_box_attached(box)
+        score_map = score_map.to_box_attached(anchor)
 
     return TextLine(
         image=image,
@@ -715,13 +625,21 @@ def render_text_line_meta(
     )
 
 
+def _run_renderer(engine_cls, run_config: FontEngineRunConfig,
+                  rng: RandomGenerator, scale: int = 1) -> Optional[TextLine]:
+    font = load_pil_font(run_config, scale=scale)
+    return render_text_line_meta(
+        run_config=run_config,
+        font=font,
+        func_render_char_glyph=engine_cls.render_char_glyph,
+        rng=rng,
+        interpolation_enlarge=sample_resize_interpolation(rng),
+        interpolation_shrink=sample_resize_interpolation(rng, include_area=True),
+    )
+
+
 class FontFreetypeDefaultEngine(
-    Engine[
-        NoneTypeEngineInitConfig,
-        NoneTypeEngineInitResource,
-        FontEngineRunConfig,
-        Optional[TextLine],
-    ]
+    Engine[NoneTypeEngineInitConfig, NoneTypeEngineInitResource, FontEngineRunConfig, Optional[TextLine]]
 ):
 
     @classmethod
@@ -736,15 +654,7 @@ class FontFreetypeDefaultEngine(
     def run(self, run_config: FontEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Optional[TextLine]:
         assert rng is not None
-        font = load_pil_font(run_config)
-        return render_text_line_meta(
-            run_config=run_config,
-            font=font,
-            func_render_char_glyph=self.render_char_glyph,
-            rng=rng,
-            interpolation_enlarge=sample_resize_interpolation(rng),
-            interpolation_shrink=sample_resize_interpolation(rng, include_area=True),
-        )
+        return _run_renderer(type(self), run_config, rng)
 
 
 font_freetype_default_engine_executor_factory = EngineExecutorFactory(
@@ -753,12 +663,7 @@ font_freetype_default_engine_executor_factory = EngineExecutorFactory(
 
 
 class FontFreetypeLcdEngine(
-    Engine[
-        NoneTypeEngineInitConfig,
-        NoneTypeEngineInitResource,
-        FontEngineRunConfig,
-        Optional[TextLine],
-    ]
+    Engine[NoneTypeEngineInitConfig, NoneTypeEngineInitResource, FontEngineRunConfig, Optional[TextLine]]
 ):
 
     @classmethod
@@ -770,9 +675,9 @@ class FontFreetypeLcdEngine(
         # Subpixel coverage from 3x oversampling: the big grayscale glyph's
         # column triplets become the R/G/B coverage channels.
         np_big, ascent3, left_bearing3, advance3 = _rasterize_char(font, char, 'aa')
-        height3, width3 = np_big.shape
+        height3 = np_big.shape[0]
         height = max(1, round(height3 / 3))
-        width3_pad = (-width3) % 3
+        width3_pad = (-np_big.shape[1]) % 3
         if width3_pad:
             np_big = np.pad(np_big, ((0, 0), (0, width3_pad)))
         width = np_big.shape[1] // 3
@@ -793,27 +698,14 @@ class FontFreetypeLcdEngine(
     def run(self, run_config: FontEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Optional[TextLine]:
         assert rng is not None
-        font = load_pil_font(run_config, scale=3)
-        return render_text_line_meta(
-            run_config=run_config,
-            font=font,
-            func_render_char_glyph=self.render_char_glyph,
-            rng=rng,
-            interpolation_enlarge=sample_resize_interpolation(rng),
-            interpolation_shrink=sample_resize_interpolation(rng, include_area=True),
-        )
+        return _run_renderer(type(self), run_config, rng, scale=3)
 
 
 font_freetype_lcd_engine_executor_factory = EngineExecutorFactory(FontFreetypeLcdEngine)
 
 
 class FontFreetypeMonochromeEngine(
-    Engine[
-        NoneTypeEngineInitConfig,
-        NoneTypeEngineInitResource,
-        FontEngineRunConfig,
-        Optional[TextLine],
-    ]
+    Engine[NoneTypeEngineInitConfig, NoneTypeEngineInitResource, FontEngineRunConfig, Optional[TextLine]]
 ):
 
     @classmethod
@@ -828,15 +720,7 @@ class FontFreetypeMonochromeEngine(
     def run(self, run_config: FontEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Optional[TextLine]:
         assert rng is not None
-        font = load_pil_font(run_config)
-        return render_text_line_meta(
-            run_config=run_config,
-            font=font,
-            func_render_char_glyph=self.render_char_glyph,
-            rng=rng,
-            interpolation_enlarge=sample_resize_interpolation(rng),
-            interpolation_shrink=sample_resize_interpolation(rng, include_area=True),
-        )
+        return _run_renderer(type(self), run_config, rng)
 
 
 font_freetype_monochrome_engine_executor_factory = EngineExecutorFactory(

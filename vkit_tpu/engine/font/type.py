@@ -1,15 +1,14 @@
-"""Font data model: FontMeta/FontVariant/FontCollection + CharBox/CharGlyph/
-TextLine.
+"""Font data model: FontMeta / FontVariant / FontCollection and the rendered
+text-line structures (CharBox / CharGlyph / TextLine).
 
-Capability parity: vkit/engine/font/type.py:54-755.
+Behavioral spec: vkit/engine/font/type.py:54-755 (re-derived; the
+horizontal/vertical method pairs collapse into axis-generic helpers).
 """
 import json
 import os
-from collections import defaultdict
 from enum import Enum, unique
 from pathlib import Path
 from typing import (
-    DefaultDict,
     Dict,
     Iterable,
     List,
@@ -49,20 +48,21 @@ class FontGlyphInfo:
 @attr.define
 class FontGlyphInfoCollection:
     font_glyph_infos: Sequence[FontGlyphInfo]
-    _cache: dict = attr.field(factory=dict, repr=False, init=False)
+    _tag_index: Optional[Dict[str, FontGlyphInfo]] = attr.field(
+        default=None, repr=False, init=False
+    )
 
     @property
     def tag_to_font_glyph_info(self) -> Mapping[str, FontGlyphInfo]:
-        cached = self._cache.get('tag_to_font_glyph_info')
-        if cached is None:
-            cached = {}
-            for font_glyph_info in self.font_glyph_infos:
-                assert font_glyph_info.tags
-                for tag in font_glyph_info.tags:
-                    assert tag not in cached
-                    cached[tag] = font_glyph_info
-            self._cache['tag_to_font_glyph_info'] = cached
-        return cached
+        if self._tag_index is None:
+            index: Dict[str, FontGlyphInfo] = {}
+            for info in self.font_glyph_infos:
+                assert info.tags
+                for tag in info.tags:
+                    assert tag not in index, f'duplicate glyph tag {tag!r}'
+                    index[tag] = info
+            self._tag_index = index
+        return self._tag_index
 
 
 @attr.define
@@ -76,9 +76,9 @@ class FontVariant:
 
 @unique
 class FontMode(Enum):
-    TTC = 'ttc'     # Single ttc file with multiple variants.
-    VTTC = 'vttc'   # Grouped ttf files.
-    VOTC = 'votc'   # Grouped otf files.
+    TTC = 'ttc'     # One ttc file holding every variant.
+    VTTC = 'vttc'   # A group of ttf files.
+    VOTC = 'votc'   # A group of otf files.
 
 
 @attr.define
@@ -90,15 +90,15 @@ class FontMeta:
     font_glyph_info_collection: FontGlyphInfoCollection
     # Inclusive.
     ttc_font_index_max: Optional[int] = None
-    _cache: dict = attr.field(factory=dict, repr=False, init=False)
+    _sorted_chars: Optional[Sequence[str]] = attr.field(
+        default=None, repr=False, init=False
+    )
 
     @property
     def chars(self) -> Sequence[str]:
-        cached = self._cache.get('chars')
-        if cached is None:
-            cached = sorted(self.char_to_tags)
-            self._cache['chars'] = cached
-        return cached
+        if self._sorted_chars is None:
+            self._sorted_chars = sorted(self.char_to_tags)
+        return self._sorted_chars
 
     def __repr__(self):
         return (
@@ -108,74 +108,53 @@ class FontMeta:
         )
 
     @classmethod
-    def from_file(
-        cls,
-        path: PathType,
-        font_file_prefix: Optional[PathType] = None,
-    ) -> 'FontMeta':
-        font = dyn_structure(path, FontMeta, force_path_type=True)
+    def from_file(cls, path: PathType,
+                  font_file_prefix: Optional[PathType] = None) -> 'FontMeta':
+        meta = dyn_structure(path, FontMeta, force_path_type=True)
         if font_file_prefix:
             prefix = Path(os.path.expandvars(os.fspath(font_file_prefix)))
-            font_files = []
-            for font_file in font.font_files:
-                resolved = prefix / font_file
-                assert resolved.exists()
-                font_files.append(str(resolved))
-            font = attr.evolve(font, font_files=font_files)
-        return font
+            resolved = []
+            for name in meta.font_files:
+                full = prefix / name
+                assert full.exists()
+                resolved.append(str(full))
+            meta = attr.evolve(meta, font_files=resolved)
+        return meta
 
-    def to_file(self, path: PathType, font_file_prefix: Optional[PathType] = None):
-        font = self
+    def to_file(self, path: PathType,
+                font_file_prefix: Optional[PathType] = None) -> None:
+        font_files = list(self.font_files)
         if font_file_prefix:
             prefix = Path(os.fspath(font_file_prefix))
-            font_files = [
-                str(Path(font_file).relative_to(prefix)) for font_file in self.font_files
-            ]
-            font = attr.evolve(self, font_files=font_files)
-        raw = {
-            'name': font.name,
-            'mode': font.mode.value,
-            'char_to_tags': {k: list(v) for k, v in font.char_to_tags.items()},
-            'font_files': list(font.font_files),
+            font_files = [str(Path(f).relative_to(prefix)) for f in font_files]
+        payload = {
+            'name': self.name,
+            'mode': self.mode.value,
+            'char_to_tags': {
+                char: list(tags) for char, tags in self.char_to_tags.items()
+            },
+            'font_files': font_files,
             'font_glyph_info_collection': {
                 'font_glyph_infos': [
-                    {
-                        'tags': list(info.tags),
-                        'ascent_plus_pad_up_min_to_font_size_ratio':
-                            info.ascent_plus_pad_up_min_to_font_size_ratio,
-                        'height_min_to_font_size_ratio':
-                            info.height_min_to_font_size_ratio,
-                        'width_min_to_font_size_ratio':
-                            info.width_min_to_font_size_ratio,
-                    }
-                    for info in font.font_glyph_info_collection.font_glyph_infos
-                ]
+                    attr.asdict(info)
+                    for info in self.font_glyph_info_collection.font_glyph_infos
+                ],
             },
-            'ttc_font_index_max': font.ttc_font_index_max,
+            'ttc_font_index_max': self.ttc_font_index_max,
         }
         with open(os.fspath(path), 'w') as fout:
-            json.dump(raw, fout, indent=2, ensure_ascii=False)
+            json.dump(payload, fout, indent=2, ensure_ascii=False)
 
     @property
     def num_font_variants(self) -> int:
-        if self.mode in (FontMode.VOTC, FontMode.VTTC):
-            return len(self.font_files)
-        if self.mode == FontMode.TTC:
+        if self.mode is FontMode.TTC:
             assert self.ttc_font_index_max is not None
             return self.ttc_font_index_max + 1
-        raise NotImplementedError()
+        return len(self.font_files)
 
     def get_font_variant(self, variant_idx: int) -> FontVariant:
-        if self.mode in (FontMode.VOTC, FontMode.VTTC):
-            assert variant_idx < len(self.font_files)
-            return FontVariant(
-                char_to_tags=self.char_to_tags,
-                font_file=self.font_files[variant_idx],
-                font_glyph_info_collection=self.font_glyph_info_collection,
-            )
-        if self.mode == FontMode.TTC:
-            assert self.ttc_font_index_max is not None
-            assert variant_idx <= self.ttc_font_index_max
+        assert variant_idx < self.num_font_variants
+        if self.mode is FontMode.TTC:
             return FontVariant(
                 char_to_tags=self.char_to_tags,
                 font_file=self.font_files[0],
@@ -183,7 +162,11 @@ class FontMeta:
                 is_ttc=True,
                 ttc_font_index=variant_idx,
             )
-        raise NotImplementedError()
+        return FontVariant(
+            char_to_tags=self.char_to_tags,
+            font_file=self.font_files[variant_idx],
+            font_glyph_info_collection=self.font_glyph_info_collection,
+        )
 
 
 class FontCollectionFolderTree:
@@ -194,51 +177,57 @@ class FontCollectionFolderTree:
 @attr.define
 class FontCollection:
     font_metas: Sequence[FontMeta]
-    _cache: dict = attr.field(factory=dict, repr=False, init=False)
+    _by_name: Optional[Dict[str, FontMeta]] = attr.field(
+        default=None, repr=False, init=False
+    )
+    _names_by_char: Optional[Dict[str, Set[str]]] = attr.field(
+        default=None, repr=False, init=False
+    )
 
-    def _build(self):
-        name_to_font_meta: Dict[str, FontMeta] = {}
-        char_to_font_meta_names: DefaultDict[str, Set[str]] = defaultdict(set)
-        for font_meta in self.font_metas:
-            assert font_meta.name not in name_to_font_meta
-            name_to_font_meta[font_meta.name] = font_meta
-            for char in font_meta.chars:
-                char_to_font_meta_names[char].add(font_meta.name)
-        self._cache['name_to_font_meta'] = name_to_font_meta
-        self._cache['char_to_font_meta_names'] = dict(char_to_font_meta_names)
+    def _index(self) -> None:
+        by_name: Dict[str, FontMeta] = {}
+        names_by_char: Dict[str, Set[str]] = {}
+        for meta in self.font_metas:
+            assert meta.name not in by_name
+            by_name[meta.name] = meta
+            for char in meta.chars:
+                names_by_char.setdefault(char, set()).add(meta.name)
+        self._by_name = by_name
+        self._names_by_char = names_by_char
 
     @property
     def name_to_font_meta(self) -> Mapping[str, FontMeta]:
-        if 'name_to_font_meta' not in self._cache:
-            self._build()
-        return self._cache['name_to_font_meta']
+        if self._by_name is None:
+            self._index()
+        assert self._by_name is not None
+        return self._by_name
 
     @property
     def char_to_font_meta_names(self) -> Mapping[str, Set[str]]:
-        if 'char_to_font_meta_names' not in self._cache:
-            self._build()
-        return self._cache['char_to_font_meta_names']
+        if self._names_by_char is None:
+            self._index()
+        assert self._names_by_char is not None
+        return self._names_by_char
 
     def filter_font_metas(self, chars: Iterable[str]) -> List[FontMeta]:
-        name_sets = [
-            self.char_to_font_meta_names.get(char, set())
-            for char in chars if not char.isspace()
-        ]
-        if not name_sets:
+        """Fonts whose glyph sets cover every non-space char."""
+        required = [c for c in chars if not c.isspace()]
+        if not required:
             return list(self.font_metas)
-        font_meta_names = sorted(set.intersection(*name_sets))
-        return [self.name_to_font_meta[name] for name in font_meta_names]
+        covering = set.intersection(*(
+            self.char_to_font_meta_names.get(c, set()) for c in required
+        ))
+        return [self.name_to_font_meta[name] for name in sorted(covering)]
 
     @classmethod
     def from_folder(cls, folder: PathType) -> 'FontCollection':
-        in_fd = Path(os.path.expandvars(os.fspath(folder)))
-        font_fd = in_fd / FontCollectionFolderTree.FONT
-        font_meta_fd = in_fd / FontCollectionFolderTree.FONT_META
-        font_metas = [
-            FontMeta.from_file(font_meta_json, font_fd)
-            for font_meta_json in sorted(font_meta_fd.glob('*.json'))
-        ]
-        return cls(font_metas=font_metas)
+        root = Path(os.path.expandvars(os.fspath(folder)))
+        font_fd = root / FontCollectionFolderTree.FONT
+        meta_fd = root / FontCollectionFolderTree.FONT_META
+        return cls(font_metas=[
+            FontMeta.from_file(meta_json, font_fd)
+            for meta_json in sorted(meta_fd.glob('*.json'))
+        ])
 
 
 @attr.define
@@ -299,63 +288,30 @@ class CharBox(Shapable):
     def __attrs_post_init__(self):
         assert len(self.char) == 1 and not self.char.isspace()
 
-    @property
-    def up(self) -> int:
-        return self.box.up
+    # Geometry reads delegate to the box.
+    up = property(lambda self: self.box.up)
+    down = property(lambda self: self.box.down)
+    left = property(lambda self: self.box.left)
+    right = property(lambda self: self.box.right)
+    height = property(lambda self: self.box.height)
+    width = property(lambda self: self.box.width)
 
-    @property
-    def down(self) -> int:
-        return self.box.down
+    def to_conducted_resized_char_box(self, shapable_or_shape,
+                                      resized_height: Optional[int] = None,
+                                      resized_width: Optional[int] = None,
+                                      ) -> 'CharBox':
+        return attr.evolve(self, box=self.box.to_conducted_resized_box(
+            shapable_or_shape, resized_height, resized_width
+        ))
 
-    @property
-    def left(self) -> int:
-        return self.box.left
-
-    @property
-    def right(self) -> int:
-        return self.box.right
-
-    @property
-    def height(self) -> int:
-        return self.box.height
-
-    @property
-    def width(self) -> int:
-        return self.box.width
-
-    def to_conducted_resized_char_box(
-        self,
-        shapable_or_shape: Union[Shapable, Tuple[int, int]],
-        resized_height: Optional[int] = None,
-        resized_width: Optional[int] = None,
-    ) -> 'CharBox':
-        return attr.evolve(
-            self,
-            box=self.box.to_conducted_resized_box(
-                shapable_or_shape=shapable_or_shape,
-                resized_height=resized_height,
-                resized_width=resized_width,
-            ),
-        )
-
-    def to_resized_char_box(
-        self,
-        resized_height: Optional[int] = None,
-        resized_width: Optional[int] = None,
-    ) -> 'CharBox':
-        return attr.evolve(
-            self,
-            box=self.box.to_resized_box(
-                resized_height=resized_height,
-                resized_width=resized_width,
-            ),
-        )
+    def to_resized_char_box(self, resized_height: Optional[int] = None,
+                            resized_width: Optional[int] = None) -> 'CharBox':
+        return attr.evolve(self, box=self.box.to_resized_box(
+            resized_height, resized_width
+        ))
 
     def to_shifted_char_box(self, offset_y: int = 0, offset_x: int = 0) -> 'CharBox':
-        return attr.evolve(
-            self,
-            box=self.box.to_shifted_box(offset_y=offset_y, offset_x=offset_x),
-        )
+        return attr.evolve(self, box=self.box.to_shifted_box(offset_y, offset_x))
 
 
 @attr.define
@@ -375,11 +331,8 @@ class CharGlyph:
     ref_char_width: int
 
     def __attrs_post_init__(self):
-        # ascent may be negative (e.g. '_').
-        assert self.pad_up >= 0
-        assert self.pad_down >= 0
-        assert self.pad_left >= 0
-        assert self.pad_right >= 0
+        # ascent may be negative (e.g. '_'); pads may not.
+        assert min(self.pad_up, self.pad_down, self.pad_left, self.pad_right) >= 0
 
     @property
     def height(self) -> int:
@@ -389,30 +342,30 @@ class CharGlyph:
     def width(self) -> int:
         return self.image.width
 
-    def get_glyph_mask(
-        self,
-        box: Optional[Box] = None,
-        enable_resize: bool = False,
-        interpolation: Interpolation = Interpolation.CUBIC,
-    ) -> Mask:
-        if self.image.mat.ndim == 2:
-            np_mask = self.image.mat > 0
-        elif self.image.mat.ndim == 3:
-            np_mask = np.any(self.image.mat > 0, axis=2)
-        else:
-            raise NotImplementedError()
-
-        mask = Mask(mat=np_mask.astype(np.uint8))
+    def get_glyph_mask(self, box: Optional[Box] = None,
+                       enable_resize: bool = False,
+                       interpolation: Interpolation = Interpolation.CUBIC) -> Mask:
+        np_active = self.image.mat > 0
+        if np_active.ndim == 3:
+            np_active = np_active.any(axis=2)
+        mask = Mask(mat=np_active.astype(np.uint8))
         if box:
             if mask.shape != box.shape:
                 assert enable_resize
-                mask = mask.to_resized_mask(
-                    resized_height=box.height,
-                    resized_width=box.width,
-                    interpolation=interpolation,
-                )
+                mask = mask.to_resized_mask(box.height, box.width, interpolation)
             mask = mask.to_box_attached(box)
         return mask
+
+
+def _expand_span(lo: float, hi: float, target: float,
+                 clamp_lo: float, clamp_hi: float) -> Tuple[float, float]:
+    """Grow [lo, hi] symmetrically to `target` length, clamped."""
+    span = hi - lo + 1
+    if span < target:
+        grow = (target - span) / 2
+        lo = max(clamp_lo, lo - grow)
+        hi = min(clamp_hi, hi + grow)
+    return lo, hi
 
 
 @attr.define
@@ -446,198 +399,146 @@ class TextLine:
 
     def to_shifted_text_line(self, offset_y: int = 0, offset_x: int = 0) -> 'TextLine':
         self.shifted = True
-        shifted_image = self.image.to_shifted_image(offset_y=offset_y, offset_x=offset_x)
-        shifted_mask = self.mask.to_shifted_mask(offset_y=offset_y, offset_x=offset_x)
-        shifted_score_map = None
-        if self.score_map:
-            shifted_score_map = self.score_map.to_shifted_score_map(
-                offset_y=offset_y, offset_x=offset_x
-            )
-        shifted_char_boxes = [
-            char_box.to_shifted_char_box(offset_y=offset_y, offset_x=offset_x)
-            for char_box in self.char_boxes
-        ]
         return attr.evolve(
             self,
-            image=shifted_image,
-            mask=shifted_mask,
-            score_map=shifted_score_map,
-            char_boxes=shifted_char_boxes,
+            image=self.image.to_shifted_image(offset_y, offset_x),
+            mask=self.mask.to_shifted_mask(offset_y, offset_x),
+            score_map=(
+                self.score_map.to_shifted_score_map(offset_y, offset_x)
+                if self.score_map else None
+            ),
+            char_boxes=[
+                cb.to_shifted_char_box(offset_y, offset_x) for cb in self.char_boxes
+            ],
         )
 
     def split(self) -> List['TextLine']:
-        texts = self.text.split()
-        if len(texts) == 1:
+        """One TextLine per whitespace-separated word."""
+        words = self.text.split()
+        if len(words) == 1:
             return [self]
-        assert len(texts) > 1
+        assert len(words) > 1
 
-        text_lines: List[TextLine] = []
+        out: List[TextLine] = []
         begin = 0
-        for text in texts:
-            end = begin + len(text) - 1
-            char_boxes = self.char_boxes[begin:end + 1]
-            char_glyphs = self.char_glyphs[begin:end + 1]
+        for word in words:
+            end = begin + len(word)
+            char_boxes = self.char_boxes[begin:end]
+            char_glyphs = self.char_glyphs[begin:end]
+            word_box = Box.from_boxes(cb.box for cb in char_boxes)
+            out.append(attr.evolve(
+                self,
+                image=word_box.extract_image(self.image),
+                mask=word_box.extract_mask(self.mask),
+                score_map=(
+                    word_box.extract_score_map(self.score_map)
+                    if self.score_map else None
+                ),
+                char_boxes=char_boxes,
+                char_glyphs=char_glyphs,
+                text=word,
+            ))
+            begin = end
+        return out
 
-            if self.is_hori:
-                left = char_boxes[0].left
-                right = char_boxes[-1].right
-                up = min(char_box.up for char_box in char_boxes)
-                down = max(char_box.down for char_box in char_boxes)
-            else:
-                up = char_boxes[0].up
-                down = char_boxes[-1].down
-                left = min(char_box.left for char_box in char_boxes)
-                right = max(char_box.right for char_box in char_boxes)
-            box = Box(up=up, down=down, left=left, right=right)
+    # ------------------------------------------------------------------
+    # Axis-generic geometry helpers.  For a horizontal line the main axis
+    # is x; a vertical line transposes every role.
+    # ------------------------------------------------------------------
 
-            image = box.extract_image(self.image)
-            mask = box.extract_mask(self.mask)
-            score_map = None
-            if self.score_map:
-                score_map = box.extract_score_map(self.score_map)
+    def _main_axis_steps(self) -> List[int]:
+        """Staircase coordinates along the main axis, tracking char boxes."""
+        if self.is_hori:
+            lo, hi = self.box.left, self.box.right
+            spans = [(cb.left, cb.right) for cb in self.char_boxes]
+        else:
+            lo, hi = self.box.up, self.box.down
+            spans = [(cb.up, cb.down) for cb in self.char_boxes]
+        steps = [lo]
+        for span_lo, span_hi in spans:
+            if steps[-1] < span_lo:
+                steps.append(span_lo)
+            if span_lo < span_hi:
+                steps.append(span_hi)
+        if steps[-1] < hi:
+            steps.append(hi)
+        return steps
 
-            text_lines.append(
-                attr.evolve(
-                    self,
-                    image=image,
-                    mask=mask,
-                    score_map=score_map,
-                    char_boxes=char_boxes,
-                    char_glyphs=char_glyphs,
-                    text=text,
-                )
-            )
-            begin = end + 1
-        return text_lines
+    def _point_at(self, main: float, cross: float) -> Point:
+        if self.is_hori:
+            return Point.create(y=cross, x=main)
+        return Point.create(y=main, x=cross)
 
     def to_polygon(self) -> Polygon:
-        # Staircase outline tracking char boxes; matches type.py:560-613.
+        """Staircase outline around the char boxes, with mid-edge anchors."""
+        steps = self._main_axis_steps()
         if self.is_hori:
-            xs = [self.box.left]
-            for char_box in self.char_boxes:
-                if xs[-1] < char_box.left:
-                    xs.append(char_box.left)
-                if char_box.left < char_box.right:
-                    xs.append(char_box.right)
-            if xs[-1] < self.box.right:
-                xs.append(self.box.right)
+            cross_a, cross_b = self.box.up, self.box.down
+        else:
+            cross_a, cross_b = self.box.right, self.box.left
+        cross_mid = (cross_a + cross_b) // 2 if self.is_hori \
+            else (self.box.left + self.box.right) // 2
+        has_mid = min(cross_a, cross_b) < cross_mid < max(cross_a, cross_b)
 
-            points = PointList()
-            for x in xs:
-                points.append(Point.create(y=self.box.up, x=x))
-            y_mid = (self.box.up + self.box.down) // 2
-            if self.box.up < y_mid < self.box.down:
-                points.append(Point.create(y=y_mid, x=xs[-1]))
-            for x in reversed(xs):
-                points.append(Point.create(y=self.box.down, x=x))
-            if self.box.up < y_mid < self.box.down:
-                points.append(Point.create(y=y_mid, x=xs[0]))
-            return Polygon.create(points=points)
-
-        ys = [self.box.up]
-        for char_box in self.char_boxes:
-            if ys[-1] < char_box.up:
-                ys.append(char_box.up)
-            if char_box.up < char_box.down:
-                ys.append(char_box.down)
-        if ys[-1] < self.box.down:
-            ys.append(self.box.down)
-
-        points = PointList()
-        for y in ys:
-            points.append(Point.create(y=y, x=self.box.right))
-        x_mid = (self.box.left + self.box.right) // 2
-        if self.box.left < x_mid < self.box.right:
-            points.append(Point.create(y=ys[-1], x=x_mid))
-        for y in reversed(ys):
-            points.append(Point.create(y=y, x=self.box.left))
-        if self.box.left < x_mid < self.box.right:
-            points.append(Point.create(y=ys[0], x=x_mid))
-        return Polygon.create(points=points)
+        ring = PointList()
+        ring.extend(self._point_at(m, cross_a) for m in steps)
+        if has_mid:
+            ring.append(self._point_at(steps[-1], cross_mid))
+        ring.extend(self._point_at(m, cross_b) for m in reversed(steps))
+        if has_mid:
+            ring.append(self._point_at(steps[0], cross_mid))
+        return Polygon.create(points=ring)
 
     @classmethod
-    def build_char_polygon(cls, up: float, down: float, left: float, right: float):
-        return Polygon.from_xy_pairs([
-            (left, up), (right, up), (right, down), (left, down)
-        ])
+    def build_char_polygon(cls, up: float, down: float,
+                           left: float, right: float) -> Polygon:
+        return Polygon.from_xy_pairs(
+            [(left, up), (right, up), (right, down), (left, down)]
+        )
 
-    def to_char_polygons(
-        self,
-        page_height: int,
-        page_width: int,
-        ref_char_height_ratio: float = 1.0,
-        ref_char_width_ratio: float = 1.0,
-    ) -> List[Polygon]:
+    def to_char_polygons(self, page_height: int, page_width: int,
+                         ref_char_height_ratio: float = 1.0,
+                         ref_char_width_ratio: float = 1.0) -> List[Polygon]:
+        """Char quads grown to the glyph reference metrics."""
         assert len(self.char_boxes) == len(self.char_glyphs)
-
         polygons: List[Polygon] = []
-        for char_box, char_glyph in zip(self.char_boxes, self.char_glyphs):
-            ref_char_height = char_glyph.ref_char_height * ref_char_height_ratio
-            ref_char_width = char_glyph.ref_char_width * ref_char_width_ratio
-            box = char_box.box
-
+        for cb, glyph in zip(self.char_boxes, self.char_glyphs):
+            ref_h = glyph.ref_char_height * ref_char_height_ratio
+            ref_w = glyph.ref_char_width * ref_char_width_ratio
             if self.is_hori:
-                up, down = box.up, box.down
-                if box.height < ref_char_height:
-                    half_inc = (ref_char_height - box.height) / 2
-                    up = max(0, up - half_inc)
-                    down = min(page_height - 1, down + half_inc)
-                left, right = box.left, box.right
-                if box.width < ref_char_width:
-                    half_inc = (ref_char_width - box.width) / 2
-                    left = max(0, left - half_inc)
-                    right = min(page_width - 1, right + half_inc)
+                up, down = _expand_span(cb.up, cb.down, ref_h, 0, page_height - 1)
+                left, right = _expand_span(cb.left, cb.right, ref_w, 0, page_width - 1)
             else:
-                left, right = box.left, box.right
-                if box.width < ref_char_height:
-                    half_inc = (ref_char_height - box.width) / 2
-                    left = max(0, left - half_inc)
-                    right = min(page_width - 1, right + half_inc)
-                up, down = box.up, box.down
-                if box.height < ref_char_width:
-                    half_inc = (ref_char_width - box.height) / 2
-                    up = max(self.box.up, up - half_inc)
-                    down = min(page_height - 1, down + half_inc)
-
-            polygons.append(
-                self.build_char_polygon(up=up, down=down, left=left, right=right)
-            )
+                # Vertical layout: the glyph's height metric runs across.
+                left, right = _expand_span(cb.left, cb.right, ref_h, 0, page_width - 1)
+                up, down = _expand_span(
+                    cb.up, cb.down, ref_w, self.box.up, page_height - 1
+                )
+            polygons.append(self.build_char_polygon(up, down, left, right))
         return polygons
 
     def get_height_points(self, num_points: int, is_up: bool) -> PointList:
+        """Evenly spread anchor points on the up (or down) long edge."""
         if self.is_hori:
-            step = max(1, self.box.width // num_points)
-            xs = list(range(0, self.box.right + 1, step))
-            if len(xs) >= num_points:
-                xs = xs[:num_points - 1]
-                xs.append(self.box.right)
-            points = PointList()
-            y = self.box.up if is_up else self.box.down
-            for x in xs:
-                points.append(Point.create(y=y, x=x))
-            return points
-
-        step = max(1, self.box.height // num_points)
-        ys = list(range(self.box.up, self.box.down + 1, step))
-        if len(ys) >= num_points:
-            ys = ys[:num_points - 1]
-            ys.append(self.box.down)
-        points = PointList()
-        x = self.box.right if is_up else self.box.left
-        for y in ys:
-            points.append(Point.create(y=y, x=x))
-        return points
+            lo, hi = 0, self.box.right
+            extent = self.box.width
+            cross = self.box.up if is_up else self.box.down
+        else:
+            lo, hi = self.box.up, self.box.down
+            extent = self.box.height
+            cross = self.box.right if is_up else self.box.left
+        step = max(1, extent // num_points)
+        mains = list(range(lo, hi + 1, step))
+        if len(mains) >= num_points:
+            mains = mains[:num_points - 1] + [hi]
+        return PointList(self._point_at(m, cross) for m in mains)
 
     def get_char_level_height_points(self, is_up: bool) -> PointList:
-        points = PointList()
+        """One anchor at each char box center on the up (or down) edge."""
         if self.is_hori:
-            y = self.box.up if is_up else self.box.down
-            for char_box in self.char_boxes:
-                x = (char_box.left + char_box.right) / 2
-                points.append(Point.create(y=y, x=x))
+            cross = self.box.up if is_up else self.box.down
+            mains = [(cb.left + cb.right) / 2 for cb in self.char_boxes]
         else:
-            x = self.box.right if is_up else self.box.left
-            for char_box in self.char_boxes:
-                y = (char_box.up + char_box.down) / 2
-                points.append(Point.create(y=y, x=x))
-        return points
+            cross = self.box.right if is_up else self.box.left
+            mains = [(cb.up + cb.down) / 2 for cb in self.char_boxes]
+        return PointList(self._point_at(m, cross) for m in mains)

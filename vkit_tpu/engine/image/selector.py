@@ -1,10 +1,11 @@
-"""Image selector engine: random file from folders, crop or resize.
+"""Image selector engine: a random file from configured folders, delivered
+by random sub-crop when large enough, else by resize.
 
-Capability parity: vkit/engine/image/selector.py:31-105.
+Behavioral spec: vkit/engine/image/selector.py:31-105 (re-derived).
 """
 import os
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -14,21 +15,31 @@ from ...utility import rng_choice
 from ..interface import Engine, EngineExecutorFactory, NoneTypeEngineInitResource
 from .type import ImageEngineRunConfig
 
+_EXTENSIONS = ('jpg', 'jpeg', 'png')
+
+
+def index_image_files(folders) -> List[Path]:
+    """Sorted recursive listing of supported image files."""
+    found: List[Path] = []
+    for folder in folders:
+        root = Path(os.path.expandvars(os.fspath(folder)))
+        assert root.exists()
+        found.extend(
+            path for path in root.rglob('*')
+            if path.suffix.lower().lstrip('.') in _EXTENSIONS
+        )
+    return sorted(found)
+
 
 @attr.define
 class ImageSelectorEngineInitConfig:
-    image_folders: Sequence[str]
+    image_folders: List[str]
     target_image_mode: Optional[ImageMode] = ImageMode.RGB
     force_resize: bool = False
 
 
 class ImageSelectorEngine(
-    Engine[
-        ImageSelectorEngineInitConfig,
-        NoneTypeEngineInitResource,
-        ImageEngineRunConfig,
-        Image,
-    ]
+    Engine[ImageSelectorEngineInitConfig, NoneTypeEngineInitResource, ImageEngineRunConfig, Image]
 ):
 
     @classmethod
@@ -37,22 +48,12 @@ class ImageSelectorEngine(
 
     def __init__(self, init_config, init_resource=None):
         super().__init__(init_config, init_resource)
-        self.image_files: List[Path] = []
-        for image_folder in self.init_config.image_folders:
-            image_fd = Path(os.path.expandvars(os.fspath(image_folder)))
-            assert image_fd.exists()
-            for ext in ('jpg', 'jpeg', 'png'):
-                for pattern in (f'**/*.{ext}', f'**/*.{ext.upper()}'):
-                    self.image_files.extend(image_fd.glob(pattern))
-        self.image_files.sort()
+        self.image_files = index_image_files(init_config.image_folders)
 
     def run(self, run_config: ImageEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Image:
         assert rng is not None
-
-        image_file = rng_choice(rng, self.image_files)
-        image = Image.from_file(image_file)
-
+        image = Image.from_file(rng_choice(rng, self.image_files))
         if self.init_config.target_image_mode:
             image = image.to_target_mode_image(self.init_config.target_image_mode)
 
@@ -60,19 +61,13 @@ class ImageSelectorEngine(
             assert run_config.height == 0 and run_config.width == 0
             return image
 
-        height = run_config.height
-        width = run_config.width
-        if not self.init_config.force_resize \
-                and height <= image.height and width <= image.width:
-            up = int(rng.integers(0, image.height - height + 1))
-            left = int(rng.integers(0, image.width - width + 1))
-            box = Box(up=up, down=up + height - 1, left=left, right=left + width - 1)
-            image = box.extract_image(image)
-        else:
-            image = image.to_resized_image(
-                resized_height=height, resized_width=width
-            )
-        return image
+        h, w = run_config.height, run_config.width
+        fits = h <= image.height and w <= image.width
+        if fits and not self.init_config.force_resize:
+            up = int(rng.integers(0, image.height - h + 1))
+            left = int(rng.integers(0, image.width - w + 1))
+            return Box(up, up + h - 1, left, left + w - 1).extract_image(image)
+        return image.to_resized_image(resized_height=h, resized_width=w)
 
 
 image_selector_engine_executor_factory = EngineExecutorFactory(ImageSelectorEngine)

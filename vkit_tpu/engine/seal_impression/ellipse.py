@@ -1,9 +1,10 @@
-"""Ellipse seal impression engine.
+"""Ellipse seal-impression engine: stamp geometry synthesis.
 
-Capability parity: vkit/engine/seal_impression/ellipse.py:38-720 — stamp
-generation: alpha/color sampling, curved text-line slots along elliptical
-arcs, icon box, internal text line box, and border/background mask (stroked
-ellipse via the implicit-equation ring rasterizer).
+Samples color/alpha, lays curved text-line slots along elliptical arc
+bands, stamps an optional icon and internal text-line box, and rasterizes
+the stroked border ring.  Behavioral spec:
+vkit/engine/seal_impression/ellipse.py:38-720 (re-derived; arc points are
+vectorized and the band bookkeeping lives in one ArcBand struct).
 """
 from enum import Enum, unique
 from typing import List, Optional, Sequence, Tuple
@@ -12,7 +13,7 @@ import attr
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from ...element import Box, ImageMode, Mask, Point, PointList
+from ...element import Box, ImageMode, Mask, Point
 from ...mechanism.distortion.photometric.streak import draw_ellipse_ring
 from ...utility import normalize_to_keys_and_probs, rng_choice
 from ..image.selector import image_selector_engine_executor_factory
@@ -98,25 +99,44 @@ class SealImpressionEllipseColorMode(Enum):
     BLUE = 'blue'
 
 
+_COLOR_TEMPLATES = {
+    SealImpressionEllipseColorMode.GRAYSCALE: (1, 1, 1),
+    SealImpressionEllipseColorMode.RED: (1, 0, 0),
+    SealImpressionEllipseColorMode.GREEN: (0, 1, 0),
+    SealImpressionEllipseColorMode.BLUE: (0, 0, 1),
+}
+
+
 @attr.define
-class TextLineRoughPlacement:
-    ellipse_outer_height: int
-    ellipse_outer_width: int
-    ellipse_inner_height: int
-    ellipse_inner_width: int
+class ArcBand:
+    """One curved text band between two concentric ellipses."""
+
+    outer_axes: Tuple[int, int]   # (height, width) of the outer ellipse
+    inner_axes: Tuple[int, int]
     text_line_height: int
     angle_begin: int
     angle_end: int
     clockwise: bool
 
 
+def arc_points(axes: Tuple[int, int], center_yx: Tuple[int, int],
+               angles: np.ndarray) -> List[Point]:
+    """Points on an ellipse at the given angles (degrees, clockwise)."""
+    theta = np.radians(angles.astype(np.float64))
+    ys = np.sin(theta) * (axes[0] / 2) + center_yx[0]
+    xs = np.cos(theta) * (axes[1] / 2) + center_yx[1]
+    return [Point.create(y=float(y), x=float(x)) for y, x in zip(ys, xs)]
+
+
+def arc_angles(angle_begin: int, angle_end: int, step: int,
+               keep_last_oob: bool) -> np.ndarray:
+    """arange over the arc; optionally one overshooting angle at the end."""
+    bound = angle_end + (step if keep_last_oob else 1)
+    return np.arange(angle_begin, bound, step)
+
+
 class SealImpressionEllipseEngine(
-    Engine[
-        SealImpressionEllipseEngineInitConfig,
-        NoneTypeEngineInitResource,
-        SealImpressionEngineRunConfig,
-        SealImpression,
-    ]
+    Engine[SealImpressionEllipseEngineInitConfig, NoneTypeEngineInitResource, SealImpressionEngineRunConfig, SealImpression]
 ):
 
     @classmethod
@@ -125,458 +145,233 @@ class SealImpressionEllipseEngine(
 
     def __init__(self, init_config, init_resource=None):
         super().__init__(init_config, init_resource)
+        cfg = init_config
 
         self.border_styles, self.border_styles_probs = normalize_to_keys_and_probs([
-            (
-                SealImpressionEllipseBorderStyle.SOLID_LINE,
-                init_config.weight_border_style_solid_line,
-            ),
-            (
-                SealImpressionEllipseBorderStyle.DOUBLE_LINES,
-                init_config.weight_border_style_double_lines,
-            ),
+            (SealImpressionEllipseBorderStyle.SOLID_LINE,
+             cfg.weight_border_style_solid_line),
+            (SealImpressionEllipseBorderStyle.DOUBLE_LINES,
+             cfg.weight_border_style_double_lines),
         ])
         self.text_line_modes, self.text_line_modes_probs = normalize_to_keys_and_probs([
-            (SealImpressionEllipseTextLineMode.ONE, init_config.weight_text_line_mode_one),
-            (SealImpressionEllipseTextLineMode.TWO, init_config.weight_text_line_mode_two),
+            (SealImpressionEllipseTextLineMode.ONE, cfg.weight_text_line_mode_one),
+            (SealImpressionEllipseTextLineMode.TWO, cfg.weight_text_line_mode_two),
         ])
         self.color_modes, self.color_modes_probs = normalize_to_keys_and_probs([
-            (SealImpressionEllipseColorMode.GRAYSCALE, init_config.weight_color_grayscale),
-            (SealImpressionEllipseColorMode.RED, init_config.weight_color_red),
-            (SealImpressionEllipseColorMode.GREEN, init_config.weight_color_green),
-            (SealImpressionEllipseColorMode.BLUE, init_config.weight_color_blue),
+            (SealImpressionEllipseColorMode.GRAYSCALE, cfg.weight_color_grayscale),
+            (SealImpressionEllipseColorMode.RED, cfg.weight_color_red),
+            (SealImpressionEllipseColorMode.GREEN, cfg.weight_color_green),
+            (SealImpressionEllipseColorMode.BLUE, cfg.weight_color_blue),
         ])
 
         self.icon_image_selector = None
-        if init_config.icon_image_folders:
+        if cfg.icon_image_folders:
             self.icon_image_selector = image_selector_engine_executor_factory.create({
-                'image_folders': init_config.icon_image_folders,
+                'image_folders': cfg.icon_image_folders,
                 'target_image_mode': ImageMode.GRAYSCALE,
                 'force_resize': True,
             })
 
+    # ------------------------------------------------------------------
+    # Appearance.
+    # ------------------------------------------------------------------
+
     def sample_alpha_and_color(self, rng: RandomGenerator):
-        alpha = float(rng.uniform(self.init_config.alpha_min, self.init_config.alpha_max))
-        color_mode = rng_choice(rng, self.color_modes, probs=self.color_modes_probs)
-        rgb_value = int(
-            rng.integers(self.init_config.color_rgb_min, self.init_config.color_rgb_max + 1)
-        )
-        if color_mode == SealImpressionEllipseColorMode.GRAYSCALE:
-            color = (rgb_value,) * 3
-        elif color_mode == SealImpressionEllipseColorMode.RED:
-            color = (rgb_value, 0, 0)
-        elif color_mode == SealImpressionEllipseColorMode.GREEN:
-            color = (0, rgb_value, 0)
-        elif color_mode == SealImpressionEllipseColorMode.BLUE:
-            color = (0, 0, rgb_value)
-        else:
-            raise NotImplementedError()
+        cfg = self.init_config
+        alpha = float(rng.uniform(cfg.alpha_min, cfg.alpha_max))
+        mode = rng_choice(rng, self.color_modes, probs=self.color_modes_probs)
+        value = int(rng.integers(cfg.color_rgb_min, cfg.color_rgb_max + 1))
+        color = tuple(value * gate for gate in _COLOR_TEMPLATES[mode])
         return alpha, color
 
-    @classmethod
-    def sample_ellipse_points(
-        cls,
-        ellipse_height: int,
-        ellipse_width: int,
-        ellipse_offset_y: int,
-        ellipse_offset_x: int,
-        angle_begin: int,
-        angle_end: int,
-        angle_step: int,
-        keep_last_oob: bool,
-    ) -> PointList:
-        points = PointList()
-        half_height = ellipse_height / 2
-        half_width = ellipse_width / 2
-        angle = angle_begin
-        while angle <= angle_end or (keep_last_oob and angle - angle_end < angle_step):
-            theta = angle / 180 * np.pi
-            points.append(
-                Point.create(
-                    y=float(np.sin(theta)) * half_height + ellipse_offset_y,
-                    x=float(np.cos(theta)) * half_width + ellipse_offset_x,
-                )
-            )
-            angle += angle_step
-        return points
+    # ------------------------------------------------------------------
+    # Curved text bands.
+    # ------------------------------------------------------------------
 
-    @classmethod
-    def sample_char_slots(
-        cls,
-        ellipse_up_height: int,
-        ellipse_up_width: int,
-        ellipse_down_height: int,
-        ellipse_down_width: int,
-        ellipse_offset_y: int,
-        ellipse_offset_x: int,
-        angle_begin: int,
-        angle_end: int,
-        angle_step: int,
-        rng: RandomGenerator,
-        reverse: bool = False,
-    ) -> List[CharSlot]:
-        keep_last_oob = rng.random() < 0.5
-        common = dict(
-            ellipse_offset_y=ellipse_offset_y,
-            ellipse_offset_x=ellipse_offset_x,
-            angle_begin=angle_begin,
-            angle_end=angle_end,
-            angle_step=angle_step,
-            keep_last_oob=keep_last_oob,
-        )
-        point_ups = cls.sample_ellipse_points(
-            ellipse_height=ellipse_up_height, ellipse_width=ellipse_up_width, **common
-        )
-        point_downs = cls.sample_ellipse_points(
-            ellipse_height=ellipse_down_height, ellipse_width=ellipse_down_width, **common
-        )
-        char_slots = [
-            CharSlot.build(point_up=pu, point_down=pd)
-            for pu, pd in zip(point_ups, point_downs)
+    def _sample_band_geometry(self, height: int, width: int,
+                              rng: RandomGenerator) -> List[ArcBand]:
+        cfg = self.init_config
+        pad = round(float(rng.uniform(cfg.pad_ratio_min, cfg.pad_ratio_max)) * height)
+        outer = (height - 2 * pad, width - 2 * pad)
+        assert outer[0] > 0 and outer[1] > 0
+
+        mode = rng_choice(rng, self.text_line_modes, probs=self.text_line_modes_probs)
+
+        def band(angle_begin: int, angle_end: int, clockwise: bool) -> ArcBand:
+            ratio = float(rng.uniform(cfg.text_line_height_ratio_min,
+                                      cfg.text_line_height_ratio_max))
+            line_height = round(ratio * height)
+            assert line_height > 0
+            inner = (outer[0] - 2 * line_height, outer[1] - 2 * line_height)
+            assert inner[0] > 0 and inner[1] > 0
+            return ArcBand(
+                outer_axes=outer, inner_axes=inner,
+                text_line_height=line_height,
+                angle_begin=angle_begin, angle_end=angle_end,
+                clockwise=clockwise,
+            )
+
+        if mode == SealImpressionEllipseTextLineMode.ONE:
+            gap_ratio = float(rng.uniform(cfg.text_line_mode_one_gap_ratio_min,
+                                          cfg.text_line_mode_one_gap_ratio_max))
+            gap = round(gap_ratio * 360)
+            begin = 90 + gap // 2
+            return [band(begin, begin + (360 - gap) - 1, clockwise=True)]
+
+        gap_ratio = float(rng.uniform(cfg.text_line_mode_two_gap_ratio_min,
+                                      cfg.text_line_mode_two_gap_ratio_max))
+        half_gap = round(gap_ratio * 360 / 2)
+        return [
+            band(180 + half_gap, 360 - half_gap, clockwise=True),
+            band(half_gap, 180 - half_gap, clockwise=False),
         ]
-        if reverse:
-            char_slots = list(reversed(char_slots))
-        return char_slots
 
-    def sample_curved_text_line_rough_placements(
-        self,
-        height: int,
-        width: int,
-        rng: RandomGenerator,
-    ) -> List[TextLineRoughPlacement]:
-        pad_ratio = float(
-            rng.uniform(self.init_config.pad_ratio_min, self.init_config.pad_ratio_max)
-        )
-        pad = round(pad_ratio * height)
-        ellipse_outer_height = height - 2 * pad
-        ellipse_outer_width = width - 2 * pad
-        assert ellipse_outer_height > 0 and ellipse_outer_width > 0
-
-        rough_placements: List[TextLineRoughPlacement] = []
-        half_gap = None
-        text_line_mode = rng_choice(rng, self.text_line_modes, probs=self.text_line_modes_probs)
-
-        if text_line_mode == SealImpressionEllipseTextLineMode.ONE:
-            gap_ratio = float(
-                rng.uniform(
-                    self.init_config.text_line_mode_one_gap_ratio_min,
-                    self.init_config.text_line_mode_one_gap_ratio_max,
-                )
-            )
-            angle_gap = round(gap_ratio * 360)
-            angle_range = 360 - angle_gap
-            angle_begin = 90 + angle_gap // 2
-            angle_end = angle_begin + angle_range - 1
-        elif text_line_mode == SealImpressionEllipseTextLineMode.TWO:
-            gap_ratio = float(
-                rng.uniform(
-                    self.init_config.text_line_mode_two_gap_ratio_min,
-                    self.init_config.text_line_mode_two_gap_ratio_max,
-                )
-            )
-            half_gap = round(gap_ratio * 360 / 2)
-            angle_begin = 180 + half_gap
-            angle_end = 360 - half_gap
-        else:
-            raise NotImplementedError()
-
-        height_ratio = float(
-            rng.uniform(
-                self.init_config.text_line_height_ratio_min,
-                self.init_config.text_line_height_ratio_max,
-            )
-        )
-        text_line_height = round(height_ratio * height)
-        assert text_line_height > 0
-        inner_height = ellipse_outer_height - 2 * text_line_height
-        inner_width = ellipse_outer_width - 2 * text_line_height
-        assert inner_height > 0 and inner_width > 0
-
-        rough_placements.append(
-            TextLineRoughPlacement(
-                ellipse_outer_height=ellipse_outer_height,
-                ellipse_outer_width=ellipse_outer_width,
-                ellipse_inner_height=inner_height,
-                ellipse_inner_width=inner_width,
-                text_line_height=text_line_height,
-                angle_begin=angle_begin,
-                angle_end=angle_end,
-                clockwise=True,
-            )
+    def _slots_for_band(self, arc_band: ArcBand, center_yx: Tuple[int, int],
+                        rng: RandomGenerator) -> TextLineSlot:
+        cfg = self.init_config
+        char_aspect = float(rng.uniform(cfg.char_aspect_ratio_min,
+                                        cfg.char_aspect_ratio_max))
+        space_ratio = float(rng.uniform(cfg.char_space_ratio_min,
+                                        cfg.char_space_ratio_max))
+        char_w = max(1, round(arc_band.text_line_height * char_aspect))
+        char_gap = max(1, round(arc_band.text_line_height * space_ratio))
+        radius = max(1, center_yx[0])
+        step = max(
+            cfg.angle_step_min,
+            round(360 * (char_w + char_gap) / (2 * np.pi * radius)),
         )
 
-        if text_line_mode == SealImpressionEllipseTextLineMode.TWO:
-            assert half_gap
-            height_ratio_two = float(
-                rng.uniform(
-                    self.init_config.text_line_height_ratio_min,
-                    self.init_config.text_line_height_ratio_max,
-                )
-            )
-            text_line_two_height = round(height_ratio_two * height)
-            assert text_line_two_height > 0
-            inner_two_height = ellipse_outer_height - 2 * text_line_two_height
-            inner_two_width = ellipse_outer_width - 2 * text_line_two_height
-            assert inner_two_height > 0 and inner_two_width > 0
-
-            rough_placements.append(
-                TextLineRoughPlacement(
-                    ellipse_outer_height=ellipse_outer_height,
-                    ellipse_outer_width=ellipse_outer_width,
-                    ellipse_inner_height=inner_two_height,
-                    ellipse_inner_width=inner_two_width,
-                    text_line_height=text_line_two_height,
-                    angle_begin=half_gap,
-                    angle_end=180 - half_gap,
-                    clockwise=False,
-                )
-            )
-
-        return rough_placements
-
-    def generate_text_line_slots_based_on_rough_placements(
-        self,
-        height: int,
-        width: int,
-        rough_placements: Sequence[TextLineRoughPlacement],
-        rng: RandomGenerator,
-    ) -> List[TextLineSlot]:
-        ellipse_offset_y = height // 2
-        ellipse_offset_x = width // 2
-
-        text_line_slots: List[TextLineSlot] = []
-        for rough_placement in rough_placements:
-            char_aspect_ratio = float(
-                rng.uniform(
-                    self.init_config.char_aspect_ratio_min,
-                    self.init_config.char_aspect_ratio_max,
-                )
-            )
-            char_width_ref = max(
-                1, round(rough_placement.text_line_height * char_aspect_ratio)
-            )
-            char_space_ratio = float(
-                rng.uniform(
-                    self.init_config.char_space_ratio_min,
-                    self.init_config.char_space_ratio_max,
-                )
-            )
-            char_space_ref = max(
-                1, round(rough_placement.text_line_height * char_space_ratio)
-            )
-            radius_ref = max(1, ellipse_offset_y)
-            angle_step = max(
-                self.init_config.angle_step_min,
-                round(360 * (char_width_ref + char_space_ref) / (2 * np.pi * radius_ref)),
-            )
-
-            if rough_placement.clockwise:
-                char_slots = self.sample_char_slots(
-                    ellipse_up_height=rough_placement.ellipse_outer_height,
-                    ellipse_up_width=rough_placement.ellipse_outer_width,
-                    ellipse_down_height=rough_placement.ellipse_inner_height,
-                    ellipse_down_width=rough_placement.ellipse_inner_width,
-                    ellipse_offset_y=ellipse_offset_y,
-                    ellipse_offset_x=ellipse_offset_x,
-                    angle_begin=rough_placement.angle_begin,
-                    angle_end=rough_placement.angle_end,
-                    angle_step=angle_step,
-                    rng=rng,
-                )
-            else:
-                char_slots = self.sample_char_slots(
-                    ellipse_up_height=rough_placement.ellipse_inner_height,
-                    ellipse_up_width=rough_placement.ellipse_inner_width,
-                    ellipse_down_height=rough_placement.ellipse_outer_height,
-                    ellipse_down_width=rough_placement.ellipse_outer_width,
-                    ellipse_offset_y=ellipse_offset_y,
-                    ellipse_offset_x=ellipse_offset_x,
-                    angle_begin=rough_placement.angle_begin,
-                    angle_end=rough_placement.angle_end,
-                    angle_step=angle_step,
-                    rng=rng,
-                    reverse=True,
-                )
-
-            text_line_slots.append(
-                TextLineSlot(
-                    text_line_height=rough_placement.text_line_height,
-                    char_aspect_ratio=char_aspect_ratio,
-                    char_slots=char_slots,
-                )
-            )
-        return text_line_slots
-
-    def generate_text_line_slots(self, height: int, width: int, rng: RandomGenerator):
-        rough_placements = self.sample_curved_text_line_rough_placements(
-            height=height, width=width, rng=rng
+        keep_last_oob = rng.random() < 0.5
+        angles = arc_angles(arc_band.angle_begin, arc_band.angle_end, step,
+                            keep_last_oob)
+        # Clockwise bands read outer->inner; counter-clockwise the reverse.
+        top, bottom = (
+            (arc_band.outer_axes, arc_band.inner_axes) if arc_band.clockwise
+            else (arc_band.inner_axes, arc_band.outer_axes)
         )
-        text_line_slots = self.generate_text_line_slots_based_on_rough_placements(
-            height=height, width=width, rough_placements=rough_placements, rng=rng
-        )
-        ellipse_inner_shape = (
-            min(rp.ellipse_inner_height for rp in rough_placements),
-            min(rp.ellipse_inner_width for rp in rough_placements),
-        )
-        return text_line_slots, ellipse_inner_shape
+        ups = arc_points(top, center_yx, angles)
+        downs = arc_points(bottom, center_yx, angles)
+        char_slots = [CharSlot.build(pu, pd) for pu, pd in zip(ups, downs)]
+        if not arc_band.clockwise:
+            char_slots.reverse()
 
-    def sample_icon_box(
-        self,
-        height: int,
-        width: int,
-        ellipse_inner_shape: Tuple[int, int],
-        rng: RandomGenerator,
-    ) -> Box:
-        ellipse_inner_height, ellipse_inner_width = ellipse_inner_shape
-        box_height = round(
-            ellipse_inner_height * rng.uniform(
-                self.init_config.icon_height_ratio_min,
-                self.init_config.icon_height_ratio_max,
-            )
+        return TextLineSlot(
+            text_line_height=arc_band.text_line_height,
+            char_aspect_ratio=char_aspect,
+            char_slots=char_slots,
         )
-        box_width = round(
-            ellipse_inner_width * rng.uniform(
-                self.init_config.icon_width_ratio_min,
-                self.init_config.icon_width_ratio_max,
-            )
-        )
-        up = (height - box_height) // 2
-        left = (width - box_width) // 2
-        return Box(up=up, down=up + box_height - 1, left=left, right=left + box_width - 1)
 
-    def sample_internal_text_line_box(
-        self,
-        height: int,
-        width: int,
-        ellipse_inner_shape: Tuple[int, int],
-        icon_box_down: Optional[int],
-        rng: RandomGenerator,
+    # ------------------------------------------------------------------
+    # Background / icon / internal text line.
+    # ------------------------------------------------------------------
+
+    def _sample_icon_box(self, height: int, width: int,
+                         inner_shape: Tuple[int, int],
+                         rng: RandomGenerator) -> Box:
+        cfg = self.init_config
+        box_h = round(inner_shape[0] * rng.uniform(cfg.icon_height_ratio_min,
+                                                   cfg.icon_height_ratio_max))
+        box_w = round(inner_shape[1] * rng.uniform(cfg.icon_width_ratio_min,
+                                                   cfg.icon_width_ratio_max))
+        up = (height - box_h) // 2
+        left = (width - box_w) // 2
+        return Box(up, up + box_h - 1, left, left + box_w - 1)
+
+    def _sample_internal_text_line_box(
+        self, height: int, width: int, inner_shape: Tuple[int, int],
+        icon_box_down: Optional[int], rng: RandomGenerator,
     ) -> Optional[Box]:
-        ellipse_inner_height, ellipse_inner_width = ellipse_inner_shape
-        if ellipse_inner_height > ellipse_inner_width:
+        cfg = self.init_config
+        inner_h, inner_w = inner_shape
+        if inner_h > inner_w:
             return None
 
-        box_height = round(
-            ellipse_inner_height * rng.uniform(
-                self.init_config.internal_text_line_height_ratio_min,
-                self.init_config.internal_text_line_height_ratio_max,
-            )
-        )
-        half_height = height // 2
-        up = half_height
-        if icon_box_down:
-            up = icon_box_down + 1
-        down = min(
-            height - 1,
-            half_height + ellipse_inner_height // 2 - 1,
-            up + box_height - 1,
-        )
+        box_h = round(inner_h * rng.uniform(
+            cfg.internal_text_line_height_ratio_min,
+            cfg.internal_text_line_height_ratio_max,
+        ))
+        mid = height // 2
+        up = icon_box_down + 1 if icon_box_down else mid
+        down = min(height - 1, mid + inner_h // 2 - 1, up + box_h - 1)
         if up > down:
             return None
 
-        ellipse_h = down + 1 - half_height
-        ellipse_a = ellipse_inner_width / 2
-        ellipse_b = ellipse_inner_height / 2
-        box_width_max = round(
-            2 * ellipse_b * np.sqrt(max(ellipse_a**2 - ellipse_h**2, 0.0)) / ellipse_a
-        )
-        box_width = round(
-            ellipse_inner_width * rng.uniform(
-                self.init_config.internal_text_line_width_ratio_min,
-                self.init_config.internal_text_line_width_ratio_max,
-            )
-        )
-        box_width = max(box_width_max, box_width)
-        left = (width - box_width) // 2
-        right = left + box_width - 1
-        if left > right:
+        # The widest box fitting inside the inner ellipse at this height.
+        drop = down + 1 - mid
+        semi_x = inner_w / 2
+        semi_y = inner_h / 2
+        fit_w = round(2 * semi_y * np.sqrt(max(semi_x**2 - drop**2, 0.0)) / semi_x)
+        box_w = round(inner_w * rng.uniform(
+            cfg.internal_text_line_width_ratio_min,
+            cfg.internal_text_line_width_ratio_max,
+        ))
+        box_w = max(fit_w, box_w)
+        left = (width - box_w) // 2
+        if left > left + box_w - 1:
             return None
-        return Box(up=up, down=down, left=left, right=right)
+        return Box(up, down, left, left + box_w - 1)
 
-    def generate_background(
-        self,
-        height: int,
-        width: int,
-        ellipse_inner_shape: Tuple[int, int],
-        rng: RandomGenerator,
-    ):
-        background_mask = Mask.from_shape((height, width))
-        border_style = rng_choice(rng, self.border_styles, probs=self.border_styles_probs)
-
-        border_thickness = round(
-            height * rng.uniform(
-                self.init_config.border_thickness_ratio_min,
-                self.init_config.border_thickness_ratio_max,
-            )
+    def _render_border(self, np_mask: np.ndarray, height: int, width: int,
+                       rng: RandomGenerator) -> None:
+        cfg = self.init_config
+        thickness = max(
+            cfg.border_thickness_min,
+            round(height * rng.uniform(cfg.border_thickness_ratio_min,
+                                       cfg.border_thickness_ratio_max)),
         )
-        border_thickness = max(self.init_config.border_thickness_min, border_thickness)
-
         center = (width // 2, height // 2)
-        axes = (width // 2 - border_thickness - 1, height // 2 - border_thickness - 1)
-        with background_mask.writable_context:
+        axes = (width // 2 - thickness - 1, height // 2 - thickness - 1)
+        draw_ellipse_ring(np_mask, center, axes, thickness)
+
+        style = rng_choice(rng, self.border_styles, probs=self.border_styles_probs)
+        hollow_room = thickness - 2 * cfg.border_thickness_min
+        if style == SealImpressionEllipseBorderStyle.DOUBLE_LINES and hollow_room > 1:
+            # Hollow the stroke's center to leave two concentric lines.
+            np_hole = np.zeros_like(np_mask)
             draw_ellipse_ring(
-                background_mask.mat,
-                center_xy=center,
-                axes=axes,
-                thickness=border_thickness,
+                np_hole, center, axes, int(rng.integers(1, hollow_room))
             )
-
-            if border_thickness > 2 * self.init_config.border_thickness_min + 1 \
-                    and border_style == SealImpressionEllipseBorderStyle.DOUBLE_LINES:
-                border_thickness_empty = int(
-                    rng.integers(
-                        1, border_thickness - 2 * self.init_config.border_thickness_min
-                    )
-                )
-                # Hollow the center of the stroke to leave two lines.
-                np_hole = np.zeros_like(background_mask.mat)
-                draw_ellipse_ring(
-                    np_hole,
-                    center_xy=center,
-                    axes=axes,
-                    thickness=border_thickness_empty,
-                )
-                background_mask.mat[np_hole > 0] = 0
-
-        icon_box_down = None
-        if self.icon_image_selector and rng.random() < self.init_config.prob_add_icon:
-            icon_box = self.sample_icon_box(
-                height=height, width=width,
-                ellipse_inner_shape=ellipse_inner_shape, rng=rng,
-            )
-            icon_box_down = icon_box.down
-            icon_grayscale_image = self.icon_image_selector.run(
-                {'height': icon_box.height, 'width': icon_box.width}, rng
-            )
-            icon_mask_mat = (
-                icon_grayscale_image.mat > self.init_config.icon_image_grayscale_min
-            )
-            icon_box.fill_mask(background_mask, Mask(mat=icon_mask_mat.astype(np.uint8)))
-
-        internal_text_line_box = None
-        if rng.random() < self.init_config.prob_add_internal_text_line:
-            internal_text_line_box = self.sample_internal_text_line_box(
-                height=height, width=width,
-                ellipse_inner_shape=ellipse_inner_shape,
-                icon_box_down=icon_box_down, rng=rng,
-            )
-
-        return background_mask, internal_text_line_box
+            np_mask[np_hole > 0] = 0
 
     def run(self, run_config: SealImpressionEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> SealImpression:
         assert rng is not None
+        cfg = self.init_config
+        height, width = run_config.height, run_config.width
+        center_yx = (height // 2, width // 2)
 
         alpha, color = self.sample_alpha_and_color(rng)
-        text_line_slots, ellipse_inner_shape = self.generate_text_line_slots(
-            height=run_config.height, width=run_config.width, rng=rng
+
+        bands = self._sample_band_geometry(height, width, rng)
+        text_line_slots = [
+            self._slots_for_band(arc_band, center_yx, rng) for arc_band in bands
+        ]
+        inner_shape = (
+            min(b.inner_axes[0] for b in bands),
+            min(b.inner_axes[1] for b in bands),
         )
-        background_mask, internal_text_line_box = self.generate_background(
-            height=run_config.height,
-            width=run_config.width,
-            ellipse_inner_shape=ellipse_inner_shape,
-            rng=rng,
-        )
+
+        background_mask = Mask.from_shape((height, width))
+        icon_box_down = None
+        with background_mask.writable_context:
+            self._render_border(background_mask.mat, height, width, rng)
+        if self.icon_image_selector and rng.random() < cfg.prob_add_icon:
+            icon_box = self._sample_icon_box(height, width, inner_shape, rng)
+            icon_box_down = icon_box.down
+            icon = self.icon_image_selector.run(
+                {'height': icon_box.height, 'width': icon_box.width}, rng
+            )
+            icon_box.fill_mask(
+                background_mask,
+                Mask(mat=(icon.mat > cfg.icon_image_grayscale_min).astype(np.uint8)),
+            )
+
+        internal_text_line_box = None
+        if rng.random() < cfg.prob_add_internal_text_line:
+            internal_text_line_box = self._sample_internal_text_line_box(
+                height, width, inner_shape, icon_box_down, rng
+            )
+
         return SealImpression(
             alpha=alpha,
             color=color,

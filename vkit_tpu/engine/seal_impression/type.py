@@ -1,27 +1,30 @@
-"""Seal impression types. Capability parity: vkit/engine/seal_impression/type.py:22-63."""
+"""Seal impression types.
+
+Behavioral spec: vkit/engine/seal_impression/type.py:22-63 (re-derived).
+"""
+import math
 from typing import Optional, Sequence, Tuple
 
 import attr
-import numpy as np
 
 from ...element import Box, Mask, Point
 
 
 @attr.define
 class CharSlot:
+    """One character anchor on a seal arc: its baseline direction angle."""
+
     angle: int
     point_up: Point
     point_down: Point
 
     @classmethod
     def build(cls, point_up: Point, point_down: Point) -> 'CharSlot':
-        theta = np.arctan2(
+        degrees = math.degrees(math.atan2(
             point_up.smooth_y - point_down.smooth_y,
             point_up.smooth_x - point_down.smooth_x,
-        )
-        theta = theta % (2 * np.pi)
-        angle = round(theta / (2 * np.pi) * 360)
-        return cls(angle=angle, point_up=point_up, point_down=point_down)
+        )) % 360
+        return cls(angle=round(degrees), point_up=point_up, point_down=point_down)
 
 
 @attr.define

@@ -1,10 +1,12 @@
-"""Pipeline framework: typed state store + reflective step auto-wiring.
+"""Pipeline framework: typed state store + auto-wired step DAG.
 
-Capability parity: vkit/pipeline/interface.py:46-254.  ``Pipeline.run``
-stores each step's output keyed by its snake-cased class name; the next
-step's input attrs class is built by looking up each field's annotated type
-in the state (auto-wired DAG).
+Each step's output lands in the state under its snake-cased class name; the
+next step's input attrs class is assembled by resolving every field's
+annotated type from the state.  Behavioral spec:
+vkit/pipeline/interface.py:46-254 (re-derived; per-class reflection is done
+once and cached, and wiring lives in one resolver function).
 """
+import os
 import typing
 from typing import (
     Any,
@@ -14,10 +16,10 @@ from typing import (
     Mapping,
     Optional,
     Sequence,
+    Tuple,
     Type,
     TypeVar,
     Union,
-    cast,
 )
 
 import attr
@@ -37,9 +39,8 @@ _T_INPUT = TypeVar('_T_INPUT')
 _T_OUTPUT = TypeVar('_T_OUTPUT')
 
 
-def _is_path_type(obj: Any) -> bool:
-    import os
-    return isinstance(obj, (str, os.PathLike))
+def _state_key(cls: type) -> str:
+    return convert_camel_case_name_to_snake_case_name(cls.__name__)
 
 
 @attr.define
@@ -47,48 +48,79 @@ class PipelineState:
     key_to_value: Dict[str, Any] = attr.field(factory=dict)
 
     def get_value(self, key: str, value_cls: Type[_T_VALUE]) -> _T_VALUE:
-        if key not in self.key_to_value:
-            raise KeyError(f'key={key} not found.')
-        value = self.key_to_value[key]
+        try:
+            value = self.key_to_value[key]
+        except KeyError:
+            raise KeyError(f'state has no {key!r}') from None
         if not isinstance(value, value_cls):
             raise TypeError(
-                f'key={key}, value type={type(value)} is not instance of {value_cls}'
+                f'{key!r} holds a {type(value).__name__}, not {value_cls.__name__}'
             )
         return value
 
-    def set_value(self, key: str, value: Any, override: bool = False):
-        if key in self.key_to_value and not override:
-            raise KeyError(f'key={key} exists but override is not set.')
+    def set_value(self, key: str, value: Any, override: bool = False) -> None:
+        if not override and key in self.key_to_value:
+            raise KeyError(f'{key!r} already set (pass override=True to replace)')
         self.key_to_value[key] = value
 
+    def store_output(self, output: Any) -> None:
+        self.set_value(_state_key(type(output)), output)
 
-class PipelineStep(Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
+    def assemble(self, input_cls: Type[_T_INPUT]) -> _T_INPUT:
+        """Auto-wire: each field resolves by its annotated type."""
+        assert attr.has(input_cls)
+        hints = typing.get_type_hints(input_cls)
+        kwargs = {
+            field.name: self.get_value(
+                _state_key(hints[field.name]), hints[field.name]
+            )
+            for field in attr.fields(input_cls)
+        }
+        return input_cls(**kwargs)
 
-    _cached_name: str = ''
+
+class _Reflected:
+    """Shared (config, input, output) generic-parameter reflection."""
+
+    _generic_args: Optional[Tuple[type, ...]] = None
 
     @classmethod
-    def get_config_cls(cls) -> Type[_T_CONFIG]:
-        return get_generic_classes(cls)[0]  # type: ignore[return-value]
+    def _args(cls) -> Tuple[type, ...]:
+        if cls.__dict__.get('_generic_args') is None:
+            cls._generic_args = tuple(get_generic_classes(cls))
+        assert cls._generic_args is not None
+        return cls._generic_args
 
     @classmethod
-    def get_input_cls(cls) -> Type[_T_INPUT]:
-        return get_generic_classes(cls)[1]  # type: ignore[return-value]
+    def get_config_cls(cls) -> type:
+        return cls._args()[0]
 
     @classmethod
-    def get_output_cls(cls) -> Type[_T_OUTPUT]:
-        return get_generic_classes(cls)[2]  # type: ignore[return-value]
+    def get_input_cls(cls) -> type:
+        return cls._args()[1]
+
+    @classmethod
+    def get_output_cls(cls) -> type:
+        return cls._args()[2]
+
+
+class PipelineStep(_Reflected, Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
 
     @classmethod
     def get_name(cls) -> str:
-        if not cls.__dict__.get('_cached_name'):
-            cls._cached_name = convert_camel_case_name_to_snake_case_name(cls.__name__)
-        return cls._cached_name
+        return convert_camel_case_name_to_snake_case_name(cls.__name__)
 
     def __init__(self, config: _T_CONFIG):
         self.config = config
 
     def run(self, input: _T_INPUT, rng: RandomGenerator) -> _T_OUTPUT:
         raise NotImplementedError()
+
+
+def _structure_config(config, config_cls):
+    return dyn_structure(
+        config, config_cls, support_path_type=True, support_none_type=True
+    )
 
 
 class PipelineStepFactory(Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
@@ -100,23 +132,17 @@ class PipelineStepFactory(Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
     def name(self) -> str:
         return self.pipeline_step_cls.get_name()
 
-    def get_config_cls(self):
+    def get_config_cls(self) -> type:
         return self.pipeline_step_cls.get_config_cls()
 
-    def create(
-        self,
-        config: Optional[Union[Mapping[str, Any], PathType, _T_CONFIG]] = None,
-    ) -> PipelineStep:
-        config = dyn_structure(
-            config,
-            self.get_config_cls(),
-            support_path_type=True,
-            support_none_type=True,
+    def create(self, config=None) -> PipelineStep:
+        return self.pipeline_step_cls(
+            _structure_config(config, self.get_config_cls())
         )
-        return self.pipeline_step_cls(config)
 
 
 class PipelineStepCollectionFactory:
+    """Registry keyed '<namespace>.<step_name>', built from JSON lists."""
 
     def __init__(self):
         self.name_to_step_factory: Dict[str, PipelineStepFactory] = {}
@@ -125,39 +151,33 @@ class PipelineStepCollectionFactory:
         self,
         namespace: str,
         step_factories: Sequence[PipelineStepFactory],
-    ):
-        for step_factory in step_factories:
-            name = f'{namespace}.{step_factory.name}'
-            assert name not in self.name_to_step_factory
-            self.name_to_step_factory[name] = step_factory
+    ) -> None:
+        for factory in step_factories:
+            key = f'{namespace}.{factory.name}'
+            assert key not in self.name_to_step_factory
+            self.name_to_step_factory[key] = factory
 
     def create(
         self,
         step_configs: Union[Sequence[Mapping[str, Any]], PathType],
     ) -> List[PipelineStep]:
-        if _is_path_type(step_configs):
+        if isinstance(step_configs, (str, os.PathLike)):
             step_configs = read_json_file(step_configs)
-        step_configs = cast(Sequence[Mapping[str, Any]], step_configs)
-
         steps: List[PipelineStep] = []
-        for step_config in step_configs:
-            name = step_config['name']
+        for entry in step_configs:
+            name = entry['name']
             if name not in self.name_to_step_factory:
-                raise KeyError(f'name={name} not found.')
+                raise KeyError(f'unknown pipeline step {name!r}')
             steps.append(
-                self.name_to_step_factory[name].create(step_config.get('config'))
+                self.name_to_step_factory[name].create(entry.get('config'))
             )
         return steps
 
 
-class PipelinePostProcessor(Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
+class PipelinePostProcessor(_Reflected, Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
 
     def __init__(self, config: _T_CONFIG):
         self.config = config
-
-    @classmethod
-    def get_input_cls(cls) -> Type[_T_INPUT]:
-        return get_generic_classes(cls)[1]  # type: ignore[return-value]
 
     def generate_output(self, input: _T_INPUT, rng: RandomGenerator) -> _T_OUTPUT:
         raise NotImplementedError()
@@ -168,20 +188,13 @@ class PipelinePostProcessorFactory(Generic[_T_CONFIG, _T_INPUT, _T_OUTPUT]):
     def __init__(self, pipeline_post_processor_cls: Type[PipelinePostProcessor]):
         self.pipeline_post_processor_cls = pipeline_post_processor_cls
 
-    def get_config_cls(self) -> Type[_T_CONFIG]:
-        return get_generic_classes(self.pipeline_post_processor_cls)[0]  # type: ignore
+    def get_config_cls(self) -> type:
+        return self.pipeline_post_processor_cls.get_config_cls()
 
-    def create(
-        self,
-        config: Optional[Union[Mapping[str, Any], PathType, _T_CONFIG]] = None,
-    ) -> PipelinePostProcessor:
-        config = dyn_structure(
-            config,
-            self.get_config_cls(),
-            support_path_type=True,
-            support_none_type=True,
+    def create(self, config=None) -> PipelinePostProcessor:
+        return self.pipeline_post_processor_cls(
+            _structure_config(config, self.get_config_cls())
         )
-        return self.pipeline_post_processor_cls(config)
 
 
 @attr.define
@@ -191,54 +204,28 @@ class PipelineRunRngStateOutput:
 
 class Pipeline(Generic[_T_OUTPUT]):
 
-    def __init__(
-        self,
-        steps: Sequence[PipelineStep],
-        post_processor: PipelinePostProcessor,
-    ):
+    def __init__(self, steps: Sequence[PipelineStep],
+                 post_processor: PipelinePostProcessor):
         self.steps = steps
         self.post_processor = post_processor
 
+    # Back-compat alias for the classmethod form.
     @classmethod
-    def build_input(cls, state: PipelineState, input_cls: Any):
-        assert attr.has(input_cls)
-        hints = typing.get_type_hints(input_cls)
-        input_kwargs = {}
-        for field in attr.fields(input_cls):
-            field_type = hints[field.name]
-            input_kwargs[field.name] = state.get_value(
-                convert_camel_case_name_to_snake_case_name(field_type.__name__),
-                field_type,
-            )
-        return input_cls(**input_kwargs)
+    def build_input(cls, state: PipelineState, input_cls):
+        return state.assemble(input_cls)
 
-    def run(
-        self,
-        rng: RandomGenerator,
-        state: Optional[PipelineState] = None,
-    ) -> _T_OUTPUT:
-        if state is None:
-            state = PipelineState()
+    def run(self, rng: RandomGenerator,
+            state: Optional[PipelineState] = None) -> _T_OUTPUT:
+        state = state if state is not None else PipelineState()
 
-        # Reproducibility capture (vkit/pipeline/interface.py:227-231).
-        state.set_value(
-            convert_camel_case_name_to_snake_case_name(
-                PipelineRunRngStateOutput.__name__
-            ),
-            PipelineRunRngStateOutput(rng.bit_generator.state),
-        )
+        # Reproducibility capture: the run's rng state is itself an output.
+        state.store_output(PipelineRunRngStateOutput(rng.bit_generator.state))
 
         for step in self.steps:
-            step_input = self.build_input(state, step.get_input_cls())
-            step_output = step.run(step_input, rng)
-            step_output_cls = step.get_output_cls()
-            assert isinstance(step_output, step_output_cls)
-            state.set_value(
-                convert_camel_case_name_to_snake_case_name(step_output_cls.__name__),
-                step_output,
-            )
+            output = step.run(state.assemble(step.get_input_cls()), rng)
+            assert isinstance(output, step.get_output_cls())
+            state.store_output(output)
 
         return self.post_processor.generate_output(
-            self.build_input(state, self.post_processor.get_input_cls()),
-            rng,
+            state.assemble(self.post_processor.get_input_cls()), rng
         )

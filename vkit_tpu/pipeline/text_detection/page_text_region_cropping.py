@@ -127,7 +127,7 @@ class PageTextRegionCroppingStep(
                 rng=rng,
             )
             center_point_before_rotate = (
-                cropper_before_rotate.cropper_state.original_box.get_center_point()
+                cropper_before_rotate.original_box.get_center_point()
             )
             rotated_result = rotate.distort(
                 {'angle': rotate_angle},

@@ -1,6 +1,8 @@
-"""Page assembler: composite every layer into the final page.
+"""Page assembler: composite every generated layer onto the background.
 
-Capability parity: vkit/pipeline/text_detection/page_assembler.py:45-277.
+Layer order: background <- photos <- barcodes <- decorative boxes <- text
+lines <- symbols <- seal impressions.  Behavioral spec:
+vkit/pipeline/text_detection/page_assembler.py:45-277.
 """
 from typing import List, Sequence
 
@@ -51,8 +53,7 @@ class PageDisconnectedTextRegionCollection:
     disconnected_text_regions: Sequence[DisconnectedTextRegion]
 
     def to_polygons(self):
-        for disconnected_text_region in self.disconnected_text_regions:
-            yield disconnected_text_region.polygon
+        return (region.polygon for region in self.disconnected_text_regions)
 
 
 @attr.define
@@ -60,8 +61,7 @@ class PageNonTextRegionCollection:
     non_text_regions: Sequence[NonTextRegion]
 
     def to_polygons(self):
-        for non_text_region in self.non_text_regions:
-            yield non_text_region.polygon
+        return (region.polygon for region in self.non_text_regions)
 
 
 @attr.define
@@ -96,149 +96,104 @@ class PageAssemblerStepOutput:
     page: Page
 
 
+def _stamp_seal(canvas: Image, seal_impression, resource,
+                collected_char_polygons: List[Polygon]) -> None:
+    """Render one seal: fill its text slots, rotate, and blend in place."""
+    filled_score_map, char_polygons = fill_text_line_to_seal_impression(
+        seal_impression,
+        resource.text_line_slot_indices,
+        resource.text_lines,
+        resource.internal_text_line,
+    )
+    spun = rotate.distort(
+        {'angle': resource.angle},
+        mask=seal_impression.background_mask,
+        score_map=filled_score_map,
+        polygons=char_polygons,
+    )
+    assert spun.mask and spun.score_map and spun.polygons
+    assert spun.mask.shape == spun.score_map.shape
+
+    center = resource.box.get_center_point()
+    up = center.y - spun.mask.height // 2
+    left = center.x - spun.mask.width // 2
+    target = Box(up, up + spun.mask.height - 1, left, left + spun.mask.width - 1)
+    if not (target.valid and target.down < canvas.height
+            and target.right < canvas.width):
+        return  # Out of bounds after rotation: skip the stamp.
+
+    target.fill_image(canvas, value=seal_impression.color,
+                      image_mask=spun.mask, alpha=seal_impression.alpha)
+    target.fill_image(canvas, value=seal_impression.color, alpha=spun.score_map)
+    collected_char_polygons.extend(
+        polygon.to_shifted_polygon(offset_y=up, offset_x=left)
+        for polygon in spun.polygons
+    )
+
+
 class PageAssemblerStep(
     PipelineStep[PageAssemblerStepConfig, PageAssemblerStepInput, PageAssemblerStepOutput]
 ):
 
     def run(self, input: PageAssemblerStepInput, rng: RandomGenerator):
-        page_layout = input.page_layout_step_output.page_layout
-        background_image = input.page_background_step_output.background_image
-        page_image_collection = input.page_image_step_output.page_image_collection
-        page_bottom_layer_image = input.page_image_step_output.page_bottom_layer_image
-        page_barcode_step_output = input.page_barcode_step_output
-        page_text_line_collection = (
-            input.page_text_line_step_output.page_text_line_collection
-        )
-        page_seal_impression_text_line_collection = (
+        layout = input.page_layout_step_output.page_layout
+        background = input.page_background_step_output.background_image
+        photos = input.page_image_step_output.page_image_collection
+        barcodes = input.page_barcode_step_output
+        text_lines = input.page_text_line_step_output.page_text_line_collection
+        seal_lines = (
             input.page_text_line_step_output.page_seal_impression_text_line_collection
         )
-        page_non_text_symbol_step_output = input.page_non_text_symbol_step_output
-        text_line_bounding_box_score_maps = (
-            input.page_text_line_bounding_box_step_output.score_maps
-        )
-        text_line_bounding_box_colors = (
-            input.page_text_line_bounding_box_step_output.colors
-        )
-        page_char_polygon_collection = (
-            input.page_text_line_label_step_output.page_char_polygon_collection
-        )
-        page_text_line_polygon_collection = (
-            input.page_text_line_label_step_output.page_text_line_polygon_collection
-        )
+        symbols = input.page_non_text_symbol_step_output
+        frames = input.page_text_line_bounding_box_step_output
+        labels = input.page_text_line_label_step_output
 
-        # Background.
-        assert background_image.mat.shape == (page_layout.height, page_layout.width, 3)
-        assembled_image = background_image.copy()
+        assert background.mat.shape == (layout.height, layout.width, 3)
+        canvas = background.copy()
 
-        # Photos.
-        for page_image in page_image_collection.page_images:
-            page_image.box.fill_image(
-                assembled_image, page_image.image, alpha=page_image.alpha
-            )
+        for photo in photos.page_images:
+            photo.box.fill_image(canvas, photo.image, alpha=photo.alpha)
 
-        # Barcodes (score map as alpha, black ink).
-        for barcode_qr_score_map in page_barcode_step_output.barcode_qr_score_maps:
-            assembled_image[barcode_qr_score_map] = (0, 0, 0)
-        for barcode_code39_score_map in page_barcode_step_output.barcode_code39_score_maps:
-            assembled_image[barcode_code39_score_map] = (0, 0, 0)
+        # Barcode activations print as black ink.
+        for score_map in (*barcodes.barcode_qr_score_maps,
+                          *barcodes.barcode_code39_score_maps):
+            canvas[score_map] = (0, 0, 0)
 
-        # Decorative text line bounding boxes.
-        for score_map, color in zip(
-            text_line_bounding_box_score_maps, text_line_bounding_box_colors
-        ):
-            assembled_image[score_map] = color
+        for score_map, color in zip(frames.score_maps, frames.colors):
+            canvas[score_map] = color
 
-        # Text lines.
-        for text_line in page_text_line_collection.text_lines:
+        for text_line in text_lines.text_lines:
             if text_line.score_map:
-                text_line.score_map.fill_image(assembled_image, text_line.glyph_color)
+                text_line.score_map.fill_image(canvas, text_line.glyph_color)
             else:
-                text_line.mask.fill_image(assembled_image, text_line.image)
+                text_line.mask.fill_image(canvas, text_line.image)
 
-        # Non-text symbols.
-        for image, box, alpha in zip(
-            page_non_text_symbol_step_output.images,
-            page_non_text_symbol_step_output.boxes,
-            page_non_text_symbol_step_output.alphas,
+        for image, box, alpha in zip(symbols.images, symbols.boxes, symbols.alphas):
+            box.fill_image(canvas, value=image, alpha=alpha)
+
+        seal_char_polygons: List[Polygon] = []
+        for seal_impression, resource in zip(
+            seal_lines.seal_impressions, seal_lines.seal_impression_resources
         ):
-            box.fill_image(assembled_image, value=image, alpha=alpha)
-
-        # Seal impressions.
-        page_seal_impression_char_polygons: List[Polygon] = []
-        for seal_impression, seal_impression_resource in zip(
-            page_seal_impression_text_line_collection.seal_impressions,
-            page_seal_impression_text_line_collection.seal_impression_resources,
-        ):
-            alpha = seal_impression.alpha
-            color = seal_impression.color
-
-            background_mask = seal_impression.background_mask
-            text_line_filled_score_map, char_polygons = (
-                fill_text_line_to_seal_impression(
-                    seal_impression,
-                    seal_impression_resource.text_line_slot_indices,
-                    seal_impression_resource.text_lines,
-                    seal_impression_resource.internal_text_line,
-                )
-            )
-
-            rotated_result = rotate.distort(
-                {'angle': seal_impression_resource.angle},
-                mask=background_mask,
-                score_map=text_line_filled_score_map,
-                polygons=char_polygons,
-            )
-            background_mask = rotated_result.mask
-            text_line_filled_score_map = rotated_result.score_map
-            assert background_mask and text_line_filled_score_map
-            assert background_mask.shape == text_line_filled_score_map.shape
-            assert rotated_result.polygons
-
-            box_center_point = seal_impression_resource.box.get_center_point()
-            up = box_center_point.y - background_mask.height // 2
-            down = up + background_mask.height - 1
-            left = box_center_point.x - background_mask.width // 2
-            right = left + background_mask.width - 1
-
-            if up < 0 or down >= assembled_image.height \
-                    or left < 0 or right >= assembled_image.width:
-                # Out-of-bound after rotation: skip the stamp.
-                continue
-
-            box = Box(up=up, down=down, left=left, right=right)
-            box.fill_image(
-                assembled_image, value=color, image_mask=background_mask, alpha=alpha
-            )
-            box.fill_image(
-                assembled_image, value=color, alpha=text_line_filled_score_map
-            )
-
-            page_seal_impression_char_polygons.extend(
-                char_polygon.to_shifted_polygon(offset_y=up, offset_x=left)
-                for char_polygon in rotated_result.polygons
-            )
+            _stamp_seal(canvas, seal_impression, resource, seal_char_polygons)
 
         page = Page(
-            image=assembled_image,
-            page_image_collection=page_image_collection,
-            page_bottom_layer_image=page_bottom_layer_image,
-            page_text_line_collection=page_text_line_collection,
-            page_seal_impression_text_line_collection=(
-                page_seal_impression_text_line_collection
-            ),
-            page_char_polygon_collection=page_char_polygon_collection,
-            page_text_line_polygon_collection=page_text_line_polygon_collection,
+            image=canvas,
+            page_image_collection=photos,
+            page_bottom_layer_image=input.page_image_step_output.page_bottom_layer_image,
+            page_text_line_collection=text_lines,
+            page_seal_impression_text_line_collection=seal_lines,
+            page_char_polygon_collection=labels.page_char_polygon_collection,
+            page_text_line_polygon_collection=labels.page_text_line_polygon_collection,
             page_disconnected_text_region_collection=(
-                PageDisconnectedTextRegionCollection(
-                    page_layout.disconnected_text_regions
-                )
+                PageDisconnectedTextRegionCollection(layout.disconnected_text_regions)
             ),
-            page_non_text_region_collection=PageNonTextRegionCollection(
-                page_layout.non_text_regions
+            page_non_text_region_collection=(
+                PageNonTextRegionCollection(layout.non_text_regions)
             ),
             page_seal_impression_char_polygon_collection=(
                 PageSealImpressionCharPolygonCollection(
-                    char_polygons=page_seal_impression_char_polygons
+                    char_polygons=seal_char_polygons
                 )
             ),
         )

@@ -1,8 +1,7 @@
-"""Page background step.
+"""Page background step: a photo background or a flat random grayscale.
 
-Capability parity: vkit/pipeline/text_detection/page_background.py:32-110.
+Behavioral spec: vkit/pipeline/text_detection/page_background.py:32-110.
 """
-from enum import Enum, unique
 from typing import Any, Mapping, Sequence, Union
 
 import attr
@@ -10,7 +9,7 @@ from numpy.random import Generator as RandomGenerator
 
 from ...element import Image
 from ...engine.image import image_engine_executor_aggregator_factory
-from ...utility import PathType, normalize_to_keys_and_probs, rng_choice
+from ...utility import PathType, normalize_to_probs
 from ..interface import PipelineStep, PipelineStepFactory
 from .page_shape import PageShapeStepOutput
 
@@ -34,50 +33,32 @@ class PageBackgroundStepOutput:
     background_image: Image
 
 
-@unique
-class PageBackgroundStepKey(Enum):
-    IMAGE = 'image'
-    RANDOM_GRAYSCALE = 'random_grayscale'
-
-
 class PageBackgroundStep(
-    PipelineStep[
-        PageBackgroundStepConfig,
-        PageBackgroundStepInput,
-        PageBackgroundStepOutput,
-    ]
+    PipelineStep[PageBackgroundStepConfig, PageBackgroundStepInput, PageBackgroundStepOutput]
 ):
 
     def __init__(self, config: PageBackgroundStepConfig):
         super().__init__(config)
-        self.image_engine_executor_aggregator = (
-            image_engine_executor_aggregator_factory.create(self.config.image_configs)
+        self.image_source = image_engine_executor_aggregator_factory.create(
+            config.image_configs
         )
-        self.keys, self.probs = normalize_to_keys_and_probs([
-            (PageBackgroundStepKey.IMAGE, self.config.weight_image),
-            (PageBackgroundStepKey.RANDOM_GRAYSCALE, self.config.weight_random_grayscale),
-        ])
+        self.prob_image = normalize_to_probs(
+            [config.weight_image, config.weight_random_grayscale]
+        )[0]
 
     def run(self, input: PageBackgroundStepInput, rng: RandomGenerator):
-        height = input.page_shape_step_output.height
-        width = input.page_shape_step_output.width
+        shape_out = input.page_shape_step_output
+        height, width = shape_out.height, shape_out.width
 
-        key = rng_choice(rng, self.keys, probs=self.probs)
-        if key == PageBackgroundStepKey.IMAGE:
-            background_image = self.image_engine_executor_aggregator.run(
+        if rng.random() < self.prob_image:
+            background = self.image_source.run(
                 {'height': height, 'width': width}, rng
             )
-        elif key == PageBackgroundStepKey.RANDOM_GRAYSCALE:
-            grayscale_value = int(
-                rng.integers(self.config.grayscale_min, self.config.grayscale_max + 1)
-            )
-            background_image = Image.from_shape(
-                (height, width), num_channels=3, value=grayscale_value
-            )
         else:
-            raise NotImplementedError()
-
-        return PageBackgroundStepOutput(background_image=background_image)
+            tone = int(rng.integers(self.config.grayscale_min,
+                                    self.config.grayscale_max + 1))
+            background = Image.from_shape((height, width), num_channels=3, value=tone)
+        return PageBackgroundStepOutput(background_image=background)
 
 
 page_background_step_factory = PipelineStepFactory(PageBackgroundStep)

@@ -1,8 +1,8 @@
-"""Page barcode step.
+"""Page barcode step: QR + code39 activations for the layout's barcode boxes.
 
-Capability parity: vkit/pipeline/text_detection/page_barcode.py:29-117.
+Behavioral spec: vkit/pipeline/text_detection/page_barcode.py:29-117.
 """
-from typing import Any, List, Mapping, Optional, Sequence
+from typing import Any, Mapping, Optional, Sequence
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -41,40 +41,35 @@ class PageBarcodeStep(
 
     def __init__(self, config: PageBarcodeStepConfig):
         super().__init__(config)
-        self.barcode_qr_engine_executor = barcode_qr_engine_executor_factory.create(
-            self.config.barcode_qr_config
+        self.qr_engine = barcode_qr_engine_executor_factory.create(
+            config.barcode_qr_config
         )
-        self.barcode_code39_engine_executor = (
-            barcode_code39_engine_executor_factory.create(
-                self.config.barcode_code39_config
-            )
+        self.code39_engine = barcode_code39_engine_executor_factory.create(
+            config.barcode_code39_config
         )
+
+    @staticmethod
+    def _render(engine, boxes, rng) -> Sequence[ScoreMap]:
+        return [
+            engine.run({'height': box.height, 'width': box.width}, rng=rng)
+            .to_box_attached(box)
+            for box in boxes
+        ]
 
     def run(self, input: PageBarcodeStepInput, rng: RandomGenerator):
-        page_layout = input.page_layout_step_output.page_layout
+        layout = input.page_layout_step_output.page_layout
 
-        barcode_qr_score_maps: List[ScoreMap] = []
-        for layout_barcode_qr in page_layout.layout_barcode_qrs:
-            box = layout_barcode_qr.box
-            assert box.height == box.width
-            score_map = self.barcode_qr_engine_executor.run(
-                {'height': box.height, 'width': box.width}, rng=rng
-            )
-            barcode_qr_score_maps.append(score_map.to_box_attached(box))
-
-        barcode_code39_score_maps: List[ScoreMap] = []
-        for layout_barcode_code39 in page_layout.layout_barcode_code39s:
-            box = layout_barcode_code39.box
-            score_map = self.barcode_code39_engine_executor.run(
-                {'height': box.height, 'width': box.width}, rng=rng
-            )
-            barcode_code39_score_maps.append(score_map.to_box_attached(box))
+        qr_boxes = [entry.box for entry in layout.layout_barcode_qrs]
+        assert all(box.height == box.width for box in qr_boxes)
+        code39_boxes = [entry.box for entry in layout.layout_barcode_code39s]
 
         return PageBarcodeStepOutput(
-            height=page_layout.height,
-            width=page_layout.width,
-            barcode_qr_score_maps=barcode_qr_score_maps,
-            barcode_code39_score_maps=barcode_code39_score_maps,
+            height=layout.height,
+            width=layout.width,
+            barcode_qr_score_maps=self._render(self.qr_engine, qr_boxes, rng),
+            barcode_code39_score_maps=self._render(
+                self.code39_engine, code39_boxes, rng
+            ),
         )
 
 

@@ -1,7 +1,7 @@
-"""Page cropping step: N random crops + 1 center crop, with filtering and
-optional downsampled label set.
+"""Page cropping step: one centered crop plus random crops, filtered by
+text/active coverage, with an optional downsampled label set.
 
-Capability parity: vkit/pipeline/text_detection/page_cropping.py:27-290.
+Behavioral spec: vkit/pipeline/text_detection/page_cropping.py:27-290.
 """
 from typing import List, Optional, Sequence, Tuple
 
@@ -9,9 +9,10 @@ import attr
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from ...element import Box, Image, Interpolation, Mask, ScoreMap
+from ...element import Box, Image, Mask, ScoreMap
 from ...mechanism.cropper import Cropper
 from ..interface import PipelineStep, PipelineStepFactory
+from .crop_common import DownsampleGeometry
 from .page_resizing import PageResizingStepOutput
 
 
@@ -68,151 +69,119 @@ class PageCroppingStep(
     PipelineStep[PageCroppingStepConfig, PageCroppingStepInput, PageCroppingStepOutput]
 ):
 
-    def sample_cropped_page(
-        self,
-        page_image: Image,
-        page_active_mask: Mask,
-        page_char_mask: Mask,
-        page_seal_impression_char_mask: Mask,
-        page_char_height_score_map: ScoreMap,
-        page_text_line_mask: Mask,
-        page_text_line_height_score_map: ScoreMap,
-        rng: RandomGenerator,
-        force_crop_center: bool = False,
-    ) -> Optional[CroppedPage]:
-        if not force_crop_center:
-            cropper = Cropper.create_from_random_proposal(
-                shape=page_image.shape,
-                core_size=self.config.core_size,
-                pad_size=self.config.pad_size,
-                pad_value=self.config.pad_value,
-                rng=rng,
+    def _make_cropper(self, shape, rng: RandomGenerator, centered: bool) -> Cropper:
+        cfg = self.config
+        if centered:
+            return Cropper.create_from_center_point(
+                shape=shape,
+                core_size=cfg.core_size,
+                pad_size=cfg.pad_size,
+                pad_value=cfg.pad_value,
+                center_point=Box.from_shape(shape).get_center_point(),
             )
-        else:
-            cropper = Cropper.create_from_center_point(
-                shape=page_image.shape,
-                core_size=self.config.core_size,
-                pad_size=self.config.pad_size,
-                pad_value=self.config.pad_value,
-                center_point=Box.from_shapable(page_image).get_center_point(),
-            )
-
-        page_image = cropper.crop_image(page_image)
-        page_active_mask = cropper.crop_mask(page_active_mask)
-        page_char_mask = cropper.crop_mask(page_char_mask, core_only=True)
-        page_seal_impression_char_mask = cropper.crop_mask(
-            page_seal_impression_char_mask, core_only=True
-        )
-        page_char_height_score_map = cropper.crop_score_map(
-            page_char_height_score_map, core_only=True
-        )
-        page_text_line_mask = cropper.crop_mask(page_text_line_mask, core_only=True)
-        page_text_line_height_score_map = cropper.crop_score_map(
-            page_text_line_height_score_map, core_only=True
+        return Cropper.create_from_random_proposal(
+            shape=shape,
+            core_size=cfg.core_size,
+            pad_size=cfg.pad_size,
+            pad_value=cfg.pad_value,
+            rng=rng,
         )
 
-        if self.config.drop_cropped_page_with_small_text_ratio:
-            num_text_pixels = int((page_char_mask.mat > 0).sum())
-            if num_text_pixels / cropper.target_core_box.area < self.config.text_ratio_min:
-                return None
+    def _passes_filters(self, cropper: Cropper, char_mask: Mask,
+                        active_mask: Mask, crop_area: int) -> bool:
+        cfg = self.config
+        if cfg.drop_cropped_page_with_small_text_ratio:
+            text_pixels = int((char_mask.mat > 0).sum())
+            if text_pixels / cropper.target_core_box.area < cfg.text_ratio_min:
+                return False
+        if cfg.drop_cropped_page_with_small_active_region:
+            active_pixels = int(active_mask.np_mask.sum())
+            if active_pixels / crop_area < cfg.active_region_ratio_min:
+                return False
+        return True
 
-        if self.config.drop_cropped_page_with_small_active_region:
-            num_active_pixels = int(page_active_mask.np_mask.sum())
-            if num_active_pixels / page_image.area < self.config.active_region_ratio_min:
-                return None
+    def _downsample(self, cropper: Cropper, char_mask, seal_mask,
+                    char_heights, line_mask, line_heights) -> DownsampledLabel:
+        cfg = self.config
+        geometry = DownsampleGeometry(
+            cropper, cfg.core_size, cfg.pad_size, cfg.downsample_labeling_factor
+        )
+        return DownsampledLabel(
+            shape=geometry.shape,
+            page_char_mask=geometry.shrink(char_mask),
+            page_seal_impression_char_mask=geometry.shrink(seal_mask),
+            page_char_height_score_map=geometry.shrink(char_heights),
+            page_text_line_mask=geometry.shrink(line_mask),
+            page_text_line_height_score_map=geometry.shrink(line_heights),
+            target_core_box=geometry.target_core_box,
+        )
 
-        downsampled_label: Optional[DownsampledLabel] = None
+    def sample_cropped_page(self, src: PageResizingStepOutput,
+                            rng: RandomGenerator,
+                            force_crop_center: bool = False
+                            ) -> Optional[CroppedPage]:
+        cropper = self._make_cropper(src.page_image.shape, rng, force_crop_center)
+
+        page_image = cropper.crop_image(src.page_image)
+        active_mask = cropper.crop_mask(src.page_active_mask)
+        char_mask = cropper.crop_mask(src.page_char_mask, core_only=True)
+        seal_mask = cropper.crop_mask(
+            src.page_seal_impression_char_mask, core_only=True
+        )
+        char_heights = cropper.crop_score_map(
+            src.page_char_height_score_map, core_only=True
+        )
+        line_mask = cropper.crop_mask(src.page_text_line_mask, core_only=True)
+        line_heights = cropper.crop_score_map(
+            src.page_text_line_height_score_map, core_only=True
+        )
+
+        if not self._passes_filters(cropper, char_mask, active_mask, page_image.area):
+            return None
+
+        downsampled = None
         if self.config.enable_downsample_labeling:
-            factor = self.config.downsample_labeling_factor
-            assert cropper.crop_size % factor == 0
-            downsampled_size = cropper.crop_size // factor
-            assert self.config.pad_size % factor == 0
-            assert self.config.core_size % factor == 0
-            assert cropper.target_core_box.height \
-                == cropper.target_core_box.width == self.config.core_size
-
-            downsampled_pad_size = self.config.pad_size // factor
-            downsampled_core_size = self.config.core_size // factor
-            downsampled_target_core_box = Box(
-                up=downsampled_pad_size,
-                down=downsampled_pad_size + downsampled_core_size - 1,
-                left=downsampled_pad_size,
-                right=downsampled_pad_size + downsampled_core_size - 1,
-            )
-
-            def down_mask(mask: Mask) -> Mask:
-                return mask.to_box_detached().to_resized_mask(
-                    resized_height=downsampled_core_size,
-                    resized_width=downsampled_core_size,
-                    interpolation=Interpolation.AREA,
-                )
-
-            def down_score_map(score_map: ScoreMap) -> ScoreMap:
-                return score_map.to_box_detached().to_resized_score_map(
-                    resized_height=downsampled_core_size,
-                    resized_width=downsampled_core_size,
-                    interpolation=Interpolation.AREA,
-                )
-
-            downsampled_label = DownsampledLabel(
-                shape=(downsampled_size, downsampled_size),
-                page_char_mask=down_mask(page_char_mask),
-                page_seal_impression_char_mask=down_mask(page_seal_impression_char_mask),
-                page_char_height_score_map=down_score_map(page_char_height_score_map),
-                page_text_line_mask=down_mask(page_text_line_mask),
-                page_text_line_height_score_map=down_score_map(
-                    page_text_line_height_score_map
-                ),
-                target_core_box=downsampled_target_core_box,
+            downsampled = self._downsample(
+                cropper, char_mask, seal_mask, char_heights, line_mask, line_heights
             )
 
         return CroppedPage(
             page_image=page_image,
-            page_char_mask=page_char_mask,
-            page_seal_impression_char_mask=page_seal_impression_char_mask,
-            page_char_height_score_map=page_char_height_score_map,
-            page_text_line_mask=page_text_line_mask,
-            page_text_line_height_score_map=page_text_line_height_score_map,
+            page_char_mask=char_mask,
+            page_seal_impression_char_mask=seal_mask,
+            page_char_height_score_map=char_heights,
+            page_text_line_mask=line_mask,
+            page_text_line_height_score_map=line_heights,
             target_core_box=cropper.target_core_box,
-            downsampled_label=downsampled_label,
+            downsampled_label=downsampled,
         )
 
+    def _estimate_num_samples(self, page_image: Image) -> int:
+        cfg = self.config
+        count = cfg.num_samples
+        if count is None:
+            lit_area = int((page_image.mat.max(axis=2) > 0).sum())
+            count = max(1, round(
+                lit_area / cfg.core_size**2 * cfg.num_samples_estimation_factor
+            ))
+        if cfg.num_samples_max:
+            count = min(count, cfg.num_samples_max)
+        return count
+
     def run(self, input: PageCroppingStepInput, rng: RandomGenerator):
-        out = input.page_resizing_step_output
+        src = input.page_resizing_step_output
+        num_samples = self._estimate_num_samples(src.page_image)
 
-        num_samples = self.config.num_samples
-        if num_samples is None:
-            page_image_area = int((np.amax(out.page_image.mat, axis=2) > 0).sum())
-            core_area = self.config.core_size**2
-            num_samples = max(
-                1,
-                round(
-                    page_image_area / core_area
-                    * self.config.num_samples_estimation_factor
-                ),
-            )
-        if self.config.num_samples_max:
-            num_samples = min(num_samples, self.config.num_samples_max)
-
-        run_count_max = max(3, 2 * num_samples)
-        run_count = 0
         cropped_pages: List[CroppedPage] = []
-
-        while len(cropped_pages) < num_samples and run_count < run_count_max:
-            cropped_page = self.sample_cropped_page(
-                page_image=out.page_image,
-                page_active_mask=out.page_active_mask,
-                page_char_mask=out.page_char_mask,
-                page_seal_impression_char_mask=out.page_seal_impression_char_mask,
-                page_char_height_score_map=out.page_char_height_score_map,
-                page_text_line_mask=out.page_text_line_mask,
-                page_text_line_height_score_map=out.page_text_line_height_score_map,
-                rng=rng,
-                force_crop_center=(run_count == 0),
+        attempts_max = max(3, 2 * num_samples)
+        for attempt in range(attempts_max):
+            if len(cropped_pages) >= num_samples:
+                break
+            page = self.sample_cropped_page(
+                src, rng, force_crop_center=(attempt == 0)
             )
-            if cropped_page:
-                cropped_pages.append(cropped_page)
-            run_count += 1
+            if page:
+                cropped_pages.append(page)
 
         return PageCroppingStepOutput(cropped_pages=cropped_pages)
 

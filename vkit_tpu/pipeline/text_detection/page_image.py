@@ -1,8 +1,9 @@
-"""Page image step.
+"""Page image step: photos for the layout's image boxes + the bottom-layer
+image that later fills distortion-opened inactive regions.
 
-Capability parity: vkit/pipeline/text_detection/page_image.py:25-118.
+Behavioral spec: vkit/pipeline/text_detection/page_image.py:25-118.
 """
-from typing import Any, List, Mapping, Sequence, Union
+from typing import Any, Mapping, Sequence, Union
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -54,46 +55,40 @@ class PageImageStep(
 
     def __init__(self, config: PageImageStepConfig):
         super().__init__(config)
-        self.image_engine_executor_aggregator = (
-            image_engine_executor_aggregator_factory.create(self.config.image_configs)
+        self.image_source = image_engine_executor_aggregator_factory.create(
+            config.image_configs
+        )
+
+    def _photo_for(self, box: Box, rng: RandomGenerator) -> PageImage:
+        return PageImage(
+            image=self.image_source.run(
+                {'height': box.height, 'width': box.width}, rng
+            ),
+            box=box,
+            alpha=float(rng.uniform(self.config.alpha_min, self.config.alpha_max)),
         )
 
     def run(self, input: PageImageStepInput, rng: RandomGenerator):
-        page_layout = input.page_layout_step_output.page_layout
+        layout = input.page_layout_step_output.page_layout
 
-        page_images: List[PageImage] = []
-        for layout_image in page_layout.layout_images:
-            image = self.image_engine_executor_aggregator.run(
-                {
-                    'height': layout_image.box.height,
-                    'width': layout_image.box.width,
-                },
-                rng,
-            )
-            alpha = float(rng.uniform(self.config.alpha_min, self.config.alpha_max))
-            page_images.append(
-                PageImage(image=image, box=layout_image.box, alpha=alpha)
-            )
-
-        page_image_collection = PageImageCollection(
-            height=page_layout.height,
-            width=page_layout.width,
-            page_images=page_images,
+        collection = PageImageCollection(
+            height=layout.height,
+            width=layout.width,
+            page_images=[
+                self._photo_for(entry.box, rng) for entry in layout.layout_images
+            ],
         )
 
-        page_bottom_layer_image = self.image_engine_executor_aggregator.run(
-            {'height': 0, 'width': 0, 'disable_resizing': True},
-            rng,
+        # Bottom layer: an un-resized photo at a random quarter rotation.
+        bottom = self.image_source.run(
+            {'height': 0, 'width': 0, 'disable_resizing': True}, rng
         )
-        rotate_angle = rng_choice(rng, (0, 90, 180, 270))
-        page_bottom_layer_image = rotate.distort_image(
-            {'angle': rotate_angle},
-            page_bottom_layer_image,
+        bottom = rotate.distort_image(
+            {'angle': rng_choice(rng, (0, 90, 180, 270))}, bottom
         )
-
         return PageImageStepOutput(
-            page_image_collection=page_image_collection,
-            page_bottom_layer_image=page_bottom_layer_image,
+            page_image_collection=collection,
+            page_bottom_layer_image=bottom,
         )
 
 

@@ -1,9 +1,9 @@
-"""Page non-text symbol step.
+"""Page non-text symbol step: decorative symbol images with layout-scaled
+alpha, recolored when the source is grayscale ink.
 
-Capability parity: vkit/pipeline/text_detection/page_non_text_symbol.py:28-190.
+Behavioral spec: vkit/pipeline/text_detection/page_non_text_symbol.py:28-190.
 """
-from enum import Enum, unique
-from typing import List, Sequence, Union
+from typing import List, Sequence, Tuple, Union
 
 import attr
 import numpy as np
@@ -14,6 +14,14 @@ from ...engine.image import image_selector_engine_executor_factory
 from ...utility import normalize_to_keys_and_probs, rng_choice
 from ..interface import PipelineStep, PipelineStepFactory
 from .page_layout import PageLayoutStepOutput
+
+# color key -> rgb gate (None = grayscale tone).
+_COLOR_GATES = {
+    'grayscale': None,
+    'red': (1, 0, 0),
+    'green': (0, 1, 0),
+    'blue': (0, 0, 1),
+}
 
 
 @attr.define
@@ -42,99 +50,70 @@ class PageNonTextSymbolStepOutput:
     alphas: Sequence[Union[np.ndarray, float]]
 
 
-@unique
-class NonTextSymbolColorMode(Enum):
-    GRAYSCALE = 'grayscale'
-    RED = 'red'
-    GREEN = 'green'
-    BLUE = 'blue'
-
-
 class PageNonTextSymbolStep(
-    PipelineStep[
-        PageNonTextSymbolStepConfig,
-        PageNonTextSymbolStepInput,
-        PageNonTextSymbolStepOutput,
-    ]
+    PipelineStep[PageNonTextSymbolStepConfig, PageNonTextSymbolStepInput, PageNonTextSymbolStepOutput]
 ):
 
     def __init__(self, config: PageNonTextSymbolStepConfig):
         super().__init__(config)
-        self.symbol_image_selector_engine_executor = (
-            image_selector_engine_executor_factory.create({
-                'image_folders': self.config.symbol_image_folders,
-                'target_image_mode': None,
-                'force_resize': True,
-            })
-        )
-        self.color_modes, self.color_modes_probs = normalize_to_keys_and_probs([
-            (NonTextSymbolColorMode.GRAYSCALE, self.config.weight_color_grayscale),
-            (NonTextSymbolColorMode.RED, self.config.weight_color_red),
-            (NonTextSymbolColorMode.GREEN, self.config.weight_color_green),
-            (NonTextSymbolColorMode.BLUE, self.config.weight_color_blue),
+        self.symbol_source = image_selector_engine_executor_factory.create({
+            'image_folders': config.symbol_image_folders,
+            'target_image_mode': None,
+            'force_resize': True,
+        })
+        self.color_keys, self.color_probs = normalize_to_keys_and_probs([
+            ('grayscale', config.weight_color_grayscale),
+            ('red', config.weight_color_red),
+            ('green', config.weight_color_green),
+            ('blue', config.weight_color_blue),
         ])
 
+    def _sample_symbol_color(self, rng: RandomGenerator) -> Tuple[int, int, int]:
+        key = rng_choice(rng, self.color_keys, probs=self.color_probs)
+        gate = _COLOR_GATES[key]
+        if gate is None:
+            tone = int(rng.integers(self.config.color_grayscale_min,
+                                    self.config.color_grayscale_max + 1))
+            return (tone, tone, tone)
+        value = int(rng.integers(self.config.color_rgb_min,
+                                 self.config.color_rgb_max + 1))
+        return tuple(value * g for g in gate)  # type: ignore[return-value]
+
+    def _prepare_symbol(self, image: Image, layout_alpha: float,
+                        rng: RandomGenerator):
+        """Returns (rgb image, per-pixel or scalar alpha)."""
+        if image.mode == ImageMode.RGBA:
+            # Rescale the alpha channel so its peak carries layout_alpha.
+            np_alpha = image.mat[:, :, 3].astype(np.float32) / 255
+            peak = np_alpha.max()
+            np_alpha *= layout_alpha
+            if peak > 0:
+                np_alpha /= peak
+            return Image(mat=image.mat[:, :, :3]), np_alpha
+
+        if image.mode == ImageMode.GRAYSCALE:
+            # Ink coverage becomes the alpha; recolor the ink.
+            np_alpha = (image.mat > 0).astype(np.float32) * layout_alpha
+            recolored = Image.from_shapable(
+                image, value=self._sample_symbol_color(rng)
+            )
+            return recolored, np_alpha
+
+        raise NotImplementedError(f'unsupported symbol mode {image.mode}')
+
     def run(self, input: PageNonTextSymbolStepInput, rng: RandomGenerator):
-        page_layout = input.page_layout_step_output.page_layout
+        symbols = input.page_layout_step_output.page_layout.layout_non_text_symbols
 
         images: List[Image] = []
         boxes: List[Box] = []
         alphas: List[Union[np.ndarray, float]] = []
-
-        for layout_non_text_symbol in page_layout.layout_non_text_symbols:
-            box = layout_non_text_symbol.box
-            image = self.symbol_image_selector_engine_executor.run(
-                {'height': box.height, 'width': box.width}, rng
+        for symbol in symbols:
+            raw = self.symbol_source.run(
+                {'height': symbol.box.height, 'width': symbol.box.width}, rng
             )
-            alpha: Union[np.ndarray, float] = layout_non_text_symbol.alpha
-
-            if image.mode == ImageMode.RGBA:
-                # Alpha channel scaled to the layout alpha.
-                np_alpha = image.mat[:, :, 3].astype(np.float32) / 255
-                np_alpha_max = np_alpha.max()
-                np_alpha *= layout_non_text_symbol.alpha
-                if np_alpha_max > 0:
-                    np_alpha /= np_alpha_max
-                alpha = np_alpha
-                image = Image(mat=image.mat[:, :, :3])
-
-            elif image.mode == ImageMode.GRAYSCALE:
-                # Use the grayscale ink as a mask and recolor.
-                alpha = (image.mat > 0).astype(np.float32)
-                alpha *= layout_non_text_symbol.alpha
-
-                color_mode = rng_choice(
-                    rng, self.color_modes, probs=self.color_modes_probs
-                )
-                if color_mode == NonTextSymbolColorMode.GRAYSCALE:
-                    grayscale_value = int(
-                        rng.integers(
-                            self.config.color_grayscale_min,
-                            self.config.color_grayscale_max + 1,
-                        )
-                    )
-                    symbol_color = (grayscale_value,) * 3
-                else:
-                    rgb_value = int(
-                        rng.integers(
-                            self.config.color_rgb_min, self.config.color_rgb_max + 1
-                        )
-                    )
-                    if color_mode == NonTextSymbolColorMode.RED:
-                        symbol_color = (rgb_value, 0, 0)
-                    elif color_mode == NonTextSymbolColorMode.GREEN:
-                        symbol_color = (0, rgb_value, 0)
-                    elif color_mode == NonTextSymbolColorMode.BLUE:
-                        symbol_color = (0, 0, rgb_value)
-                    else:
-                        raise NotImplementedError()
-                image = Image.from_shapable(image, value=symbol_color)
-
-            else:
-                raise NotImplementedError()
-
+            image, alpha = self._prepare_symbol(raw, symbol.alpha, rng)
             images.append(image)
-            boxes.append(layout_non_text_symbol.box)
+            boxes.append(symbol.box)
             alphas.append(alpha)
 
         return PageNonTextSymbolStepOutput(images=images, boxes=boxes, alphas=alphas)

@@ -1,7 +1,7 @@
-"""Page resizing step: land the smallest text line height in a target range.
+"""Page resizing step: scale the page so the smallest (outlier-filtered)
+text-line height lands in a target pixel range.
 
-Capability parity: vkit/pipeline/text_detection/page_resizing.py:29-193
-(MAD-based outlier filtering of text line heights).
+Behavioral spec: vkit/pipeline/text_detection/page_resizing.py:29-193.
 """
 import logging
 from typing import Sequence
@@ -41,115 +41,61 @@ class PageResizingStepOutput:
     page_text_line_height_score_map: ScoreMap
 
 
+def robust_min_height(heights: Sequence[float], noise_floor: float) -> float:
+    """Smallest height surviving modified-z-score (MAD) outlier rejection."""
+    kept = np.asarray([h for h in heights if h > noise_floor])
+    assert kept.size
+    deviation = np.abs(kept - np.median(kept))
+    scale = np.median(deviation) or 1.0
+    inliers = kept[deviation / scale < 3.5]
+    return float(inliers.min())
+
+
 class PageResizingStep(
     PipelineStep[PageResizingStepConfig, PageResizingStepInput, PageResizingStepOutput]
 ):
 
-    def get_text_line_heights_min(
-        self,
-        page_distorted_text_line_heights: Sequence[float],
-    ) -> float:
-        text_line_heights = [
-            height for height in page_distorted_text_line_heights
-            if height > self.config.text_line_heights_filtering_thr
-        ]
-        assert text_line_heights
-        # Modified-z-score (MAD) outlier rejection.
-        np_heights = np.asarray(text_line_heights)
-        deltas = np.abs(np_heights - np.median(np_heights))
-        deltas_median = np.median(deltas)
-        delta_ratios = deltas / (deltas_median or 1.0)
-        return float(
-            min(
-                height for height, delta_ratio in zip(text_line_heights, delta_ratios)
-                if delta_ratio < 3.5
-            )
-        )
-
     def run(self, input: PageResizingStepInput, rng: RandomGenerator):
-        out = input.page_distortion_step_output
-        page_image = out.page_image
-        page_active_mask = out.page_active_mask
-        page_char_mask = out.page_char_mask
-        page_seal_impression_char_mask = out.page_seal_impression_char_mask
-        page_char_height_score_map = out.page_char_height_score_map
-        page_text_line_mask = out.page_text_line_mask
-        page_text_line_height_score_map = out.page_text_line_height_score_map
-        page_distorted_text_line_heights = out.page_text_line_heights
-        assert page_char_mask and page_seal_impression_char_mask
-        assert page_char_height_score_map and page_text_line_mask
-        assert page_text_line_height_score_map and page_distorted_text_line_heights
+        src = input.page_distortion_step_output
+        assert src.page_char_mask and src.page_seal_impression_char_mask
+        assert src.page_char_height_score_map and src.page_text_line_mask
+        assert src.page_text_line_height_score_map and src.page_text_line_heights
 
-        height, width = page_image.shape
-        text_line_heights_min = self.get_text_line_heights_min(
-            page_distorted_text_line_heights
+        floor = robust_min_height(
+            src.page_text_line_heights, self.config.text_line_heights_filtering_thr
         )
-        logger.debug(f'text_line_heights_min={text_line_heights_min}')
-        resized_text_line_height = rng.uniform(
-            self.config.resized_text_line_height_min,
-            self.config.resized_text_line_height_max,
-        )
-        resize_ratio = resized_text_line_height / text_line_heights_min
+        target = rng.uniform(self.config.resized_text_line_height_min,
+                             self.config.resized_text_line_height_max)
+        ratio = target / floor
+        logger.debug(f'min text line height {floor:.2f}, resize ratio {ratio:.3f}')
 
-        resized_height = round(resize_ratio * height)
-        resized_width = round(resize_ratio * width)
+        height, width = src.page_image.shape
+        rh, rw = round(ratio * height), round(ratio * width)
+        interpolation = sample_resize_interpolation(rng, include_area=(ratio < 1.0))
 
-        interpolation = sample_resize_interpolation(
-            rng, include_area=(resize_ratio < 1.0)
-        )
+        def resize(raster):
+            if isinstance(raster, Image):
+                return raster.to_resized_image(rh, rw, interpolation)
+            if isinstance(raster, Mask):
+                return raster.to_resized_mask(rh, rw, interpolation)
+            return raster.to_resized_score_map(rh, rw, interpolation)
 
-        page_image = page_image.to_resized_image(
-            resized_height=resized_height,
-            resized_width=resized_width,
-            interpolation=interpolation,
-        )
-        page_active_mask = page_active_mask.to_resized_mask(
-            resized_height=resized_height,
-            resized_width=resized_width,
-            interpolation=interpolation,
-        )
-        page_char_mask = page_char_mask.to_resized_mask(
-            resized_height=resized_height,
-            resized_width=resized_width,
-            interpolation=interpolation,
-        )
-        page_seal_impression_char_mask = page_seal_impression_char_mask.to_resized_mask(
-            resized_height=resized_height,
-            resized_width=resized_width,
-            interpolation=interpolation,
-        )
-        page_char_height_score_map = page_char_height_score_map.to_resized_score_map(
-            resized_height=resized_height,
-            resized_width=resized_width,
-            interpolation=interpolation,
-        )
-        page_char_height_score_map.assign_mat(
-            page_char_height_score_map.mat * resize_ratio
-        )
-        page_text_line_mask = page_text_line_mask.to_resized_mask(
-            resized_height=resized_height,
-            resized_width=resized_width,
-            interpolation=interpolation,
-        )
-        page_text_line_height_score_map = (
-            page_text_line_height_score_map.to_resized_score_map(
-                resized_height=resized_height,
-                resized_width=resized_width,
-                interpolation=interpolation,
-            )
-        )
-        page_text_line_height_score_map.assign_mat(
-            page_text_line_height_score_map.mat * resize_ratio
-        )
+        def resize_heights(score_map: ScoreMap) -> ScoreMap:
+            # Height values shrink/grow with the canvas.
+            out = resize(score_map)
+            out.assign_mat(out.mat * ratio)
+            return out
 
         return PageResizingStepOutput(
-            page_image=page_image,
-            page_active_mask=page_active_mask,
-            page_char_mask=page_char_mask,
-            page_seal_impression_char_mask=page_seal_impression_char_mask,
-            page_char_height_score_map=page_char_height_score_map,
-            page_text_line_mask=page_text_line_mask,
-            page_text_line_height_score_map=page_text_line_height_score_map,
+            page_image=resize(src.page_image),
+            page_active_mask=resize(src.page_active_mask),
+            page_char_mask=resize(src.page_char_mask),
+            page_seal_impression_char_mask=resize(src.page_seal_impression_char_mask),
+            page_char_height_score_map=resize_heights(src.page_char_height_score_map),
+            page_text_line_mask=resize(src.page_text_line_mask),
+            page_text_line_height_score_map=resize_heights(
+                src.page_text_line_height_score_map
+            ),
         )
 
 

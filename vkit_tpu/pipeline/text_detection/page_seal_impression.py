@@ -1,9 +1,9 @@
-"""Page seal impression step.
+"""Page seal-impression step: one stamp per layout slot.
 
-Capability parity: vkit/pipeline/text_detection/page_seal_impression.py:29-100
-(class name keeps the reference's triple-s spelling for registry parity).
+Behavioral spec: vkit/pipeline/text_detection/page_seal_impression.py:29-100
+(the class name keeps the reference's triple-s spelling for registry parity).
 """
-from typing import Any, List, Mapping, Sequence, Union
+from typing import Any, Mapping, Sequence, Union
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -36,41 +36,25 @@ class PageSealImpresssionStepOutput:
 
 
 class PageSealImpresssionStep(
-    PipelineStep[
-        PageSealImpresssionStepConfig,
-        PageSealImpresssionStepInput,
-        PageSealImpresssionStepOutput,
-    ]
+    PipelineStep[PageSealImpresssionStepConfig, PageSealImpresssionStepInput, PageSealImpresssionStepOutput]
 ):
 
     def __init__(self, config: PageSealImpresssionStepConfig):
         super().__init__(config)
-        self.seal_impression_engine_executor_aggregator = (
-            seal_impression_engine_executor_aggregator_factory.create(
-                self.config.seal_impression_configs
-            )
+        self.seal_source = seal_impression_engine_executor_aggregator_factory.create(
+            config.seal_impression_configs
         )
 
     def run(self, input: PageSealImpresssionStepInput, rng: RandomGenerator):
-        page_layout = input.page_layout_step_output.page_layout
-
-        seal_impressions: List[SealImpression] = []
-        boxes: List[Box] = []
-        angles: List[int] = []
-        for layout_seal_impression in page_layout.layout_seal_impressions:
-            box = layout_seal_impression.box
-            seal_impressions.append(
-                self.seal_impression_engine_executor_aggregator.run(
-                    {'height': box.height, 'width': box.width}, rng
-                )
-            )
-            boxes.append(box)
-            angles.append(layout_seal_impression.angle)
-
+        slots = input.page_layout_step_output.page_layout.layout_seal_impressions
         return PageSealImpresssionStepOutput(
-            seal_impressions=seal_impressions,
-            boxes=boxes,
-            angles=angles,
+            seal_impressions=[
+                self.seal_source.run(
+                    {'height': slot.box.height, 'width': slot.box.width}, rng
+                ) for slot in slots
+            ],
+            boxes=[slot.box for slot in slots],
+            angles=[slot.angle for slot in slots],
         )
 
 

@@ -1,4 +1,7 @@
-"""Page shape step. Capability parity: vkit/pipeline/text_detection/page_shape.py:25-60."""
+"""Page shape step: fixed page area, coin-flip aspect ratio.
+
+Behavioral spec: vkit/pipeline/text_detection/page_shape.py:25-60.
+"""
 import math
 from typing import Sequence
 
@@ -32,10 +35,11 @@ class PageShapeStep(
 ):
 
     def run(self, input: PageShapeStepInput, rng: RandomGenerator):
-        aspect_ratio = rng_choice(rng, self.config.aspect_ratios)
-        height = round(math.sqrt(self.config.area / aspect_ratio))
-        width = round(aspect_ratio * height)
-        assert height > 0 and width > 0
+        # area = h * w, aspect = w / h  =>  h = sqrt(area / aspect).
+        aspect = rng_choice(rng, self.config.aspect_ratios)
+        height = round(math.sqrt(self.config.area / aspect))
+        width = round(aspect * height)
+        assert min(height, width) > 0
         return PageShapeStepOutput(height=height, width=width)
 
 

@@ -1,8 +1,10 @@
-"""Decorative text-line bounding box step.
+"""Decorative text-line bounding-box step: hollow rectangles drawn around a
+random subset of text lines.
 
-Capability parity: vkit/pipeline/text_detection/page_text_line_bounding_box.py:25-202.
+Behavioral spec: vkit/pipeline/text_detection/page_text_line_bounding_box.py:
+25-202.
 """
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -37,116 +39,82 @@ class PageTextLineBoundingBoxStepOutput:
     colors: Sequence[Tuple[int, int, int]]
 
 
+def _hollow_frame(height: int, width: int, thickness: int, alpha: float
+                  ) -> ScoreMap:
+    """A rectangle outline as an alpha score map."""
+    frame = ScoreMap.from_shape((height, width), value=alpha)
+    hole = Box(thickness, height - thickness - 1,
+               thickness, width - thickness - 1)
+    assert hole.up < hole.down and hole.left < hole.right
+    hole.fill_score_map(frame, 0.0)
+    return frame
+
+
 class PageTextLineBoundingBoxStep(
-    PipelineStep[
-        PageTextLineBoundingBoxStepConfig,
-        PageTextLineBoundingBoxStepInput,
-        PageTextLineBoundingBoxStepOutput,
-    ]
+    PipelineStep[PageTextLineBoundingBoxStepConfig, PageTextLineBoundingBoxStepInput, PageTextLineBoundingBoxStepOutput]
 ):
 
-    def sample_offset(self, ref_char_height: int, rng: RandomGenerator) -> int:
-        ratio = rng.uniform(self.config.offset_ratio_min, self.config.offset_ratio_max)
-        return round(ratio * ref_char_height)
+    def _frame_for(self, height: int, width: int, text_line: TextLine,
+                   rng: RandomGenerator) -> Optional[ScoreMap]:
+        cfg = self.config
+        ref_height = max(g.ref_char_height for g in text_line.char_glyphs)
 
-    def sample_border_thickness(self, ref_char_height: int, rng: RandomGenerator) -> int:
-        ratio = rng.uniform(
-            self.config.border_thickness_ratio_min,
-            self.config.border_thickness_ratio_max,
-        )
-        return max(round(ratio * ref_char_height), self.config.border_thickness_min)
-
-    def sample_text_line_bounding_box(
-        self,
-        height: int,
-        width: int,
-        text_line: TextLine,
-        rng: RandomGenerator,
-    ):
-        ref_char_height_max = max(
-            char_glyph.ref_char_height for char_glyph in text_line.char_glyphs
-        )
-
-        offset_up = self.sample_offset(ref_char_height_max, rng)
-        offset_down = self.sample_offset(ref_char_height_max, rng)
-        offset_left = self.sample_offset(ref_char_height_max, rng)
-        offset_right = self.sample_offset(ref_char_height_max, rng)
-
-        box_height = text_line.box.height + offset_up + offset_down
-        box_width = text_line.box.width + offset_left + offset_right
-
-        border_thickness = self.sample_border_thickness(ref_char_height_max, rng)
-        alpha = float(rng.uniform(self.config.alpha_min, self.config.alpha_max))
-
-        # Hollow rectangle: full alpha minus the interior.
-        score_map = ScoreMap.from_shape((box_height, box_width), value=alpha)
-        empty_box = Box(
-            up=border_thickness,
-            down=box_height - border_thickness - 1,
-            left=border_thickness,
-            right=box_width - border_thickness - 1,
-        )
-        assert empty_box.up < empty_box.down and empty_box.left < empty_box.right
-        empty_box.fill_score_map(score_map, 0.0)
-
-        page_box_up = text_line.box.up - offset_up
-        page_box_down = text_line.box.down + offset_down
-        page_box_left = text_line.box.left - offset_left
-        page_box_right = text_line.box.right + offset_right
-
-        trim_up_size = abs(page_box_up) if page_box_up < 0 else 0
-        trim_down_size = page_box_down - height + 1 if page_box_down >= height else 0
-        trim_left_size = abs(page_box_left) if page_box_left < 0 else 0
-        trim_right_size = page_box_right - width + 1 if page_box_right >= width else 0
-
-        if trim_up_size or trim_down_size or trim_left_size or trim_right_size:
-            trim_box = Box(
-                up=trim_up_size,
-                down=box_height - 1 - trim_down_size,
-                left=trim_left_size,
-                right=box_width - 1 - trim_right_size,
+        def offset() -> int:
+            return round(
+                rng.uniform(cfg.offset_ratio_min, cfg.offset_ratio_max) * ref_height
             )
-            score_map = trim_box.extract_score_map(score_map)
 
-        page_box = Box(
-            up=max(0, page_box_up),
-            down=min(height - 1, page_box_down),
-            left=max(0, page_box_left),
-            right=min(width - 1, page_box_right),
+        off_up, off_down, off_left, off_right = (
+            offset(), offset(), offset(), offset()
         )
-        score_map = score_map.to_box_attached(page_box)
+        frame_h = text_line.box.height + off_up + off_down
+        frame_w = text_line.box.width + off_left + off_right
+        thickness = max(
+            round(rng.uniform(cfg.border_thickness_ratio_min,
+                              cfg.border_thickness_ratio_max) * ref_height),
+            cfg.border_thickness_min,
+        )
+        alpha = float(rng.uniform(cfg.alpha_min, cfg.alpha_max))
+        frame = _hollow_frame(frame_h, frame_w, thickness, alpha)
 
-        return score_map, text_line.glyph_color
+        # Place on the page, trimming whatever sticks out.
+        raw = Box(
+            text_line.box.up - off_up,
+            text_line.box.down + off_down,
+            text_line.box.left - off_left,
+            text_line.box.right + off_right,
+        )
+        window = Box(
+            max(0, -raw.up),
+            frame_h - 1 - max(0, raw.down - height + 1),
+            max(0, -raw.left),
+            frame_w - 1 - max(0, raw.right - width + 1),
+        )
+        if window.shape != (frame_h, frame_w):
+            frame = window.extract_score_map(frame)
+        return frame.to_box_attached(raw.to_clipped_box((height, width)))
 
     def run(self, input: PageTextLineBoundingBoxStepInput, rng: RandomGenerator):
-        page_text_line_collection = (
-            input.page_text_line_step_output.page_text_line_collection
-        )
+        collection = input.page_text_line_step_output.page_text_line_collection
 
         score_maps: List[ScoreMap] = []
         colors: List[Tuple[int, int, int]] = []
-
-        for text_line, is_short_text_line in zip(
-            page_text_line_collection.text_lines,
-            page_text_line_collection.short_text_line_flags,
-        ):
-            prob = (
-                self.config.prob_short_text_line
-                if is_short_text_line else self.config.prob_non_short_text_line
-            )
+        for text_line, is_short in zip(collection.text_lines,
+                                       collection.short_text_line_flags):
+            prob = (self.config.prob_short_text_line if is_short
+                    else self.config.prob_non_short_text_line)
             if rng.random() >= prob:
                 continue
-
-            score_map, color = self.sample_text_line_bounding_box(
-                height=page_text_line_collection.height,
-                width=page_text_line_collection.width,
-                text_line=text_line,
-                rng=rng,
+            frame = self._frame_for(
+                collection.height, collection.width, text_line, rng
             )
-            score_maps.append(score_map)
-            colors.append(color)
+            if frame is not None:
+                score_maps.append(frame)
+                colors.append(text_line.glyph_color)
 
-        return PageTextLineBoundingBoxStepOutput(score_maps=score_maps, colors=colors)
+        return PageTextLineBoundingBoxStepOutput(
+            score_maps=score_maps, colors=colors
+        )
 
 
 page_text_line_bounding_box_step_factory = PipelineStepFactory(PageTextLineBoundingBoxStep)

@@ -1,20 +1,21 @@
-"""Text region cropping step.
+"""Text-region cropping step: crops of the stacked text-region page with the
+regression labels filtered into each window.
 
-Capability parity: vkit/pipeline/text_detection/page_text_region_cropping.py:
-36-383.  The shapely point STRtree is replaced by a vectorized point-in-box
-filter over the label coordinates.
+Behavioral spec: vkit/pipeline/text_detection/page_text_region_cropping.py:
+36-383 (re-derived; the shapely point STRtree is a vectorized point-in-box
+filter over label coordinates).
 """
-import itertools
 from typing import List, Optional, Sequence, Tuple
 
 import attr
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from ...element import Box, Image, Interpolation, Mask, ScoreMap
+from ...element import Box, Image, Mask, ScoreMap
 from ...mechanism.cropper import Cropper
 from ...mechanism.distortion import rotate
 from ..interface import PipelineStep, PipelineStepFactory
+from .crop_common import DownsampleGeometry
 from .page_cropping import PageCroppingStepOutput
 from .page_text_region import PageTextRegionStepOutput
 from .page_text_region_label import (
@@ -76,238 +77,170 @@ class LabelPointIndex:
 
     def __init__(self, labels: Sequence[PageCharRegressionLabel]):
         self.labels = tuple(labels)
-        if self.labels:
-            self.np_points = np.asarray(
-                [
-                    (label.downsampled_label_point_y, label.downsampled_label_point_x)
-                    for label in self.labels
-                ],
-                dtype=np.int64,
-            )
-        else:
-            self.np_points = None
+        self.np_points = np.asarray(
+            [
+                (label.downsampled_label_point_y, label.downsampled_label_point_x)
+                for label in self.labels
+            ],
+            dtype=np.int64,
+        ).reshape(-1, 2)
 
-    def query_in_box(self, box: Box) -> List[int]:
-        if self.np_points is None:
+    def labels_in_box(self, box: Box) -> List[PageCharRegressionLabel]:
+        if not self.labels:
             return []
-        ys = self.np_points[:, 0]
-        xs = self.np_points[:, 1]
-        hit = (box.up <= ys) & (ys <= box.down) & (box.left <= xs) & (xs <= box.right)
-        return [int(idx) for idx in np.nonzero(hit)[0]]
+        ys, xs = self.np_points[:, 0], self.np_points[:, 1]
+        hit = (box.up <= ys) & (ys <= box.down) \
+            & (box.left <= xs) & (xs <= box.right)
+        return [self.labels[int(i)] for i in np.nonzero(hit)[0]]
 
 
 class PageTextRegionCroppingStep(
-    PipelineStep[
-        PageTextRegionCroppingStepConfig,
-        PageTextRegionCroppingStepInput,
-        PageTextRegionCroppingStepOutput,
-    ]
+    PipelineStep[PageTextRegionCroppingStepConfig, PageTextRegionCroppingStepInput, PageTextRegionCroppingStepOutput]
 ):
+
+    def _propose_cropper(self, page_shape, shape_before_rotate,
+                         rotate_angle: int, rng: RandomGenerator) -> Cropper:
+        cfg = self.config
+        if rotate_angle == 0:
+            return Cropper.create_from_random_proposal(
+                shape=page_shape, core_size=cfg.core_size,
+                pad_size=cfg.pad_size, pad_value=cfg.pad_value, rng=rng,
+            )
+        # Propose in the pre-rotation frame, then carry the window center
+        # through the rotation so crops stay well covered.
+        proposal = Cropper.create_from_random_proposal(
+            shape=shape_before_rotate, core_size=cfg.core_size,
+            pad_size=cfg.pad_size, pad_value=cfg.pad_value, rng=rng,
+        )
+        spun = rotate.distort(
+            {'angle': rotate_angle},
+            shapable_or_shape=shape_before_rotate,
+            point=proposal.original_box.get_center_point(),
+        )
+        assert spun.shape == page_shape and spun.point
+        return Cropper.create_from_center_point(
+            shape=page_shape, core_size=cfg.core_size,
+            pad_size=cfg.pad_size, pad_value=cfg.pad_value,
+            center_point=spun.point,
+        )
+
+    def _gather_window_labels(self, cropper: Cropper,
+                              centroid_index: LabelPointIndex,
+                              deviate_index: LabelPointIndex):
+        centroids = centroid_index.labels_in_box(cropper.original_core_box)
+        surviving_chars = {label.char_idx for label in centroids}
+        deviates = [
+            label for label in deviate_index.labels_in_box(cropper.original_core_box)
+            # A deviate label is meaningless once its centroid is gone.
+            if label.char_idx in surviving_chars
+        ]
+        return centroids, deviates
 
     def sample_cropped_page_text_regions(
         self,
         page_image: Image,
         shape_before_rotate: Tuple[int, int],
         rotate_angle: int,
-        page_char_mask: Mask,
-        page_char_height_score_map: ScoreMap,
-        page_char_gaussian_score_map: ScoreMap,
-        page_char_bounding_box_mask: Mask,
+        label_out: PageTextRegionLabelStepOutput,
         centroid_index: LabelPointIndex,
         deviate_index: LabelPointIndex,
         rng: RandomGenerator,
     ) -> Optional[CroppedPageTextRegion]:
-        if rotate_angle != 0:
-            # Propose in the pre-rotation frame so crops stay well covered.
-            cropper_before_rotate = Cropper.create_from_random_proposal(
-                shape=shape_before_rotate,
-                core_size=self.config.core_size,
-                pad_size=self.config.pad_size,
-                pad_value=self.config.pad_value,
-                rng=rng,
-            )
-            center_point_before_rotate = (
-                cropper_before_rotate.original_box.get_center_point()
-            )
-            rotated_result = rotate.distort(
-                {'angle': rotate_angle},
-                shapable_or_shape=shape_before_rotate,
-                point=center_point_before_rotate,
-            )
-            assert rotated_result.shape == page_image.shape
-            center_point = rotated_result.point
-            assert center_point
-            cropper = Cropper.create_from_center_point(
-                shape=page_image.shape,
-                core_size=self.config.core_size,
-                pad_size=self.config.pad_size,
-                pad_value=self.config.pad_value,
-                center_point=center_point,
-            )
-        else:
-            cropper = Cropper.create_from_random_proposal(
-                shape=page_image.shape,
-                core_size=self.config.core_size,
-                pad_size=self.config.pad_size,
-                pad_value=self.config.pad_value,
-                rng=rng,
-            )
+        cfg = self.config
+        cropper = self._propose_cropper(
+            page_image.shape, shape_before_rotate, rotate_angle, rng
+        )
 
-        centroid_labels = [
-            centroid_index.labels[idx]
-            for idx in centroid_index.query_in_box(cropper.original_core_box)
-        ]
-        preserved_char_indices = {label.char_idx for label in centroid_labels}
-        deviate_labels = [
-            deviate_index.labels[idx]
-            for idx in deviate_index.query_in_box(cropper.original_core_box)
-            # Drop deviate labels whose centroid got cropped away.
-            if deviate_index.labels[idx].char_idx in preserved_char_indices
-        ]
-
-        if len(centroid_labels) < self.config.num_centroid_points_min \
-                or len(deviate_labels) < self.config.num_deviate_points_min:
+        centroids, deviates = self._gather_window_labels(
+            cropper, centroid_index, deviate_index
+        )
+        if len(centroids) < cfg.num_centroid_points_min \
+                or len(deviates) < cfg.num_deviate_points_min:
             return None
 
-        offset_y = cropper.target_box.up - cropper.original_box.up
-        offset_x = cropper.target_box.left - cropper.original_box.left
-        shifted_centroid_labels = [
-            label.to_shifted_page_char_regression_label(
-                offset_y=offset_y, offset_x=offset_x
-            ) for label in centroid_labels
-        ]
-        shifted_deviate_labels = [
-            label.to_shifted_page_char_regression_label(
-                offset_y=offset_y, offset_x=offset_x
-            ) for label in deviate_labels
+        dy = cropper.target_box.up - cropper.original_box.up
+        dx = cropper.target_box.left - cropper.original_box.left
+        labels = [
+            label.to_shifted_page_char_regression_label(offset_y=dy, offset_x=dx)
+            for label in centroids + deviates
         ]
 
         page_image = cropper.crop_image(page_image)
-        page_char_mask = cropper.crop_mask(page_char_mask, core_only=True)
-        page_char_height_score_map = cropper.crop_score_map(
-            page_char_height_score_map, core_only=True
+        char_mask = cropper.crop_mask(label_out.page_char_mask, core_only=True)
+        char_heights = cropper.crop_score_map(
+            label_out.page_char_height_score_map, core_only=True
         )
-        page_char_gaussian_score_map = cropper.crop_score_map(
-            page_char_gaussian_score_map, core_only=True
+        gaussian = cropper.crop_score_map(
+            label_out.page_char_gaussian_score_map, core_only=True
         )
-        page_char_bounding_box_mask = cropper.crop_mask(
-            page_char_bounding_box_mask, core_only=True
+        bounding_mask = cropper.crop_mask(
+            label_out.page_char_bounding_box_mask, core_only=True
         )
 
-        downsampled_label: Optional[DownsampledLabel] = None
-        if self.config.enable_downsample_labeling:
-            factor = self.config.downsample_labeling_factor
-            assert cropper.crop_size % factor == 0
-            downsampled_size = cropper.crop_size // factor
-            assert self.config.pad_size % factor == 0
-            assert self.config.core_size % factor == 0
-            assert cropper.target_core_box.height \
-                == cropper.target_core_box.width == self.config.core_size
-
-            downsampled_pad_size = self.config.pad_size // factor
-            downsampled_core_size = self.config.core_size // factor
-            downsampled_target_core_box = Box(
-                up=downsampled_pad_size,
-                down=downsampled_pad_size + downsampled_core_size - 1,
-                left=downsampled_pad_size,
-                right=downsampled_pad_size + downsampled_core_size - 1,
+        downsampled = None
+        if cfg.enable_downsample_labeling:
+            geometry = DownsampleGeometry(
+                cropper, cfg.core_size, cfg.pad_size,
+                cfg.downsample_labeling_factor,
             )
-
-            def down_mask(mask: Mask) -> Mask:
-                return mask.to_box_detached().to_resized_mask(
-                    resized_height=downsampled_core_size,
-                    resized_width=downsampled_core_size,
-                    interpolation=Interpolation.AREA,
-                )
-
-            def down_score_map(score_map: ScoreMap) -> ScoreMap:
-                return score_map.to_box_detached().to_resized_score_map(
-                    resized_height=downsampled_core_size,
-                    resized_width=downsampled_core_size,
-                    interpolation=Interpolation.AREA,
-                )
-
-            downsampled_page_char_regression_labels = [
-                label.to_downsampled_page_char_regression_label(factor)
-                for label in itertools.chain(
-                    shifted_centroid_labels, shifted_deviate_labels
-                )
-            ]
-
-            downsampled_label = DownsampledLabel(
-                shape=(downsampled_size, downsampled_size),
-                page_char_mask=down_mask(page_char_mask),
-                page_char_height_score_map=down_score_map(page_char_height_score_map),
-                page_char_gaussian_score_map=down_score_map(
-                    page_char_gaussian_score_map
-                ),
-                page_char_regression_labels=downsampled_page_char_regression_labels,
-                page_char_bounding_box_mask=down_mask(page_char_bounding_box_mask),
-                target_core_box=downsampled_target_core_box,
+            downsampled = DownsampledLabel(
+                shape=geometry.shape,
+                page_char_mask=geometry.shrink(char_mask),
+                page_char_height_score_map=geometry.shrink(char_heights),
+                page_char_gaussian_score_map=geometry.shrink(gaussian),
+                page_char_regression_labels=[
+                    label.to_downsampled_page_char_regression_label(geometry.factor)
+                    for label in labels
+                ],
+                page_char_bounding_box_mask=geometry.shrink(bounding_mask),
+                target_core_box=geometry.target_core_box,
             )
 
         return CroppedPageTextRegion(
             page_image=page_image,
-            page_char_mask=page_char_mask,
-            page_char_height_score_map=page_char_height_score_map,
-            page_char_gaussian_score_map=page_char_gaussian_score_map,
-            page_char_regression_labels=(
-                shifted_centroid_labels + shifted_deviate_labels
-            ),
-            page_char_bounding_box_mask=page_char_bounding_box_mask,
+            page_char_mask=char_mask,
+            page_char_height_score_map=char_heights,
+            page_char_gaussian_score_map=gaussian,
+            page_char_regression_labels=labels,
+            page_char_bounding_box_mask=bounding_mask,
             target_core_box=cropper.target_core_box,
-            downsampled_label=downsampled_label,
+            downsampled_label=downsampled,
         )
 
     def run(self, input: PageTextRegionCroppingStepInput, rng: RandomGenerator):
-        num_cropped_pages = len(input.page_cropping_step_output.cropped_pages)
-
-        page_text_region_step_output = input.page_text_region_step_output
-        page_image = page_text_region_step_output.page_image
-        shape_before_rotate = page_text_region_step_output.shape_before_rotate
-        rotate_angle = page_text_region_step_output.rotate_angle
-
+        region_out = input.page_text_region_step_output
         label_out = input.page_text_region_label_step_output
-        page_char_regression_labels = label_out.page_char_regression_labels
 
-        centroid_index = LabelPointIndex([
-            label for label in page_char_regression_labels
-            if label.tag == PageCharRegressionLabelTag.CENTROID
-        ])
-        deviate_index = LabelPointIndex([
-            label for label in page_char_regression_labels
-            if label.tag == PageCharRegressionLabelTag.DEVIATE
-        ])
+        by_tag = {
+            tag: LabelPointIndex([
+                label for label in label_out.page_char_regression_labels
+                if label.tag == tag
+            ])
+            for tag in (PageCharRegressionLabelTag.CENTROID,
+                        PageCharRegressionLabelTag.DEVIATE)
+        }
 
         num_samples = round(
             self.config.num_samples_factor_relative_to_num_cropped_pages
-            * num_cropped_pages
+            * len(input.page_cropping_step_output.cropped_pages)
         )
-        run_count_max = max(3, 2 * num_samples)
-        run_count = 0
-
-        cropped_page_text_regions: List[CroppedPageTextRegion] = []
-        while len(cropped_page_text_regions) < num_samples \
-                and run_count < run_count_max:
-            cropped = self.sample_cropped_page_text_regions(
-                page_image=page_image,
-                shape_before_rotate=shape_before_rotate,
-                rotate_angle=rotate_angle,
-                page_char_mask=label_out.page_char_mask,
-                page_char_height_score_map=label_out.page_char_height_score_map,
-                page_char_gaussian_score_map=label_out.page_char_gaussian_score_map,
-                page_char_bounding_box_mask=label_out.page_char_bounding_box_mask,
-                centroid_index=centroid_index,
-                deviate_index=deviate_index,
+        crops: List[CroppedPageTextRegion] = []
+        for _ in range(max(3, 2 * num_samples)):
+            if len(crops) >= num_samples:
+                break
+            crop = self.sample_cropped_page_text_regions(
+                page_image=region_out.page_image,
+                shape_before_rotate=region_out.shape_before_rotate,
+                rotate_angle=region_out.rotate_angle,
+                label_out=label_out,
+                centroid_index=by_tag[PageCharRegressionLabelTag.CENTROID],
+                deviate_index=by_tag[PageCharRegressionLabelTag.DEVIATE],
                 rng=rng,
             )
-            if cropped:
-                cropped_page_text_regions.append(cropped)
-            run_count += 1
+            if crop:
+                crops.append(crop)
 
-        return PageTextRegionCroppingStepOutput(
-            cropped_page_text_regions=cropped_page_text_regions,
-        )
+        return PageTextRegionCroppingStepOutput(cropped_page_text_regions=crops)
 
 
 page_text_region_cropping_step_factory = PipelineStepFactory(PageTextRegionCroppingStep)

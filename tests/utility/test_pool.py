@@ -110,3 +110,93 @@ def test_pipeline_pool():
     assert all(0 <= v < 100 for v in values)
     assert len(set(values)) > 1
     pool.cleanup()
+
+
+# --- spawn-mode pipeline pool (JAX-safe): module-level, picklable ----------
+
+import attr as _attr
+
+from vkit_tpu.pipeline import (
+    Pipeline as _Pipeline,
+    PipelinePool as _PipelinePool,
+    PipelinePostProcessor as _PostProcessor,
+    PipelinePostProcessorFactory as _PostProcessorFactory,
+    PipelineStep as _Step,
+    PipelineStepFactory as _StepFactory,
+)
+
+
+@_attr.define
+class SpawnStepConfig:
+    hi: int = 1000
+
+
+@_attr.define
+class SpawnStepInput:
+    pass
+
+
+@_attr.define
+class SpawnStepOutput:
+    value: int
+
+
+class SpawnStep(_Step[SpawnStepConfig, SpawnStepInput, SpawnStepOutput]):
+
+    def run(self, input: SpawnStepInput, rng):
+        return SpawnStepOutput(value=int(rng.integers(0, self.config.hi)))
+
+
+@_attr.define
+class SpawnOutCfg:
+    pass
+
+
+@_attr.define
+class SpawnOutInput:
+    spawn_step_output: SpawnStepOutput
+
+
+class SpawnOutProcessor(_PostProcessor[SpawnOutCfg, SpawnOutInput, int]):
+
+    def generate_output(self, input: SpawnOutInput, rng):
+        return input.spawn_step_output.value
+
+
+def build_spawn_pipeline() -> '_Pipeline':
+    return _Pipeline(
+        steps=[_StepFactory(SpawnStep).create()],
+        post_processor=_PostProcessorFactory(SpawnOutProcessor).create(),
+    )
+
+
+def test_pipeline_pool_spawn_with_jax(recwarn):
+    """Process pool via spawn stays deadlock-free next to live JAX work."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    # Initialize JAX threads in the parent BEFORE starting the pool: this
+    # is exactly the combination that deadlocks forked children.
+    x = jnp.ones((64, 64))
+    float(jax.jit(lambda a: (a @ a).sum())(x))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', RuntimeWarning)  # os.fork() warns
+        pool = _PipelinePool(
+            pipeline_factory=build_spawn_pipeline,
+            inventory=4,
+            num_processes=2,
+            rng_seed=3,
+            timeout=120,
+        )
+        try:
+            # Interleave device work with pool consumption.
+            values = []
+            for _ in range(6):
+                values.append(pool.run())
+                float(jax.jit(lambda a: (a * 2).sum())(x))
+        finally:
+            pool.cleanup()
+    assert len(values) == 6 and all(0 <= v < 1000 for v in values)

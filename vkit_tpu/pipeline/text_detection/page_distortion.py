@@ -1,20 +1,18 @@
-"""Page distortion step: one RandomDistortion pass over image + all labels.
+"""Page distortion step: one RandomDistortion pass co-transforms the page
+image with every label (polygons + height points), then the raster labels
+(masks, height score maps) regenerate in the distorted frame.
 
-Capability parity: vkit/pipeline/text_detection/page_distortion.py:52-484.
-All polygons/points are flattened, co-transformed with the page image by a
-single RandomDistortion call, then the char/text-line labels are regenerated
-(masks + height score maps).
+Behavioral spec: vkit/pipeline/text_detection/page_distortion.py:52-484
+(re-derived; label groups travel through the distortion as one named
+bundle, and height-map painting is shared between chars and text lines).
 """
-import itertools
 from typing import (
     Any,
-    Generic,
+    Dict,
     List,
     Mapping,
     Optional,
     Sequence,
-    Tuple,
-    TypeVar,
     Union,
 )
 
@@ -22,7 +20,7 @@ import attr
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from ...element import Image, Mask, Point, PointList, Polygon, ScoreMap
+from ...element import Image, Mask, PointList, Polygon, ScoreMap
 from ...engine.char_mask import (
     CharMaskEngineRunConfig,
     char_mask_engine_executor_aggregator_factory,
@@ -96,56 +94,80 @@ class PageDistortionStepOutput:
     page_seal_impression_char_polygon_collection: PageSealImpressionCharPolygonCollection
 
 
-_E = TypeVar('_E', Point, Polygon)
+class NamedGroups:
+    """Named element groups that flatten to one sequence and restore by name.
+
+    One distortion call then co-transforms every label kind at once.
+    """
+
+    def __init__(self, groups: Mapping[str, Sequence]):
+        self.names = list(groups)
+        self.sizes = [len(groups[name]) for name in self.names]
+        self.flattened = [
+            element for name in self.names for element in groups[name]
+        ]
+
+    def restore(self, transformed: Sequence) -> Dict[str, List]:
+        assert len(transformed) == sum(self.sizes)
+        out: Dict[str, List] = {}
+        cursor = 0
+        for name, size in zip(self.names, self.sizes):
+            out[name] = list(transformed[cursor:cursor + size])
+            cursor += size
+        return out
 
 
-class ElementFlattener(Generic[_E]):
-    """Flatten grouped elements for a single distortion call and unflatten
-    (vkit/pipeline/text_detection/page_distortion.py:107-124)."""
+def _segment_lengths(ups: PointList, downs: PointList) -> np.ndarray:
+    """Per-pair distance + 1 — the height measure used for both labels."""
+    np_up = ups.to_smooth_np_array()
+    np_down = downs.to_smooth_np_array()
+    return np.linalg.norm(np_down - np_up, axis=1) + 1
 
-    def __init__(self, grouped_elements: Sequence[Sequence[_E]]):
-        self.grouped_elements = grouped_elements
-        self.group_sizes = [len(elements) for elements in grouped_elements]
 
-    def flatten(self) -> Tuple[_E, ...]:
-        return tuple(itertools.chain.from_iterable(self.grouped_elements))
+def _heights_debug_image(image: Image, polygons: Sequence[Polygon],
+                         heights: Sequence[float]) -> Image:
+    painter = Painter.create(image)
+    painter.paint_polygons(polygons)
+    painter.paint_texts(
+        [f'{height:.1f}' for height in heights],
+        PointList(polygon.get_center_point() for polygon in polygons),
+        alpha=1.0,
+    )
+    return painter.image
 
-    def unflatten(self, flattened_elements: Sequence[_E]) -> Sequence[Sequence[_E]]:
-        assert len(flattened_elements) == sum(self.group_sizes)
-        grouped_elements: List[Sequence[_E]] = []
-        begin = 0
-        for group_size in self.group_sizes:
-            grouped_elements.append(flattened_elements[begin:begin + group_size])
-            begin += group_size
-        return grouped_elements
+
+def _edge_zeroed_active_mask(image: Image) -> Mask:
+    """All-ones active mask with a zeroed 1-px border.
+
+    The reference does this to dodge a cv.remap border artifact; our warp
+    kernel is border-exact but the semantics (losing the 1-px border from
+    the active region) are preserved.
+    """
+    active = Mask.from_shapable(image, value=1)
+    with active.writable_context:
+        active.mat[[0, -1]] = 0
+        active.mat[:, [0, -1]] = 0
+    return active
 
 
 class PageDistortionStep(
-    PipelineStep[
-        PageDistortionStepConfig,
-        PageDistortionStepInput,
-        PageDistortionStepOutput,
-    ]
+    PipelineStep[PageDistortionStepConfig, PageDistortionStepInput, PageDistortionStepOutput]
 ):
 
     def __init__(self, config: PageDistortionStepConfig):
         super().__init__(config)
         self.random_distortion = random_distortion_factory.create(
-            self.config.random_distortion_factory_config
+            config.random_distortion_factory_config
         )
-        self.char_mask_engine_executor = (
+        self.char_mask_engine = (
             char_mask_engine_executor_aggregator_factory.create_engine_executor(
-                self.config.char_mask_engine_config
+                config.char_mask_engine_config
             )
         )
 
     @classmethod
-    def fill_page_inactive_region(
-        cls,
-        page_image: Image,
-        page_active_mask: Mask,
-        page_bottom_layer_image: Image,
-    ):
+    def fill_page_inactive_region(cls, page_image: Image, page_active_mask: Mask,
+                                  page_bottom_layer_image: Image) -> None:
         assert page_image.shape == page_active_mask.shape
         if page_bottom_layer_image.shape != page_image.shape:
             page_bottom_layer_image = page_bottom_layer_image.to_resized_image(
@@ -156,295 +178,186 @@ class PageDistortionStep(
             page_image, page_bottom_layer_image
         )
 
-    def generate_text_line_labelings(
-        self,
-        distorted_image: Image,
-        text_line_polygons: Sequence[Polygon],
-        text_line_height_points_up: PointList,
-        text_line_height_points_down: PointList,
-        text_line_height_points_group_sizes: Sequence[int],
-    ):
-        text_line_mask: Optional[Mask] = None
-        if self.config.enable_distorted_text_line_mask:
-            text_line_mask = Mask.from_shapable(distorted_image)
-            for polygon in text_line_polygons:
-                polygon.fill_mask(text_line_mask)
+    def _label_text_lines(self, image: Image, polygons: Sequence[Polygon],
+                          ups: PointList, downs: PointList,
+                          group_sizes: Sequence[int]):
+        cfg = self.config
+        mask = None
+        if cfg.enable_distorted_text_line_mask:
+            mask = Mask.from_shapable(image)
+            for polygon in polygons:
+                polygon.fill_mask(mask)
 
-        text_line_height_score_map: Optional[ScoreMap] = None
-        text_line_heights: Optional[List[float]] = None
-        text_line_heights_debug_image: Optional[Image] = None
+        score_map = heights = debug_image = None
+        if cfg.enable_distorted_text_line_height_score_map:
+            lengths = _segment_lengths(ups, downs)
+            assert sum(group_sizes) == lengths.shape[0]
 
-        if self.config.enable_distorted_text_line_height_score_map:
-            np_up = text_line_height_points_up.to_smooth_np_array()
-            np_down = text_line_height_points_down.to_smooth_np_array()
-            np_heights = np.linalg.norm(np_down - np_up, axis=1) + 1
-            assert sum(text_line_height_points_group_sizes) == np_heights.shape[0]
+            heights = []
+            score_map = ScoreMap.from_shapable(image, is_prob=False)
+            cursor = 0
+            for polygon, size in zip(polygons, group_sizes):
+                height = float(lengths[cursor:cursor + size].mean())
+                heights.append(height)
+                polygon.fill_score_map(score_map=score_map, value=height)
+                cursor += size
 
-            text_line_heights = []
-            text_line_height_score_map = ScoreMap.from_shapable(
-                distorted_image, is_prob=False
-            )
-            begin = 0
-            for polygon, group_size in zip(
-                text_line_polygons, text_line_height_points_group_sizes
-            ):
-                end = begin + group_size
-                text_line_height = float(np_heights[begin:end].mean())
-                text_line_heights.append(text_line_height)
-                polygon.fill_score_map(
-                    score_map=text_line_height_score_map, value=text_line_height
-                )
-                begin = end
+            if cfg.enable_debug_distorted_text_line_heights:
+                debug_image = _heights_debug_image(image, polygons, heights)
 
-            if self.config.enable_debug_distorted_text_line_heights:
-                painter = Painter.create(distorted_image)
-                painter.paint_polygons(text_line_polygons)
-                texts = [f'{height:.1f}' for height in text_line_heights]
-                points = PointList(
-                    polygon.get_center_point() for polygon in text_line_polygons
-                )
-                painter.paint_texts(texts, points, alpha=1.0)
-                text_line_heights_debug_image = painter.image
+        return mask, score_map, heights, debug_image
 
-        return (
-            text_line_mask,
-            text_line_height_score_map,
-            text_line_heights,
-            text_line_heights_debug_image,
-        )
+    def _char_mask_for(self, image: Image, polygons: Sequence[Polygon]):
+        return self.char_mask_engine.run(CharMaskEngineRunConfig(
+            height=image.height, width=image.width, char_polygons=polygons,
+        ))
 
-    def generate_char_labelings(
-        self,
-        distorted_image: Image,
-        char_polygons: Sequence[Polygon],
-        seal_impression_char_polygons: Sequence[Polygon],
-        char_height_points_up: PointList,
-        char_height_points_down: PointList,
-    ):
-        char_mask: Optional[Mask] = None
-        fill_char_height_score_map_masks: Optional[Sequence[Mask]] = None
-        if self.config.enable_distorted_char_mask:
-            result = self.char_mask_engine_executor.run(
-                CharMaskEngineRunConfig(
-                    height=distorted_image.height,
-                    width=distorted_image.width,
-                    char_polygons=char_polygons,
-                ),
-            )
+    def _label_chars(self, image: Image, char_polygons: Sequence[Polygon],
+                     seal_char_polygons: Sequence[Polygon],
+                     ups: PointList, downs: PointList):
+        cfg = self.config
+        char_mask = per_char_masks = None
+        if cfg.enable_distorted_char_mask:
+            result = self._char_mask_for(image, char_polygons)
             char_mask = result.combined_chars_mask
-            fill_char_height_score_map_masks = result.char_masks
+            per_char_masks = result.char_masks
 
-        seal_impression_char_mask: Optional[Mask] = None
-        if self.config.enable_distorted_seal_impression_char_mask:
-            result = self.char_mask_engine_executor.run(
-                CharMaskEngineRunConfig(
-                    height=distorted_image.height,
-                    width=distorted_image.width,
-                    char_polygons=seal_impression_char_polygons,
-                ),
-            )
-            seal_impression_char_mask = result.combined_chars_mask
+        seal_char_mask = None
+        if cfg.enable_distorted_seal_impression_char_mask:
+            seal_char_mask = self._char_mask_for(
+                image, seal_char_polygons
+            ).combined_chars_mask
 
-        char_height_score_map: Optional[ScoreMap] = None
-        char_heights: Optional[List[float]] = None
-        char_heights_debug_image: Optional[Image] = None
+        score_map = heights = debug_image = None
+        if cfg.enable_distorted_char_height_score_map:
+            lengths = _segment_lengths(ups, downs)
+            heights = [0.0] * len(char_polygons)
+            score_map = ScoreMap.from_shapable(image, is_prob=False)
 
-        if self.config.enable_distorted_char_height_score_map:
-            np_up = char_height_points_up.to_smooth_np_array()
-            np_down = char_height_points_down.to_smooth_np_array()
-            np_heights = np.linalg.norm(np_down - np_up, axis=1) + 1
-
-            # Fill large -> small so overlapped small chars keep their label.
-            sorted_char_polygon_indices = tuple(reversed(np_heights.argsort()))
-
-            char_heights = [0.0] * len(char_polygons)
-            char_height_score_map = ScoreMap.from_shapable(
-                distorted_image, is_prob=False
-            )
-
-            for idx in sorted_char_polygon_indices:
+            # Tall chars first, so overlapped small chars keep their label.
+            for idx in np.argsort(lengths)[::-1]:
                 idx = int(idx)
-                polygon = char_polygons[idx]
-                char_height = float(np_heights[idx])
-                char_heights[idx] = char_height
+                heights[idx] = float(lengths[idx])
+                source = (char_polygons[idx] if per_char_masks is None
+                          else per_char_masks[idx])
+                source.fill_score_map(score_map=score_map, value=heights[idx])
 
-                if fill_char_height_score_map_masks is None:
-                    polygon.fill_score_map(
-                        score_map=char_height_score_map, value=char_height
-                    )
-                else:
-                    fill_char_height_score_map_masks[idx].fill_score_map(
-                        score_map=char_height_score_map, value=char_height
-                    )
+            if cfg.enable_debug_distorted_char_heights:
+                debug_image = _heights_debug_image(image, char_polygons, heights)
 
-            if self.config.enable_debug_distorted_char_heights:
-                painter = Painter.create(distorted_image)
-                painter.paint_polygons(char_polygons)
-                texts = [f'{height:.1f}' for height in char_heights]
-                points = PointList(
-                    polygon.get_center_point() for polygon in char_polygons
-                )
-                painter.paint_texts(texts, points, alpha=1.0)
-                char_heights_debug_image = painter.image
-
-        return (
-            char_mask,
-            seal_impression_char_mask,
-            char_height_score_map,
-            char_heights,
-            char_heights_debug_image,
-        )
+        return char_mask, seal_char_mask, score_map, heights, debug_image
 
     def run(self, input: PageDistortionStepInput, rng: RandomGenerator):
         page = input.page_assembler_step_output.page
-        page_bottom_layer_image = page.page_bottom_layer_image
-        page_char_polygon_collection = page.page_char_polygon_collection
-        page_text_line_polygon_collection = page.page_text_line_polygon_collection
-        page_disconnected_text_region_collection = (
-            page.page_disconnected_text_region_collection
-        )
-        page_non_text_region_collection = page.page_non_text_region_collection
-        page_seal_impression_char_polygon_collection = (
-            page.page_seal_impression_char_polygon_collection
-        )
+        char_labels = page.page_char_polygon_collection
+        line_labels = page.page_text_line_polygon_collection
 
-        polygon_flattener = ElementFlattener([
-            page_char_polygon_collection.char_polygons,
-            page_char_polygon_collection.adjusted_char_polygons,
-            page_text_line_polygon_collection.polygons,
-            tuple(page_disconnected_text_region_collection.to_polygons()),
-            tuple(page_non_text_region_collection.to_polygons()),
-            page_seal_impression_char_polygon_collection.char_polygons,
-        ])
-        point_flattener = ElementFlattener([
-            page_char_polygon_collection.height_points_up,
-            page_char_polygon_collection.height_points_down,
-            page_text_line_polygon_collection.height_points_up,
-            page_text_line_polygon_collection.height_points_down,
-        ])
+        polygon_groups = NamedGroups({
+            'chars': char_labels.char_polygons,
+            'adjusted_chars': char_labels.adjusted_char_polygons,
+            'text_lines': line_labels.polygons,
+            'disconnected': tuple(
+                page.page_disconnected_text_region_collection.to_polygons()
+            ),
+            'non_text': tuple(page.page_non_text_region_collection.to_polygons()),
+            'seal_chars': (
+                page.page_seal_impression_char_polygon_collection.char_polygons
+            ),
+        })
+        point_groups = NamedGroups({
+            'char_ups': char_labels.height_points_up,
+            'char_downs': char_labels.height_points_down,
+            'line_ups': line_labels.height_points_up,
+            'line_downs': line_labels.height_points_down,
+        })
 
-        page_random_distortion_debug = None
-        if self.config.enable_debug_random_distortion:
-            page_random_distortion_debug = RandomDistortionDebug()
-
-        # Zero the 1-px border: the reference does this to dodge a cv.remap
-        # border artifact; our warp kernel is border-exact but the semantics
-        # (losing the 1-px border from the active region) are preserved.
-        page_active_mask = Mask.from_shapable(page.image, value=1)
-        with page_active_mask.writable_context:
-            page_active_mask.mat[0] = 0
-            page_active_mask.mat[-1] = 0
-            page_active_mask.mat[:, 0] = 0
-            page_active_mask.mat[:, -1] = 0
+        debug = RandomDistortionDebug() \
+            if self.config.enable_debug_random_distortion else None
 
         result = self.random_distortion.distort(
             image=page.image,
-            mask=page_active_mask,
-            polygons=polygon_flattener.flatten(),
-            points=PointList(point_flattener.flatten()),
+            mask=_edge_zeroed_active_mask(page.image),
+            polygons=polygon_groups.flattened,
+            points=PointList(point_groups.flattened),
             rng=rng,
-            debug=page_random_distortion_debug,
+            debug=debug,
         )
         assert result.image and result.mask and result.polygons and result.points
 
         self.fill_page_inactive_region(
             page_image=result.image,
             page_active_mask=result.mask,
-            page_bottom_layer_image=page_bottom_layer_image,
+            page_bottom_layer_image=page.page_bottom_layer_image,
         )
 
-        (
-            char_polygons,
-            adjusted_char_polygons,
-            text_line_polygons,
-            disconnected_text_region_polygons,
-            non_text_region_polygons,
-            seal_impression_char_polygons,
-        ) = polygon_flattener.unflatten(result.polygons)
-        (
-            char_height_points_up,
-            char_height_points_down,
-            text_line_height_points_up,
-            text_line_height_points_down,
-        ) = map(PointList, point_flattener.unflatten(result.points))
+        polygons = polygon_groups.restore(result.polygons)
+        points = {
+            name: PointList(group)
+            for name, group in point_groups.restore(result.points).items()
+        }
 
-        text_line_height_points_group_sizes = (
-            page_text_line_polygon_collection.height_points_group_sizes
-        )
-        assert len(text_line_polygons) == len(text_line_height_points_group_sizes)
-        assert len(text_line_height_points_up) == len(text_line_height_points_down)
+        group_sizes = line_labels.height_points_group_sizes
+        assert len(polygons['text_lines']) == len(group_sizes)
+        assert len(points['line_ups']) == len(points['line_downs'])
 
-        (
-            text_line_mask,
-            text_line_height_score_map,
-            text_line_heights,
-            text_line_heights_debug_image,
-        ) = self.generate_text_line_labelings(
-            distorted_image=result.image,
-            text_line_polygons=text_line_polygons,
-            text_line_height_points_up=text_line_height_points_up,
-            text_line_height_points_down=text_line_height_points_down,
-            text_line_height_points_group_sizes=text_line_height_points_group_sizes,
+        line_mask, line_score_map, line_heights, line_debug = (
+            self._label_text_lines(
+                result.image, polygons['text_lines'],
+                points['line_ups'], points['line_downs'], group_sizes,
+            )
         )
-        (
-            char_mask,
-            seal_impression_char_mask,
-            char_height_score_map,
-            char_heights,
-            char_heights_debug_image,
-        ) = self.generate_char_labelings(
-            distorted_image=result.image,
-            char_polygons=char_polygons,
-            seal_impression_char_polygons=seal_impression_char_polygons,
-            char_height_points_up=char_height_points_up,
-            char_height_points_down=char_height_points_down,
+        char_mask, seal_char_mask, char_score_map, char_heights, char_debug = (
+            self._label_chars(
+                result.image, polygons['chars'], polygons['seal_chars'],
+                points['char_ups'], points['char_downs'],
+            )
         )
 
         return PageDistortionStepOutput(
             page_image=result.image,
-            page_random_distortion_debug=page_random_distortion_debug,
+            page_random_distortion_debug=debug,
             page_active_mask=result.mask,
             page_char_polygon_collection=PageCharPolygonCollection(
                 height=result.image.height,
                 width=result.image.width,
-                char_polygons=char_polygons,
-                adjusted_char_polygons=adjusted_char_polygons,
-                height_points_up=char_height_points_up,
-                height_points_down=char_height_points_down,
+                char_polygons=polygons['chars'],
+                adjusted_char_polygons=polygons['adjusted_chars'],
+                height_points_up=points['char_ups'],
+                height_points_down=points['char_downs'],
             ),
             page_char_mask=char_mask,
-            page_seal_impression_char_mask=seal_impression_char_mask,
-            page_char_height_score_map=char_height_score_map,
+            page_seal_impression_char_mask=seal_char_mask,
+            page_char_height_score_map=char_score_map,
             page_char_heights=char_heights,
-            page_char_heights_debug_image=char_heights_debug_image,
+            page_char_heights_debug_image=char_debug,
             page_text_line_polygon_collection=PageTextLinePolygonCollection(
                 height=result.image.height,
                 width=result.image.width,
-                polygons=text_line_polygons,
-                height_points_group_sizes=text_line_height_points_group_sizes,
-                height_points_up=text_line_height_points_up,
-                height_points_down=text_line_height_points_down,
+                polygons=polygons['text_lines'],
+                height_points_group_sizes=group_sizes,
+                height_points_up=points['line_ups'],
+                height_points_down=points['line_downs'],
             ),
-            page_text_line_mask=text_line_mask,
-            page_text_line_height_score_map=text_line_height_score_map,
-            page_text_line_heights=text_line_heights,
-            page_text_line_heights_debug_image=text_line_heights_debug_image,
+            page_text_line_mask=line_mask,
+            page_text_line_height_score_map=line_score_map,
+            page_text_line_heights=line_heights,
+            page_text_line_heights_debug_image=line_debug,
             page_disconnected_text_region_collection=(
                 PageDisconnectedTextRegionCollection(
                     disconnected_text_regions=[
                         DisconnectedTextRegion(polygon)
-                        for polygon in disconnected_text_region_polygons
+                        for polygon in polygons['disconnected']
                     ],
                 )
             ),
             page_non_text_region_collection=PageNonTextRegionCollection(
                 non_text_regions=[
-                    NonTextRegion(polygon) for polygon in non_text_region_polygons
+                    NonTextRegion(polygon) for polygon in polygons['non_text']
                 ],
             ),
             page_seal_impression_char_polygon_collection=(
                 PageSealImpressionCharPolygonCollection(
-                    char_polygons=seal_impression_char_polygons,
+                    char_polygons=polygons['seal_chars'],
                 )
             ),
         )

@@ -1,9 +1,11 @@
-"""Text line label step: char/text-line polygons, height points, boundary
-masks/score maps.
+"""Text-line label step: char / text-line polygons, height anchor points,
+and the optional boundary masks + gradient score map.
 
-Capability parity: vkit/pipeline/text_detection/page_text_line_label.py:25-360.
+Behavioral spec: vkit/pipeline/text_detection/page_text_line_label.py:25-360
+(re-derived; the four directional boundary quads come from one ring-walk
+table instead of four hand-written blocks).
 """
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import attr
 from numpy.random import Generator as RandomGenerator
@@ -59,271 +61,168 @@ class PageTextLineLabelStepOutput:
     page_text_line_boundary_score_map: Optional[ScoreMap]
 
 
+def _margin_boxes(box: Box, dilated: Box) -> Tuple[Optional[Box], ...]:
+    """The four dilation margins (up, down, left, right), None when empty.
+
+    Up/down margins span the dilated width; left/right only the box height.
+    """
+    candidates = (
+        dilated._replace(down=box.up - 1),
+        dilated._replace(up=box.down + 1),
+        box._replace(left=dilated.left, right=box.left - 1),
+        box._replace(left=box.right + 1, right=dilated.right),
+    )
+    return tuple(
+        c if c.up <= c.down and c.left <= c.right else None for c in candidates
+    )
+
+
+def _margin_quads(box: Box, dilated: Box):
+    """Gradient quads per margin: (p0, p1) on the box edge, (p2, p3) on the
+    dilated edge, so v runs 0 at the text line to 1 at the dilation rim."""
+    return (
+        ((box.up, box.right), (box.up, box.left),
+         (dilated.up, dilated.left), (dilated.up, dilated.right)),
+        ((box.down, box.left), (box.down, box.right),
+         (dilated.down, dilated.right), (dilated.down, dilated.left)),
+        ((box.up, box.left), (box.down, box.left),
+         (dilated.down, dilated.left), (dilated.up, dilated.left)),
+        ((box.down, box.right), (box.up, box.right),
+         (dilated.up, dilated.right), (dilated.down, dilated.right)),
+    )
+
+
 class PageTextLineLabelStep(
-    PipelineStep[
-        PageTextLineLabelStepConfig,
-        PageTextLineLabelStepInput,
-        PageTextLineLabelStepOutput,
-    ]
+    PipelineStep[PageTextLineLabelStepConfig, PageTextLineLabelStepInput, PageTextLineLabelStepOutput]
 ):
 
-    def generate_page_char_polygon_collection(
-        self,
-        page_text_line_collection: PageTextLineCollection,
-    ) -> PageCharPolygonCollection:
+    def _char_labels(self, collection: PageTextLineCollection
+                     ) -> PageCharPolygonCollection:
+        cfg = self.config
         char_polygons: List[Polygon] = []
-        adjusted_char_polygons: List[Polygon] = []
-        height_points_up = PointList()
-        height_points_down = PointList()
-
-        for text_line in page_text_line_collection.text_lines:
-            char_polygons.extend(
-                text_line.to_char_polygons(
-                    page_height=page_text_line_collection.height,
-                    page_width=page_text_line_collection.width,
-                )
-            )
-            adjusted_char_polygons.extend(
-                text_line.to_char_polygons(
-                    page_height=page_text_line_collection.height,
-                    page_width=page_text_line_collection.width,
-                    ref_char_height_ratio=self.config.adjusted_ref_char_height_ratio,
-                    ref_char_width_ratio=self.config.adjusted_ref_char_width_ratio,
-                )
-            )
-            height_points_up.extend(text_line.get_char_level_height_points(is_up=True))
-            height_points_down.extend(
-                text_line.get_char_level_height_points(is_up=False)
-            )
-
-        assert len(char_polygons) == len(adjusted_char_polygons) \
-            == len(height_points_up) == len(height_points_down)
-
+        adjusted: List[Polygon] = []
+        ups = PointList()
+        downs = PointList()
+        for text_line in collection.text_lines:
+            char_polygons.extend(text_line.to_char_polygons(
+                page_height=collection.height, page_width=collection.width,
+            ))
+            adjusted.extend(text_line.to_char_polygons(
+                page_height=collection.height, page_width=collection.width,
+                ref_char_height_ratio=cfg.adjusted_ref_char_height_ratio,
+                ref_char_width_ratio=cfg.adjusted_ref_char_width_ratio,
+            ))
+            ups.extend(text_line.get_char_level_height_points(is_up=True))
+            downs.extend(text_line.get_char_level_height_points(is_up=False))
+        assert len(char_polygons) == len(adjusted) == len(ups) == len(downs)
         return PageCharPolygonCollection(
-            height=page_text_line_collection.height,
-            width=page_text_line_collection.width,
+            height=collection.height,
+            width=collection.width,
             char_polygons=char_polygons,
-            adjusted_char_polygons=adjusted_char_polygons,
-            height_points_up=height_points_up,
-            height_points_down=height_points_down,
+            adjusted_char_polygons=adjusted,
+            height_points_up=ups,
+            height_points_down=downs,
         )
 
-    def generate_page_text_line_polygon_collection(
-        self,
-        page_text_line_collection: PageTextLineCollection,
-    ) -> PageTextLinePolygonCollection:
-        text_line_polygons: List[Polygon] = []
-        height_points_group_sizes: List[int] = []
-        height_points_up = PointList()
-        height_points_down = PointList()
-
-        for text_line in page_text_line_collection.text_lines:
-            text_line_polygons.append(text_line.to_polygon())
-
-            cur_up = text_line.get_height_points(
+    def _text_line_labels(self, collection: PageTextLineCollection
+                          ) -> PageTextLinePolygonCollection:
+        polygons: List[Polygon] = []
+        group_sizes: List[int] = []
+        ups = PointList()
+        downs = PointList()
+        for text_line in collection.text_lines:
+            polygons.append(text_line.to_polygon())
+            line_ups = text_line.get_height_points(
                 num_points=self.config.num_sample_height_points, is_up=True
             )
-            cur_down = text_line.get_height_points(
+            line_downs = text_line.get_height_points(
                 num_points=self.config.num_sample_height_points, is_up=False
             )
-            group_size = len(cur_up)
-            assert group_size == len(cur_down) and group_size > 0
-            height_points_group_sizes.append(group_size)
-            height_points_up.extend(cur_up)
-            height_points_down.extend(cur_down)
-
+            assert len(line_ups) == len(line_downs) > 0
+            group_sizes.append(len(line_ups))
+            ups.extend(line_ups)
+            downs.extend(line_downs)
         return PageTextLinePolygonCollection(
-            height=page_text_line_collection.height,
-            width=page_text_line_collection.width,
-            polygons=text_line_polygons,
-            height_points_group_sizes=height_points_group_sizes,
-            height_points_up=height_points_up,
-            height_points_down=height_points_down,
+            height=collection.height,
+            width=collection.width,
+            polygons=polygons,
+            height_points_group_sizes=group_sizes,
+            height_points_up=ups,
+            height_points_down=downs,
         )
 
-    def generate_page_text_line_mask(
-        self,
-        page_text_line_collection: PageTextLineCollection,
-    ) -> Mask:
-        page_text_line_mask = Mask.from_shape(page_text_line_collection.shape)
-        for text_line in page_text_line_collection.text_lines:
-            text_line.box.fill_mask(page_text_line_mask)
-        return page_text_line_mask
-
-    def generate_text_line_boxes_and_dilated_boxes(
-        self,
-        page_text_line_collection: PageTextLineCollection,
-    ):
-        text_lines = sorted(
-            page_text_line_collection.text_lines,
-            key=lambda tl: tl.font_size,
-            reverse=True,
-        )
-        boxes: List[Box] = []
-        dilated_boxes: List[Box] = []
-        for text_line in text_lines:
-            box = text_line.box
-            boxes.append(box)
-            dilated_box = box.to_dilated_box(
+    def _boxes_by_font_size(self, collection: PageTextLineCollection):
+        """(box, clipped dilated box) pairs, largest fonts first."""
+        ordered = sorted(collection.text_lines,
+                         key=lambda tl: tl.font_size, reverse=True)
+        pairs = []
+        for text_line in ordered:
+            dilated = text_line.box.to_dilated_box(
                 self.config.boundary_dilate_ratio, clip_long_side=True
-            )
-            dilated_boxes.append(
-                dilated_box.to_clipped_box(page_text_line_collection.shape)
-            )
-        return boxes, dilated_boxes
+            ).to_clipped_box(collection.shape)
+            pairs.append((text_line.box, dilated))
+        return pairs
 
-    @classmethod
-    def generate_dilated_only_boxes(cls, box: Box, dilated_box: Box):
-        dilated_up_box = dilated_box._replace(down=box.up - 1)
-        if dilated_up_box.up > dilated_up_box.down:
-            dilated_up_box = None
+    def _boundary_masks(self, shape, box_pairs, text_line_mask: Mask):
+        boundary = Mask.from_shape(shape)
+        for box, dilated in box_pairs:
+            for margin in _margin_boxes(box, dilated):
+                if margin:
+                    margin.fill_mask(boundary)
+        # Boundary excludes the text lines themselves.
+        text_line_mask.fill_mask(boundary, 0)
 
-        dilated_down_box = dilated_box._replace(up=box.down + 1)
-        if dilated_down_box.up > dilated_down_box.down:
-            dilated_down_box = None
+        combined = boundary.copy()
+        text_line_mask.fill_mask(combined)
+        return boundary, combined
 
-        dilated_left_box = box._replace(left=dilated_box.left, right=box.left - 1)
-        if dilated_left_box.left > dilated_left_box.right:
-            dilated_left_box = None
-
-        dilated_right_box = box._replace(left=box.right + 1, right=dilated_box.right)
-        if dilated_right_box.left > dilated_right_box.right:
-            dilated_right_box = None
-
-        return dilated_up_box, dilated_down_box, dilated_left_box, dilated_right_box
-
-    def generate_page_text_line_boundary_masks(
-        self,
-        page_text_line_collection: PageTextLineCollection,
-        boxes: Sequence[Box],
-        dilated_boxes: Sequence[Box],
-        page_text_line_mask: Mask,
-    ):
-        boundary_mask = Mask.from_shape(page_text_line_collection.shape)
-        for box, dilated_box in zip(boxes, dilated_boxes):
-            for dilated_only_box in self.generate_dilated_only_boxes(box, dilated_box):
-                if dilated_only_box:
-                    dilated_only_box.fill_mask(boundary_mask)
-
-        page_text_line_mask.fill_mask(boundary_mask, 0)
-
-        text_line_and_boundary_mask = boundary_mask.copy()
-        page_text_line_mask.fill_mask(text_line_and_boundary_mask)
-        return boundary_mask, text_line_and_boundary_mask
-
-    def generate_page_text_line_boundary_score_map(
-        self,
-        page_text_line_collection: PageTextLineCollection,
-        boxes: Sequence[Box],
-        dilated_boxes: Sequence[Box],
-        page_text_line_boundary_mask: Mask,
-    ) -> ScoreMap:
-        boundary_score_map = ScoreMap.from_shape(
-            page_text_line_collection.shape, value=1.0
-        )
-
-        for box, dilated_box in zip(boxes, dilated_boxes):
-            (
-                dilated_up_box,
-                dilated_down_box,
-                dilated_left_box,
-                dilated_right_box,
-            ) = self.generate_dilated_only_boxes(box, dilated_box)
-
-            # v runs 0 at the text line edge to 1 at the dilated edge.
-            if dilated_up_box:
-                boundary_score_map.fill_by_quad_interpolation(
-                    point0=Point.create(y=box.up, x=box.right),
-                    point1=Point.create(y=box.up, x=box.left),
-                    point2=Point.create(y=dilated_box.up, x=dilated_box.left),
-                    point3=Point.create(y=dilated_box.up, x=dilated_box.right),
+    def _boundary_score_map(self, shape, box_pairs,
+                            boundary_mask: Mask) -> ScoreMap:
+        score_map = ScoreMap.from_shape(shape, value=1.0)
+        for box, dilated in box_pairs:
+            margins = _margin_boxes(box, dilated)
+            quads = _margin_quads(box, dilated)
+            for margin, quad in zip(margins, quads):
+                if margin is None:
+                    continue
+                points = [Point.create(y=y, x=x) for y, x in quad]
+                score_map.fill_by_quad_interpolation(
+                    point0=points[0], point1=points[1],
+                    point2=points[2], point3=points[3],
                     func_np_uv_to_mat=lambda np_uv: np_uv[:, :, 1],
                     keep_min_value=True,
                 )
-            if dilated_down_box:
-                boundary_score_map.fill_by_quad_interpolation(
-                    point0=Point.create(y=box.down, x=box.left),
-                    point1=Point.create(y=box.down, x=box.right),
-                    point2=Point.create(y=dilated_box.down, x=dilated_box.right),
-                    point3=Point.create(y=dilated_box.down, x=dilated_box.left),
-                    func_np_uv_to_mat=lambda np_uv: np_uv[:, :, 1],
-                    keep_min_value=True,
-                )
-            if dilated_left_box:
-                boundary_score_map.fill_by_quad_interpolation(
-                    point0=Point.create(y=box.up, x=box.left),
-                    point1=Point.create(y=box.down, x=box.left),
-                    point2=Point.create(y=dilated_box.down, x=dilated_box.left),
-                    point3=Point.create(y=dilated_box.up, x=dilated_box.left),
-                    func_np_uv_to_mat=lambda np_uv: np_uv[:, :, 1],
-                    keep_min_value=True,
-                )
-            if dilated_right_box:
-                boundary_score_map.fill_by_quad_interpolation(
-                    point0=Point.create(y=box.down, x=box.right),
-                    point1=Point.create(y=box.up, x=box.right),
-                    point2=Point.create(y=dilated_box.up, x=dilated_box.right),
-                    point3=Point.create(y=dilated_box.down, x=dilated_box.right),
-                    func_np_uv_to_mat=lambda np_uv: np_uv[:, :, 1],
-                    keep_min_value=True,
-                )
-
-        page_text_line_boundary_mask.to_inverted_mask().fill_score_map(
-            boundary_score_map, 0.0
-        )
-        return boundary_score_map
+        boundary_mask.to_inverted_mask().fill_score_map(score_map, 0.0)
+        return score_map
 
     def run(self, input: PageTextLineLabelStepInput, rng: RandomGenerator):
-        page_text_line_collection = (
-            input.page_text_line_step_output.page_text_line_collection
-        )
+        collection = input.page_text_line_step_output.page_text_line_collection
 
-        page_char_polygon_collection = self.generate_page_char_polygon_collection(
-            page_text_line_collection
-        )
-        page_text_line_polygon_collection = (
-            self.generate_page_text_line_polygon_collection(page_text_line_collection)
-        )
-
-        page_text_line_mask: Optional[Mask] = None
-        page_text_line_boundary_mask: Optional[Mask] = None
-        page_text_line_and_boundary_mask: Optional[Mask] = None
-        page_text_line_boundary_score_map: Optional[ScoreMap] = None
-
+        text_line_mask = None
+        boundary_mask = None
+        combined_mask = None
+        boundary_score_map = None
         if self.config.enable_text_line_mask:
-            page_text_line_mask = self.generate_page_text_line_mask(
-                page_text_line_collection
-            )
-            boxes, dilated_boxes = self.generate_text_line_boxes_and_dilated_boxes(
-                page_text_line_collection
-            )
+            text_line_mask = Mask.from_shape(collection.shape)
+            for text_line in collection.text_lines:
+                text_line.box.fill_mask(text_line_mask)
+            box_pairs = self._boxes_by_font_size(collection)
             if self.config.enable_boundary_mask:
-                (
-                    page_text_line_boundary_mask,
-                    page_text_line_and_boundary_mask,
-                ) = self.generate_page_text_line_boundary_masks(
-                    page_text_line_collection,
-                    boxes,
-                    dilated_boxes,
-                    page_text_line_mask,
+                boundary_mask, combined_mask = self._boundary_masks(
+                    collection.shape, box_pairs, text_line_mask
                 )
                 if self.config.enable_boundary_score_map:
-                    page_text_line_boundary_score_map = (
-                        self.generate_page_text_line_boundary_score_map(
-                            page_text_line_collection,
-                            boxes,
-                            dilated_boxes,
-                            page_text_line_boundary_mask,
-                        )
+                    boundary_score_map = self._boundary_score_map(
+                        collection.shape, box_pairs, boundary_mask
                     )
 
         return PageTextLineLabelStepOutput(
-            page_char_polygon_collection=page_char_polygon_collection,
-            page_text_line_polygon_collection=page_text_line_polygon_collection,
-            page_text_line_mask=page_text_line_mask,
-            page_text_line_boundary_mask=page_text_line_boundary_mask,
-            page_text_line_and_boundary_mask=page_text_line_and_boundary_mask,
-            page_text_line_boundary_score_map=page_text_line_boundary_score_map,
+            page_char_polygon_collection=self._char_labels(collection),
+            page_text_line_polygon_collection=self._text_line_labels(collection),
+            page_text_line_mask=text_line_mask,
+            page_text_line_boundary_mask=boundary_mask,
+            page_text_line_and_boundary_mask=combined_mask,
+            page_text_line_boundary_score_map=boundary_score_map,
         )
 
 

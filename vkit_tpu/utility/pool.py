@@ -44,6 +44,9 @@ class PoolConfig:
     schedule_size_min_factor: float = 1.0
     timeout: Optional[float] = None
     use_processes: bool = False
+    # 'spawn' is JAX-safe (no fork of a multithreaded parent); 'fork' only
+    # works with non-picklable closure workers and pre-JAX parents.
+    mp_start_method: str = 'spawn'
 
 
 class _Worker(threading.Thread):
@@ -112,7 +115,7 @@ class Pool(Generic[_T_ITEM]):
 
         if config.use_processes:
             import multiprocessing as mp
-            ctx = mp.get_context('fork')
+            ctx = mp.get_context(config.mp_start_method)
             self.queue = ctx.Queue(maxsize=max(1, config.inventory))
             self.workers = [
                 ctx.Process(

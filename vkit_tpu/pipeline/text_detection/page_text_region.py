@@ -1,20 +1,21 @@
-"""Page text region step: adaptive scaling via flatten-rotate-resize-stack.
+"""Page text-region step: adaptive scaling via flatten-rotate-resize-stack.
 
-Capability parity: vkit/pipeline/text_detection/page_text_region.py:40-1301 —
-precise text polygons (resized text-line mask contours ∩ disconnected text
-regions), char polygons assigned by max intersect ratio, negative region
-sampling, TextRegionFlattener (dilation, min-rotated-rect angles, typicality
-by long-side ratio, KD-tree angle propagation), per-region rotate-to-
-horizontal + resize to a char-height median target, shelf-packed stacking,
-optional post rotation.  shapely STRtree is replaced by a vectorized
-bounding-box candidate index; rectpack by the first-party shelf packer.
+Pipeline: precise text polygons (resized text-line mask components clipped
+into disconnected text regions), char polygons assigned by max intersection
+ratio, negative-region sampling, the TextRegionFlattener (dilation,
+min-rotated-rect statistics, typicality by long-side ratio, KD-tree angle
+propagation), per-region rotate-to-horizontal + resize to a char-height
+median target, shelf-packed stacking, and an optional page-level rotation.
+
+Behavioral spec: vkit/pipeline/text_detection/page_text_region.py:40-1301
+(re-derived; bounding-rect statistics are one vectorized pass, the angle
+propagation is a three-round resolver, and shapely STRtree / rectpack are
+replaced by the first-party box index and shelf packer).
 """
-import itertools
 import logging
 import math
 import statistics
-from collections import defaultdict
-from typing import DefaultDict, List, Optional, Sequence, Tuple, cast
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import attr
 import numpy as np
@@ -23,11 +24,10 @@ from sklearn.neighbors import KDTree
 
 from ...element import (
     Box,
-    ElementSetOperationMode,
     Image,
     Mask,
-    PointList,
     Polygon,
+    mask_from_elements,
 )
 from ...geometry.packing import PolygonBoxIndex, pack_rectangles
 from ...mechanism.distortion import rotate
@@ -104,10 +104,11 @@ class FlattenedTextRegion:
         return self.flattened_image.area
 
     def get_char_height_meidan(self) -> float:
+        # (Reference-compatible spelling.)
         assert self.flattened_char_polygons
         return statistics.median(
-            char_polygon.get_rectangular_height()
-            for char_polygon in self.flattened_char_polygons
+            polygon.get_rectangular_height()
+            for polygon in self.flattened_char_polygons
         )
 
     def to_resized_flattened_text_region(
@@ -115,28 +116,24 @@ class FlattenedTextRegion:
         resized_height: Optional[int] = None,
         resized_width: Optional[int] = None,
     ) -> 'FlattenedTextRegion':
-        resized_flattened_image = self.flattened_image.to_resized_image(
-            resized_height=resized_height,
-            resized_width=resized_width,
-        )
-        resized_flattened_mask = self.flattened_mask.to_resized_mask(
-            resized_height=resized_height,
-            resized_width=resized_width,
-        )
-        resized_flattened_char_polygons = None
+        char_polygons = None
         if self.flattened_char_polygons is not None:
-            resized_flattened_char_polygons = [
-                char_polygon.to_conducted_resized_polygon(
+            char_polygons = [
+                polygon.to_conducted_resized_polygon(
                     self.shape,
                     resized_height=resized_height,
                     resized_width=resized_width,
-                ) for char_polygon in self.flattened_char_polygons
+                ) for polygon in self.flattened_char_polygons
             ]
         return attr.evolve(
             self,
-            flattened_image=resized_flattened_image,
-            flattened_mask=resized_flattened_mask,
-            flattened_char_polygons=resized_flattened_char_polygons,
+            flattened_image=self.flattened_image.to_resized_image(
+                resized_height, resized_width
+            ),
+            flattened_mask=self.flattened_mask.to_resized_mask(
+                resized_height, resized_width
+            ),
+            flattened_char_polygons=char_polygons,
         )
 
     def to_post_rotated_flattened_text_region(
@@ -144,19 +141,19 @@ class FlattenedTextRegion:
         post_rotate_angle: int,
     ) -> 'FlattenedTextRegion':
         assert self.post_rotate_angle == 0
-        rotated_result = rotate.distort(
+        spun = rotate.distort(
             {'angle': post_rotate_angle},
             image=self.flattened_image,
             mask=self.flattened_mask,
             polygons=self.flattened_char_polygons,
         )
-        assert rotated_result.image and rotated_result.mask
+        assert spun.image and spun.mask
         return attr.evolve(
             self,
             post_rotate_angle=post_rotate_angle,
-            flattened_image=rotated_result.image,
-            flattened_mask=rotated_result.mask,
-            flattened_char_polygons=rotated_result.polygons,
+            flattened_image=spun.image,
+            flattened_mask=spun.mask,
+            flattened_char_polygons=spun.polygons,
         )
 
 
@@ -180,414 +177,72 @@ class PageTextRegionStepOutput:
     debug: Optional[PageTextRegionStepDebug]
 
 
+# ----------------------------------------------------------------------------
+# Mask intersection utilities.
+# ----------------------------------------------------------------------------
+
+def _box_intersection(a: Box, b: Box) -> Optional[Box]:
+    out = Box(max(a.up, b.up), min(a.down, b.down),
+              max(a.left, b.left), min(a.right, b.right))
+    return out if out.up <= out.down and out.left <= out.right else None
+
+
 def calculate_boxed_masks_intersected_ratio(
     anchor_mask: Mask,
     candidate_mask: Mask,
     use_candidate_as_base: bool = False,
 ) -> float:
-    anchor_box = anchor_mask.box
-    candidate_box = candidate_mask.box
+    """Intersection area over the candidate (or the union) area."""
+    anchor_box, candidate_box = anchor_mask.box, candidate_mask.box
     assert anchor_box and candidate_box
-
-    up = max(anchor_box.up, candidate_box.up)
-    down = min(anchor_box.down, candidate_box.down)
-    left = max(anchor_box.left, candidate_box.left)
-    right = min(anchor_box.right, candidate_box.right)
-    if up > down or left > right:
+    window = _box_intersection(anchor_box, candidate_box)
+    if window is None:
         return 0.0
 
-    np_intersected_anchor = anchor_mask.mat[
-        up - anchor_box.up:down - anchor_box.up + 1,
-        left - anchor_box.left:right - anchor_box.left + 1,
-    ]
-    np_intersected_candidate = candidate_mask.mat[
-        up - candidate_box.up:down - candidate_box.up + 1,
-        left - candidate_box.left:right - candidate_box.left + 1,
-    ]
-    intersected_area = int((np_intersected_anchor & np_intersected_candidate).sum())
+    a = window.to_relative_box(anchor_box.up, anchor_box.left) \
+        .extract_np_array(anchor_mask.mat)
+    c = window.to_relative_box(candidate_box.up, candidate_box.left) \
+        .extract_np_array(candidate_mask.mat)
+    overlap = int((a & c).sum())
 
     if use_candidate_as_base:
-        base_area = int(candidate_mask.np_mask.sum())
+        base = int(candidate_mask.np_mask.sum())
     else:
-        base_area = (
-            int(anchor_mask.np_mask.sum()) + int(candidate_mask.np_mask.sum())
-            - intersected_area
-        )
-    return intersected_area / base_area if base_area else 0.0
+        base = (int(anchor_mask.np_mask.sum())
+                + int(candidate_mask.np_mask.sum()) - overlap)
+    return overlap / base if base else 0.0
+
+
+# ----------------------------------------------------------------------------
+# TextRegionFlattener.
+# ----------------------------------------------------------------------------
+
+def _analyze_rects(rect_polygons: Sequence[Polygon]):
+    """Vectorized min-rect statistics: short side lengths, long/short side
+    ratios, and long-side angles in [0, 180)."""
+    corners = np.stack([p.np_xy[:4] for p in rect_polygons])  # (N, 4, 2)
+    edge01 = np.linalg.norm(corners[:, 0] - corners[:, 1], axis=1)
+    edge03 = np.linalg.norm(corners[:, 0] - corners[:, 3], axis=1)
+
+    short_sides = np.minimum(edge01, edge03)
+    ratios = np.maximum(edge01, edge03) / np.where(short_sides == 0, 1.0, short_sides)
+
+    # Long-side direction: corner 0 toward whichever neighbor is farther.
+    partner = np.where((edge01 > edge03)[:, None], corners[:, 1], corners[:, 3])
+    delta = corners[:, 0] - partner
+    theta = np.mod(np.arctan2(delta[:, 1], delta[:, 0]), np.pi)
+    angles = np.mod(np.round(theta / np.pi * 180).astype(int), 180)
+
+    return short_sides.tolist(), ratios.tolist(), angles.tolist()
 
 
 class TextRegionFlattener:
+    """Rotates every text region to horizontal and carves its local window.
 
-    @classmethod
-    def patch_text_region_polygons(
-        cls,
-        text_region_polygons: Sequence[Polygon],
-        grouped_char_polygons: Optional[Sequence[Sequence[Polygon]]],
-    ) -> Sequence[Polygon]:
-        if grouped_char_polygons is None:
-            return text_region_polygons
-        assert len(text_region_polygons) == len(grouped_char_polygons)
-
-        patched: List[Polygon] = []
-        for text_region_polygon, char_polygons in zip(
-            text_region_polygons, grouped_char_polygons
-        ):
-            # Ensure every char polygon is inside the region.
-            unionized_polygons = [text_region_polygon, *char_polygons]
-            bounding_box = Box.from_boxes(
-                polygon.bounding_box for polygon in unionized_polygons
-            )
-            mask = Mask.from_shapable(bounding_box).to_box_attached(bounding_box)
-            for polygon in unionized_polygons:
-                polygon.fill_mask(mask)
-            patched.append(mask.to_external_polygon())
-        return patched
-
-    @classmethod
-    def get_dilated_and_bounding_rectangular_polygons(
-        cls,
-        text_region_polygon_dilate_ratio: float,
-        shape: Tuple[int, int],
-        text_region_polygons: Sequence[Polygon],
-        force_no_dilation_flags: Optional[Sequence[bool]] = None,
-    ):
-        dilated_text_region_polygons: List[Polygon] = []
-        bounding_rectangular_polygons: List[Polygon] = []
-
-        if force_no_dilation_flags is None:
-            force_no_dilation_flags_iter = itertools.repeat(False)
-        else:
-            assert len(force_no_dilation_flags) == len(text_region_polygons)
-            force_no_dilation_flags_iter = iter(force_no_dilation_flags)
-
-        for text_region_polygon, force_no_dilation_flag in zip(
-            text_region_polygons, force_no_dilation_flags_iter
-        ):
-            if not force_no_dilation_flag:
-                text_region_polygon = text_region_polygon.to_dilated_polygon(
-                    ratio=text_region_polygon_dilate_ratio
-                )
-                text_region_polygon = text_region_polygon.to_clipped_polygon(shape)
-
-            dilated_text_region_polygons.append(text_region_polygon)
-            bounding_rectangular_polygons.append(
-                text_region_polygon.to_bounding_rectangular_polygon(shape)
-            )
-
-        return dilated_text_region_polygons, bounding_rectangular_polygons
-
-    @classmethod
-    def analyze_bounding_rectangular_polygons(
-        cls,
-        bounding_rectangular_polygons: Sequence[Polygon],
-    ):
-        short_side_lengths: List[float] = []
-        long_side_ratios: List[float] = []
-        long_side_angles: List[int] = []
-
-        for polygon in bounding_rectangular_polygons:
-            point0, point1, _, point3 = polygon.points
-            side0_length = math.hypot(
-                point0.smooth_y - point1.smooth_y, point0.smooth_x - point1.smooth_x
-            )
-            side1_length = math.hypot(
-                point0.smooth_y - point3.smooth_y, point0.smooth_x - point3.smooth_x
-            )
-            short_side = min(side0_length, side1_length) or 1.0
-            short_side_lengths.append(min(side0_length, side1_length))
-            long_side_ratios.append(max(side0_length, side1_length) / short_side)
-
-            point_a = point0
-            point_b = point1 if side0_length > side1_length else point3
-            np_theta = np.arctan2(
-                point_a.smooth_y - point_b.smooth_y,
-                point_a.smooth_x - point_b.smooth_x,
-            ) % np.pi
-            long_side_angles.append(round(np_theta / np.pi * 180) % 180)
-
-        return short_side_lengths, long_side_ratios, long_side_angles
-
-    @classmethod
-    def get_typical_indices(
-        cls,
-        typical_long_side_ratio_min: float,
-        long_side_ratios: Sequence[float],
-    ):
-        return tuple(
-            idx for idx, ratio in enumerate(long_side_ratios)
-            if ratio >= typical_long_side_ratio_min
-        )
-
-    @classmethod
-    def check_first_text_region_polygon_is_larger(
-        cls,
-        text_region_polygons: Sequence[Polygon],
-        short_side_lengths: Sequence[float],
-        first_idx: int,
-        second_idx: int,
-    ) -> bool:
-        return (
-            text_region_polygons[first_idx].area >= text_region_polygons[second_idx].area
-            and short_side_lengths[first_idx] >= short_side_lengths[second_idx]
-        )
-
-    @classmethod
-    def get_main_and_flattening_rotate_angles(
-        cls,
-        text_region_polygons: Sequence[Polygon],
-        typical_indices: Sequence[int],
-        short_side_lengths: Sequence[float],
-        long_side_angles: Sequence[int],
-    ):
-        typical_indices_set = set(typical_indices)
-        text_region_center_points = [
-            polygon.get_center_point() for polygon in text_region_polygons
-        ]
-
-        main_angles: List[Optional[int]] = [None] * len(long_side_angles)
-
-        for idx, long_side_angle in enumerate(long_side_angles):
-            if not typical_indices_set or idx in typical_indices_set:
-                main_angles[idx] = long_side_angle
-
-        if typical_indices_set:
-            typical_center_points = PointList(
-                text_region_center_points[idx] for idx in typical_indices
-            )
-            kd_tree = KDTree(typical_center_points.to_np_array())
-
-            nontypical_indices = tuple(
-                idx for idx in range(len(long_side_angles))
-                if idx not in typical_indices_set
-            )
-            if nontypical_indices:
-                nontypical_center_points = PointList(
-                    text_region_center_points[idx] for idx in nontypical_indices
-                )
-
-                # Round 1: nearest typical polygon that is large enough.
-                _, np_kd_nbr_indices = kd_tree.query(
-                    nontypical_center_points.to_np_array()
-                )
-                round2_nontypical_indices: List[int] = []
-                for nontypical_idx, typical_indices_idx in zip(
-                    nontypical_indices, np_kd_nbr_indices[:, 0].tolist()
-                ):
-                    typical_idx = typical_indices[typical_indices_idx]
-                    if cls.check_first_text_region_polygon_is_larger(
-                        text_region_polygons=text_region_polygons,
-                        short_side_lengths=short_side_lengths,
-                        first_idx=typical_idx,
-                        second_idx=nontypical_idx,
-                    ):
-                        main_angles[nontypical_idx] = main_angles[typical_idx]
-                    else:
-                        round2_nontypical_indices.append(nontypical_idx)
-
-                # Round 2: any larger typical polygon, nearest first.
-                round3_nontypical_indices: List[int] = []
-                if round2_nontypical_indices:
-                    round2_center_points = PointList(
-                        text_region_center_points[idx]
-                        for idx in round2_nontypical_indices
-                    )
-                    _, np_kd_nbr_indices = kd_tree.query(
-                        round2_center_points.to_np_array(),
-                        k=len(typical_center_points),
-                    )
-                    for nontypical_idx, typical_indices_indices in zip(
-                        round2_nontypical_indices, np_kd_nbr_indices.tolist()
-                    ):
-                        hit_typical_idx = None
-                        for typical_indices_idx in typical_indices_indices:
-                            typical_idx = typical_indices[typical_indices_idx]
-                            if cls.check_first_text_region_polygon_is_larger(
-                                text_region_polygons=text_region_polygons,
-                                short_side_lengths=short_side_lengths,
-                                first_idx=typical_idx,
-                                second_idx=nontypical_idx,
-                            ):
-                                hit_typical_idx = typical_idx
-                                break
-                        if hit_typical_idx is not None:
-                            main_angles[nontypical_idx] = main_angles[hit_typical_idx]
-                        else:
-                            round3_nontypical_indices.append(nontypical_idx)
-
-                # Round 3: fallback to the median typical angle.
-                if round3_nontypical_indices:
-                    main_angles_median = statistics.median_low(
-                        long_side_angles[typical_idx] for typical_idx in typical_indices
-                    )
-                    for nontypical_idx in round3_nontypical_indices:
-                        main_angles[nontypical_idx] = main_angles_median
-
-        flattening_rotate_angles: List[int] = []
-        for main_angle in main_angles:
-            assert main_angle is not None
-            if main_angle <= 90:
-                flattening_rotate_angle = (360 - main_angle) % 360
-            else:
-                flattening_rotate_angle = 180 - main_angle
-            flattening_rotate_angles.append(flattening_rotate_angle)
-
-        return cast(List[int], main_angles), flattening_rotate_angles
-
-    @classmethod
-    def get_bounding_extended_text_region_masks(
-        cls,
-        shape: Tuple[int, int],
-        text_region_polygons: Sequence[Polygon],
-        dilated_text_region_polygons: Sequence[Polygon],
-        bounding_rectangular_polygons: Sequence[Polygon],
-        typical_indices: Sequence[int],
-        main_angles: Sequence[int],
-    ) -> List[Mask]:
-        typical_indices_set = set(typical_indices)
-
-        text_mask = Mask.from_polygons(shape, text_region_polygons)
-        non_text_mask = text_mask.to_inverted_mask()
-        box = Box.from_shape(shape)
-        text_mask = text_mask.to_box_attached(box)
-        non_text_mask = non_text_mask.to_box_attached(box)
-
-        bounding_extended_text_region_masks: List[Mask] = []
-
-        for idx in range(len(text_region_polygons)):
-            text_region_polygon = text_region_polygons[idx]
-            dilated_text_region_polygon = dilated_text_region_polygons[idx]
-            bounding_rectangular_polygon = bounding_rectangular_polygons[idx]
-
-            if typical_indices_set and idx not in typical_indices_set:
-                bounding_rectangular_polygon = (
-                    dilated_text_region_polygon.to_bounding_rectangular_polygon(
-                        shape=shape, angle=main_angles[idx]
-                    )
-                )
-
-            bounding_box = Box.from_boxes((
-                dilated_text_region_polygon.bounding_box,
-                bounding_rectangular_polygon.bounding_box,
-            ))
-
-            # Other text in the rectangle.
-            bounding_other_text_mask = (
-                Mask.from_shapable(bounding_box).to_box_attached(bounding_box)
-            )
-            bounding_rectangular_polygon.fill_mask(bounding_other_text_mask, text_mask)
-            text_region_polygon.fill_mask(bounding_other_text_mask, 0)
-
-            # The (dilated) current text region.
-            bounding_text_mask = (
-                Mask.from_shapable(bounding_other_text_mask).to_box_attached(bounding_box)
-            )
-            dilated_text_region_polygon.fill_mask(bounding_text_mask, value=1)
-
-            # Current minus other text regions.
-            bounding_trimmed_text_mask = Mask.from_masks(
-                bounding_box,
-                [bounding_text_mask, bounding_other_text_mask.to_inverted_mask()],
-                ElementSetOperationMode.INTERSECT,
-            )
-
-            bounding_non_text_mask = bounding_rectangular_polygon.extract_mask(
-                non_text_mask
-            )
-
-            bounding_extended_text_region_mask = Mask.from_masks(
-                bounding_box,
-                [bounding_trimmed_text_mask, bounding_non_text_mask],
-            )
-            bounding_extended_text_region_masks.append(bounding_extended_text_region_mask)
-
-        return bounding_extended_text_region_masks
-
-    @classmethod
-    def build_flattened_text_regions(
-        cls,
-        image: Image,
-        text_region_polygons: Sequence[Polygon],
-        bounding_extended_text_region_masks: Sequence[Mask],
-        typical_indices: Sequence[int],
-        flattening_rotate_angles: Sequence[int],
-        grouped_char_polygons: Optional[Sequence[Sequence[Polygon]]],
-    ) -> List[FlattenedTextRegion]:
-        typical_indices_set = set(typical_indices)
-        flattened_text_regions: List[FlattenedTextRegion] = []
-
-        for idx, (
-            text_region_polygon,
-            bounding_extended_text_region_mask,
-            flattening_rotate_angle,
-        ) in enumerate(
-            zip(
-                text_region_polygons,
-                bounding_extended_text_region_masks,
-                flattening_rotate_angles,
-            )
-        ):
-            bounding_box = bounding_extended_text_region_mask.box
-            assert bounding_box
-
-            text_region_image = bounding_extended_text_region_mask.extract_image(image)
-
-            relative_char_polygons = None
-            if grouped_char_polygons is not None:
-                relative_char_polygons = [
-                    char_polygon.to_relative_polygon(
-                        origin_y=bounding_box.up, origin_x=bounding_box.left
-                    ) for char_polygon in grouped_char_polygons[idx]
-                ]
-
-            rotated_result = rotate.distort(
-                {'angle': flattening_rotate_angle},
-                image=text_region_image,
-                mask=bounding_extended_text_region_mask,
-                polygons=relative_char_polygons,
-            )
-            rotated_text_region_image = rotated_result.image
-            rotated_mask = rotated_result.mask
-            assert rotated_text_region_image and rotated_mask
-            rotated_char_polygons = rotated_result.polygons
-
-            rotated_trimmed_box = rotated_mask.to_external_box()
-            trimmed_text_region_image = rotated_text_region_image.to_cropped_image(
-                up=rotated_trimmed_box.up,
-                down=rotated_trimmed_box.down,
-                left=rotated_trimmed_box.left,
-                right=rotated_trimmed_box.right,
-            )
-            trimmed_mask = rotated_trimmed_box.extract_mask(rotated_mask)
-
-            trimmed_char_polygons = None
-            if rotated_char_polygons:
-                trimmed_char_polygons = [
-                    polygon.to_relative_polygon(
-                        origin_y=rotated_trimmed_box.up,
-                        origin_x=rotated_trimmed_box.left,
-                    ) for polygon in rotated_char_polygons
-                ]
-
-            flattened_text_regions.append(
-                FlattenedTextRegion(
-                    is_typical=(idx in typical_indices_set),
-                    text_region_polygon=text_region_polygon,
-                    text_region_image=bounding_extended_text_region_mask.extract_image(
-                        image
-                    ),
-                    bounding_extended_text_region_mask=bounding_extended_text_region_mask,
-                    flattening_rotate_angle=flattening_rotate_angle,
-                    shape_before_trim=rotated_text_region_image.shape,
-                    rotated_trimmed_box=rotated_trimmed_box,
-                    shape_before_resize=trimmed_text_region_image.shape,
-                    post_rotate_angle=0,
-                    flattened_image=trimmed_text_region_image,
-                    flattened_mask=trimmed_mask,
-                    flattened_char_polygons=trimmed_char_polygons,
-                )
-            )
-
-        return flattened_text_regions
+    Stages: patch polygons to cover their chars -> dilate + min-rect ->
+    rect statistics -> typicality -> angle propagation -> per-region window
+    masks -> rotate + trim into FlattenedTextRegions.
+    """
 
     def __init__(
         self,
@@ -599,86 +254,245 @@ class TextRegionFlattener:
         is_training: bool = False,
     ):
         self.original_text_region_polygons = text_region_polygons
-
-        self.text_region_polygons = self.patch_text_region_polygons(
-            text_region_polygons=text_region_polygons,
-            grouped_char_polygons=grouped_char_polygons,
+        self.text_region_polygons = self._patch_polygons(
+            text_region_polygons, grouped_char_polygons
         )
 
-        force_no_dilation_flags = None
+        skip_dilation = None
         if is_training:
             assert grouped_char_polygons \
                 and len(text_region_polygons) == len(grouped_char_polygons)
-            force_no_dilation_flags = [
-                not char_polygons for char_polygons in grouped_char_polygons
-            ]
+            # Negative (char-free) regions keep their sampled extent.
+            skip_dilation = [not chars for chars in grouped_char_polygons]
 
-        (
-            self.dilated_text_region_polygons,
-            self.bounding_rectangular_polygons,
-        ) = self.get_dilated_and_bounding_rectangular_polygons(
-            text_region_polygon_dilate_ratio=text_region_polygon_dilate_ratio,
-            shape=image.shape,
-            text_region_polygons=self.text_region_polygons,
-            force_no_dilation_flags=force_no_dilation_flags,
+        self.dilated_text_region_polygons, self.bounding_rectangular_polygons = (
+            self._dilate_and_box(
+                text_region_polygon_dilate_ratio, image.shape, skip_dilation
+            )
         )
 
         (
             self.short_side_lengths,
             self.long_side_ratios,
             self.long_side_angles,
-        ) = self.analyze_bounding_rectangular_polygons(
-            self.bounding_rectangular_polygons
+        ) = _analyze_rects(self.bounding_rectangular_polygons)
+
+        self.typical_indices = tuple(
+            idx for idx, ratio in enumerate(self.long_side_ratios)
+            if ratio >= typical_long_side_ratio_min
         )
 
-        self.typical_indices = self.get_typical_indices(
-            typical_long_side_ratio_min=typical_long_side_ratio_min,
-            long_side_ratios=self.long_side_ratios,
+        self.main_angles, self.flattening_rotate_angles = self._resolve_angles()
+
+        self.bounding_extended_text_region_masks = [
+            self._region_window_mask(idx, image.shape)
+            for idx in range(len(self.text_region_polygons))
+        ]
+
+        self.flattened_text_regions = self._flatten_all(
+            image, grouped_char_polygons
         )
 
-        self.main_angles, self.flattening_rotate_angles = (
-            self.get_main_and_flattening_rotate_angles(
-                text_region_polygons=self.text_region_polygons,
-                typical_indices=self.typical_indices,
-                short_side_lengths=self.short_side_lengths,
-                long_side_angles=self.long_side_angles,
+    # -- stages ---------------------------------------------------------
+
+    @classmethod
+    def _patch_polygons(cls, text_region_polygons, grouped_char_polygons):
+        """Grow each region to cover its own char polygons."""
+        if grouped_char_polygons is None:
+            return text_region_polygons
+        assert len(text_region_polygons) == len(grouped_char_polygons)
+        patched: List[Polygon] = []
+        for region, chars in zip(text_region_polygons, grouped_char_polygons):
+            members = [region, *chars]
+            hull_box = Box.from_boxes(p.bounding_box for p in members)
+            canvas = Mask.from_shapable(hull_box).to_box_attached(hull_box)
+            for polygon in members:
+                polygon.fill_mask(canvas)
+            patched.append(canvas.to_external_polygon())
+        return patched
+
+    def _dilate_and_box(self, dilate_ratio, shape, skip_dilation):
+        dilated: List[Polygon] = []
+        rects: List[Polygon] = []
+        for idx, polygon in enumerate(self.text_region_polygons):
+            if not (skip_dilation and skip_dilation[idx]):
+                polygon = polygon.to_dilated_polygon(ratio=dilate_ratio)
+                polygon = polygon.to_clipped_polygon(shape)
+            dilated.append(polygon)
+            rects.append(polygon.to_bounding_rectangular_polygon(shape))
+        return dilated, rects
+
+    def _dominates(self, first_idx: int, second_idx: int) -> bool:
+        """A region can lend its angle only to smaller neighbors."""
+        return (
+            self.text_region_polygons[first_idx].area
+            >= self.text_region_polygons[second_idx].area
+            and self.short_side_lengths[first_idx]
+            >= self.short_side_lengths[second_idx]
+        )
+
+    def _resolve_angles(self):
+        """Typical regions keep their own angle; the rest borrow from a
+        dominating typical neighbor (nearest-first), else the median."""
+        count = len(self.long_side_angles)
+        typical = set(self.typical_indices)
+        main_angles: List[Optional[int]] = [
+            angle if (not typical or idx in typical) else None
+            for idx, angle in enumerate(self.long_side_angles)
+        ]
+
+        unresolved = [idx for idx in range(count) if main_angles[idx] is None]
+        if unresolved:
+            centers = np.asarray([
+                self.text_region_polygons[idx].get_center_point().to_xy_pair()
+                for idx in range(count)
+            ], dtype=np.int32)
+            typical_list = list(self.typical_indices)
+            kd_tree = KDTree(centers[typical_list])
+
+            # Round 1: the single nearest typical region, if it dominates.
+            _, nearest = kd_tree.query(centers[unresolved])
+            still = []
+            for pos, idx in enumerate(unresolved):
+                donor = typical_list[int(nearest[pos, 0])]
+                if self._dominates(donor, idx):
+                    main_angles[idx] = main_angles[donor]
+                else:
+                    still.append(idx)
+
+            # Round 2: any dominating typical region, nearest first.
+            fallback = []
+            if still:
+                _, ranked = kd_tree.query(centers[still], k=len(typical_list))
+                for pos, idx in enumerate(still):
+                    for donor_pos in ranked[pos].tolist():
+                        donor = typical_list[int(donor_pos)]
+                        if self._dominates(donor, idx):
+                            main_angles[idx] = main_angles[donor]
+                            break
+                    else:
+                        fallback.append(idx)
+
+            # Round 3: the median typical angle.
+            if fallback:
+                median_angle = statistics.median_low(
+                    self.long_side_angles[idx] for idx in self.typical_indices
+                )
+                for idx in fallback:
+                    main_angles[idx] = median_angle
+
+        rotate_angles = []
+        for angle in main_angles:
+            assert angle is not None
+            rotate_angles.append(
+                (360 - angle) % 360 if angle <= 90 else 180 - angle
             )
-        )
+        return main_angles, rotate_angles
 
-        self.bounding_extended_text_region_masks = (
-            self.get_bounding_extended_text_region_masks(
-                shape=image.shape,
-                text_region_polygons=self.text_region_polygons,
-                dilated_text_region_polygons=self.dilated_text_region_polygons,
-                bounding_rectangular_polygons=self.bounding_rectangular_polygons,
-                typical_indices=self.typical_indices,
-                main_angles=self.main_angles,
+    def _region_window_mask(self, idx: int, shape) -> Mask:
+        """The region's local window: its own (dilated) text plus all
+        non-text background inside the bounding rectangle — other regions'
+        text is carved out."""
+        region = self.text_region_polygons[idx]
+        dilated = self.dilated_text_region_polygons[idx]
+        rect = self.bounding_rectangular_polygons[idx]
+        typical = set(self.typical_indices)
+        if typical and idx not in typical:
+            # Align the window to the borrowed angle.
+            rect = dilated.to_bounding_rectangular_polygon(
+                shape=shape, angle=self.main_angles[idx]
             )
+
+        all_text = mask_from_elements(shape, self.text_region_polygons) \
+            .to_box_attached(Box.from_shape(shape))
+
+        window = Box.from_boxes((dilated.bounding_box, rect.bounding_box))
+
+        # Text belonging to OTHER regions inside the rectangle.
+        other_text = Mask.from_shapable(window).to_box_attached(window)
+        rect.fill_mask(other_text, all_text)
+        region.fill_mask(other_text, 0)
+
+        # This region's own (dilated) footprint.
+        own = Mask.from_shapable(window).to_box_attached(window)
+        dilated.fill_mask(own, value=1)
+
+        np_keep = own.mat.astype(bool) & ~other_text.mat.astype(bool)
+
+        # Non-text background inside the rectangle.
+        non_text = Mask.from_shapable(window).to_box_attached(window)
+        rect.fill_mask(non_text, all_text.to_inverted_mask())
+
+        return Mask(
+            mat=(np_keep | non_text.mat.astype(bool)).astype(np.uint8),
+            box=window,
         )
 
-        self.flattened_text_regions = self.build_flattened_text_regions(
-            image=image,
-            # The ORIGINAL polygons, for reversible labeling.
-            text_region_polygons=self.original_text_region_polygons,
-            bounding_extended_text_region_masks=self.bounding_extended_text_region_masks,
-            typical_indices=self.typical_indices,
-            flattening_rotate_angles=self.flattening_rotate_angles,
-            grouped_char_polygons=grouped_char_polygons,
-        )
+    def _flatten_all(self, image: Image, grouped_char_polygons):
+        typical = set(self.typical_indices)
+        out: List[FlattenedTextRegion] = []
+        for idx, window_mask in enumerate(self.bounding_extended_text_region_masks):
+            window = window_mask.box
+            assert window
 
+            region_image = window_mask.extract_image(image)
+            local_chars = None
+            if grouped_char_polygons is not None:
+                local_chars = [
+                    p.to_relative_polygon(window.up, window.left)
+                    for p in grouped_char_polygons[idx]
+                ]
+
+            spun = rotate.distort(
+                {'angle': self.flattening_rotate_angles[idx]},
+                image=region_image,
+                mask=window_mask,
+                polygons=local_chars,
+            )
+            assert spun.image and spun.mask
+
+            trim = spun.mask.to_external_box()
+            flattened_image = spun.image.to_cropped_image(
+                up=trim.up, down=trim.down, left=trim.left, right=trim.right
+            )
+            flattened_mask = trim.extract_mask(spun.mask)
+            flattened_chars = None
+            if spun.polygons:
+                flattened_chars = [
+                    p.to_relative_polygon(trim.up, trim.left)
+                    for p in spun.polygons
+                ]
+
+            out.append(FlattenedTextRegion(
+                is_typical=(idx in typical),
+                # The ORIGINAL polygon, for reversible labeling.
+                text_region_polygon=self.original_text_region_polygons[idx],
+                text_region_image=region_image,
+                bounding_extended_text_region_mask=window_mask,
+                flattening_rotate_angle=self.flattening_rotate_angles[idx],
+                shape_before_trim=spun.image.shape,
+                rotated_trimmed_box=trim,
+                shape_before_resize=flattened_image.shape,
+                post_rotate_angle=0,
+                flattened_image=flattened_image,
+                flattened_mask=flattened_mask,
+                flattened_char_polygons=flattened_chars,
+            ))
+        return out
+
+
+# ----------------------------------------------------------------------------
+# Stacking.
+# ----------------------------------------------------------------------------
 
 def build_background_image_for_stacking(height: int, width: int) -> Image:
-    """RGB pinwheel pattern background (page_text_region.py:733-747)."""
-    np_rgb_rows = [np.zeros((width, 3), dtype=np.uint8) for _ in range(3)]
-    rgb_tuples = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
-    for color_offset, np_row in enumerate(np_rgb_rows):
-        for color_idx in range(3):
-            color_tuple = rgb_tuples[(color_offset + color_idx) % 3]
-            np_row[color_idx::3] = color_tuple
-
+    """RGB pinwheel pattern: row r, column c gets channel (r + c) % 3."""
+    rows = np.arange(height)[:, None]
+    cols = np.arange(width)[None, :]
+    phase = (rows + cols) % 3
     np_image = np.zeros((height, width, 3), dtype=np.uint8)
-    for row_offset, np_row in enumerate(np_rgb_rows):
-        np_image[row_offset::3] = np_row
+    for channel in range(3):
+        np_image[..., channel] = np.where(phase == channel, 255, 0)
     return Image(mat=np_image)
 
 
@@ -687,152 +501,156 @@ def stack_flattened_text_regions(
     flattened_text_regions_pad: int,
     flattened_text_regions: Sequence[FlattenedTextRegion],
 ):
-    """Pack flattened regions into one canvas (shelf packing)."""
-    page_double_pad = 2 * page_pad
-    double_pad = 2 * flattened_text_regions_pad
-
-    sizes = [
-        (ftr.width + double_pad, ftr.height + double_pad)
+    """Shelf-pack the flattened regions into one page canvas."""
+    inner_pad = flattened_text_regions_pad
+    padded_sizes = [
+        (ftr.width + 2 * inner_pad, ftr.height + 2 * inner_pad)
         for ftr in flattened_text_regions
     ]
-    bin_width = max(width for width, _ in sizes)
-    placements = pack_rectangles(sizes, bin_width)
+    placements = pack_rectangles(
+        padded_sizes, max(w for w, _ in padded_sizes)
+    )
 
-    padded_boxes = [
-        Box(up=y, down=y + height - 1, left=x, right=x + width - 1)
-        for (x, y), (width, height) in zip(placements, sizes)
-    ]
-
-    page_height = max(box.down for box in padded_boxes) + 1 + page_double_pad
-    page_width = max(box.right for box in padded_boxes) + 1 + page_double_pad
+    page_height = max(
+        y + h for (x, y), (w, h) in zip(placements, padded_sizes)
+    ) + 2 * page_pad
+    page_width = max(
+        x + w for (x, y), (w, h) in zip(placements, padded_sizes)
+    ) + 2 * page_pad
 
     image = build_background_image_for_stacking(page_height, page_width)
     active_mask = Mask.from_shapable(image)
     text_region_boxes: List[Box] = []
     char_polygons: List[Polygon] = []
-    char_polygon_text_region_box_indices: List[int] = []
+    char_polygon_box_indices: List[int] = []
 
-    for padded_box, flattened_text_region in zip(padded_boxes, flattened_text_regions):
-        assert flattened_text_region.height + double_pad == padded_box.height
-        assert flattened_text_region.width + double_pad == padded_box.width
+    for (x, y), ftr in zip(placements, flattened_text_regions):
+        up = y + inner_pad + page_pad
+        left = x + inner_pad + page_pad
+        target = Box(up, up + ftr.height - 1, left, left + ftr.width - 1)
+        text_region_boxes.append(target)
 
-        up = padded_box.up + flattened_text_regions_pad + page_pad
-        left = padded_box.left + flattened_text_regions_pad + page_pad
+        target.fill_image(image, ftr.flattened_image,
+                          image_mask=ftr.flattened_mask)
+        target.fill_mask(active_mask, value=1, mask_mask=ftr.flattened_mask)
 
-        text_region_box = Box(
-            up=up,
-            down=up + flattened_text_region.height - 1,
-            left=left,
-            right=left + flattened_text_region.width - 1,
-        )
-        text_region_boxes.append(text_region_box)
-        text_region_box_idx = len(text_region_boxes) - 1
+        for polygon in (ftr.flattened_char_polygons or ()):
+            char_polygons.append(polygon.to_shifted_polygon(up, left))
+            char_polygon_box_indices.append(len(text_region_boxes) - 1)
 
-        text_region_box.fill_image(
-            image,
-            flattened_text_region.flattened_image,
-            image_mask=flattened_text_region.flattened_mask,
-        )
-        text_region_box.fill_mask(
-            active_mask,
-            value=1,
-            mask_mask=flattened_text_region.flattened_mask,
-        )
+    return image, active_mask, text_region_boxes, char_polygons, \
+        char_polygon_box_indices
 
-        if flattened_text_region.flattened_char_polygons:
-            for char_polygon in flattened_text_region.flattened_char_polygons:
-                char_polygons.append(
-                    char_polygon.to_shifted_polygon(offset_y=up, offset_x=left)
-                )
-                char_polygon_text_region_box_indices.append(text_region_box_idx)
 
-    return (
-        image,
-        active_mask,
-        text_region_boxes,
-        char_polygons,
-        char_polygon_text_region_box_indices,
-    )
-
+# ----------------------------------------------------------------------------
+# The step.
+# ----------------------------------------------------------------------------
 
 class PageTextRegionStep(
-    PipelineStep[
-        PageTextRegionStepConfig,
-        PageTextRegionStepInput,
-        PageTextRegionStepOutput,
-    ]
+    PipelineStep[PageTextRegionStepConfig, PageTextRegionStepInput, PageTextRegionStepOutput]
 ):
 
-    @classmethod
-    def generate_precise_text_region_candidate_polygons(
-        cls,
-        precise_mask: Mask,
-        disconnected_text_region_mask: Mask,
-    ) -> Sequence[Polygon]:
-        assert precise_mask.box and disconnected_text_region_mask.box
+    @staticmethod
+    def _clip_into_regions(precise_mask: Mask, region_mask: Mask
+                           ) -> Sequence[Polygon]:
+        """Components of (precise ∧ region), in page coordinates."""
+        assert precise_mask.box and region_mask.box
+        window = _box_intersection(precise_mask.box, region_mask.box)
+        assert window is not None
+        a = window.extract_mask(precise_mask)
+        b = window.extract_mask(region_mask)
+        both = Mask(mat=(a.mat & b.mat).astype(np.uint8)).to_box_attached(window)
+        return both.to_disconnected_polygons()
 
-        intersected_box = Box(
-            up=max(precise_mask.box.up, disconnected_text_region_mask.box.up),
-            down=min(precise_mask.box.down, disconnected_text_region_mask.box.down),
-            left=max(precise_mask.box.left, disconnected_text_region_mask.box.left),
-            right=min(precise_mask.box.right, disconnected_text_region_mask.box.right),
-        )
-        assert intersected_box.up <= intersected_box.down
-        assert intersected_box.left <= intersected_box.right
-
-        precise_mask = intersected_box.extract_mask(precise_mask)
-        disconnected_text_region_mask = intersected_box.extract_mask(
-            disconnected_text_region_mask
-        )
-
-        intersected_mask = Mask(
-            mat=(disconnected_text_region_mask.mat & precise_mask.mat).astype(np.uint8)
-        )
-        intersected_mask = intersected_mask.to_box_attached(intersected_box)
-        return intersected_mask.to_disconnected_polygons()
-
-    @classmethod
-    def box_index_query_intersected_polygons(
-        cls,
-        box_index: PolygonBoxIndex,
-        anchor_polygons: Sequence[Polygon],
-        candidate_polygon: Polygon,
-    ):
-        candidate_mask = candidate_polygon.mask
-        for anchor_idx in sorted(box_index.query(candidate_polygon)):
-            anchor_polygon = anchor_polygons[anchor_idx]
-            anchor_mask = anchor_polygon.mask
-            intersected_ratio = calculate_boxed_masks_intersected_ratio(
-                anchor_mask=anchor_mask,
-                candidate_mask=candidate_mask,
-                use_candidate_as_base=True,
-            )
+    @staticmethod
+    def _intersections(box_index: PolygonBoxIndex, anchors: Sequence[Polygon],
+                       candidate: Polygon):
+        """(anchor_idx, anchor_mask, candidate_mask, ratio) per box hit."""
+        candidate_mask = candidate.mask
+        for anchor_idx in sorted(box_index.query(candidate)):
+            anchor_mask = anchors[anchor_idx].mask
             yield (
                 anchor_idx,
-                anchor_polygon,
                 anchor_mask,
                 candidate_mask,
-                intersected_ratio,
+                calculate_boxed_masks_intersected_ratio(
+                    anchor_mask, candidate_mask, use_candidate_as_base=True
+                ),
             )
 
-    def sample_page_non_text_region_polygons(
-        self,
-        page_non_text_region_polygons: Sequence[Polygon],
-        num_page_text_region_infos: int,
-        rng: RandomGenerator,
-    ):
-        negative_ratio = self.config.negative_text_region_ratio
-        num_target = round(
-            negative_ratio * num_page_text_region_infos / (1 - negative_ratio)
-        )
-        if not page_non_text_region_polygons or num_target == 0:
+    def _collect_precise_regions(self, page_image: Image,
+                                 resized_line_mask: Mask,
+                                 region_polygons: Sequence[Polygon]
+                                 ) -> List[Polygon]:
+        """Text-line mask components, upscaled, clipped into regions."""
+        region_index = PolygonBoxIndex(region_polygons)
+        out: List[Polygon] = []
+        for component in resized_line_mask.to_disconnected_polygons():
+            precise = component.to_conducted_resized_polygon(
+                resized_line_mask,
+                resized_height=page_image.height,
+                resized_width=page_image.width,
+            )
+            # One component may straddle several disconnected regions.
+            for _, region_mask, precise_mask, _ in self._intersections(
+                region_index, region_polygons, precise
+            ):
+                out.extend(self._clip_into_regions(precise_mask, region_mask))
+        return out
+
+    def _assign_chars(self, char_polygons: Sequence[Polygon],
+                      region_polygons: Sequence[Polygon]
+                      ) -> Dict[int, List[Polygon]]:
+        """Each char joins the region it overlaps most."""
+        region_index = PolygonBoxIndex(region_polygons)
+        assigned: Dict[int, List[Polygon]] = {}
+        for char_polygon in char_polygons:
+            best_idx = None
+            best_ratio = 0.0
+            for idx, _, _, ratio in self._intersections(
+                region_index, region_polygons, char_polygon
+            ):
+                if ratio > best_ratio:
+                    best_ratio = ratio
+                    best_idx = idx
+            if best_idx is not None:
+                assigned.setdefault(best_idx, []).append(char_polygon)
+            else:
+                # Rare: tiny delimiter-only text lines.
+                logger.warning(f'no region takes char_polygon={char_polygon}')
+        return assigned
+
+    def _sample_negative_polygons(self, non_text_polygons: Sequence[Polygon],
+                                  num_positive: int, rng: RandomGenerator):
+        share = self.config.negative_text_region_ratio
+        target = round(share * num_positive / (1 - share))
+        if not non_text_polygons or target == 0:
             return ()
         return rng_choice_with_size(
-            rng,
-            page_non_text_region_polygons,
-            size=min(num_target, len(page_non_text_region_polygons)),
-            replace=False,
+            rng, non_text_polygons,
+            size=min(target, len(non_text_polygons)), replace=False,
         )
+
+    def _sample_post_rotate_angle(self, is_typical: bool,
+                                  rng: RandomGenerator) -> int:
+        if is_typical:
+            if rng.random() < self.config.prob_text_region_typical_post_rotate:
+                return 180
+            return 0
+        if rng.random() < self.config.prob_text_region_untypical_post_rotate:
+            return rng_choice(rng, (180, 90, 270), probs=(0.5, 0.25, 0.25))
+        return 0
+
+    def _rescale_and_spin(self, ftr: FlattenedTextRegion, scale: float,
+                          rng: RandomGenerator) -> FlattenedTextRegion:
+        resized = ftr.to_resized_flattened_text_region(
+            resized_height=round(ftr.height * scale),
+            resized_width=round(ftr.width * scale),
+        )
+        angle = self._sample_post_rotate_angle(resized.is_typical, rng)
+        if angle:
+            resized = resized.to_post_rotated_flattened_text_region(angle)
+        return resized
 
     def build_flattened_text_regions(
         self,
@@ -840,323 +658,161 @@ class PageTextRegionStep(
         page_text_region_infos: Sequence[PageTextRegionInfo],
         page_non_text_region_polygons: Sequence[Polygon],
         rng: RandomGenerator,
-    ):
-        text_region_polygon_dilate_ratio = float(
-            rng.uniform(
-                self.config.text_region_flattener_text_region_polygon_dilate_ratio_min,
-                self.config.text_region_flattener_text_region_polygon_dilate_ratio_max,
-            )
-        )
+    ) -> Sequence[FlattenedTextRegion]:
+        cfg = self.config
+        dilate_ratio = float(rng.uniform(
+            cfg.text_region_flattener_text_region_polygon_dilate_ratio_min,
+            cfg.text_region_flattener_text_region_polygon_dilate_ratio_max,
+        ))
 
-        text_region_polygons: List[Polygon] = []
-        grouped_char_polygons: List[Sequence[Polygon]] = []
-        for info in page_text_region_infos:
-            text_region_polygons.append(info.precise_text_region_polygon)
-            grouped_char_polygons.append(info.char_polygons)
+        region_polygons = [
+            info.precise_text_region_polygon for info in page_text_region_infos
+        ] + list(page_non_text_region_polygons)
+        grouped_chars: List[Sequence[Polygon]] = [
+            info.char_polygons for info in page_text_region_infos
+        ] + [()] * len(page_non_text_region_polygons)
 
-        # Inject negative regions (kept to avoid labeling confusion).
-        for polygon in page_non_text_region_polygons:
-            text_region_polygons.append(polygon)
-            grouped_char_polygons.append(tuple())
-
-        text_region_flattener = TextRegionFlattener(
+        flattener = TextRegionFlattener(
             typical_long_side_ratio_min=(
-                self.config.text_region_flattener_typical_long_side_ratio_min
+                cfg.text_region_flattener_typical_long_side_ratio_min
             ),
-            text_region_polygon_dilate_ratio=text_region_polygon_dilate_ratio,
+            text_region_polygon_dilate_ratio=dilate_ratio,
             image=page_image,
-            text_region_polygons=text_region_polygons,
-            grouped_char_polygons=grouped_char_polygons,
+            text_region_polygons=region_polygons,
+            grouped_char_polygons=grouped_chars,
             is_training=True,
         )
 
-        def sample_post_rotate(flattened_text_region, rng):
-            post_rotate_angle = 0
-            if flattened_text_region.is_typical:
-                if rng.random() < self.config.prob_text_region_typical_post_rotate:
-                    post_rotate_angle = 180
-            else:
-                if rng.random() < self.config.prob_text_region_untypical_post_rotate:
-                    post_rotate_angle = rng_choice(
-                        rng, (180, 90, 270), probs=(0.5, 0.25, 0.25)
-                    )
-            return post_rotate_angle
-
-        positive_flattened_text_regions: List[FlattenedTextRegion] = []
-        positive_reference_heights: List[float] = []
-        positive_reference_widths: List[float] = []
-        num_negative_flattened_text_regions = 0
-
-        for flattened_text_region in text_region_flattener.flattened_text_regions:
-            if not flattened_text_region.flattened_char_polygons:
-                num_negative_flattened_text_regions += 1
+        positives: List[FlattenedTextRegion] = []
+        ref_heights: List[float] = []
+        ref_widths: List[float] = []
+        num_negatives = 0
+        for ftr in flattener.flattened_text_regions:
+            if not ftr.flattened_char_polygons:
+                num_negatives += 1
                 continue
-
-            if len(flattened_text_region.flattened_char_polygons) == 1 \
-                    and rng.random() < self.config.prob_drop_single_char_page_text_region_info:
+            if len(ftr.flattened_char_polygons) == 1 \
+                    and rng.random() < cfg.prob_drop_single_char_page_text_region_info:
                 continue
+            # Normalize so the median char height lands in the target band.
+            target = int(rng.integers(
+                cfg.text_region_resize_char_height_median_min,
+                cfg.text_region_resize_char_height_median_max + 1,
+            ))
+            scale = target / ftr.get_char_height_meidan()
+            ref_heights.append(round(ftr.height * scale))
+            ref_widths.append(round(ftr.width * scale))
+            positives.append(self._rescale_and_spin(ftr, scale, rng))
 
-            char_height_median = flattened_text_region.get_char_height_meidan()
-            target_median = int(
-                rng.integers(
-                    self.config.text_region_resize_char_height_median_min,
-                    self.config.text_region_resize_char_height_median_max + 1,
-                )
-            )
-            scale = target_median / char_height_median
-
-            height, width = flattened_text_region.shape
-            resized_height = round(height * scale)
-            resized_width = round(width * scale)
-
-            flattened_text_region = (
-                flattened_text_region.to_resized_flattened_text_region(
-                    resized_height=resized_height,
-                    resized_width=resized_width,
-                )
-            )
-            positive_reference_heights.append(resized_height)
-            positive_reference_widths.append(resized_width)
-
-            post_rotate_angle = sample_post_rotate(flattened_text_region, rng)
-            if post_rotate_angle != 0:
-                flattened_text_region = (
-                    flattened_text_region.to_post_rotated_flattened_text_region(
-                        post_rotate_angle
-                    )
-                )
-            positive_flattened_text_regions.append(flattened_text_region)
-
-        negative_flattened_text_regions: List[FlattenedTextRegion] = []
-        if num_negative_flattened_text_regions and positive_reference_heights:
-            negative_reference_heights = list(
-                rng_choice_with_size(
-                    rng,
-                    positive_reference_heights,
-                    size=num_negative_flattened_text_regions,
-                    replace=(
-                        num_negative_flattened_text_regions
-                        > len(positive_reference_heights)
-                    ),
-                )
-            )
-            negative_height_max = max(positive_reference_heights)
-            negative_width_max = max(positive_reference_widths)
-
-            for flattened_text_region in text_region_flattener.flattened_text_regions:
-                if flattened_text_region.flattened_char_polygons:
+        negatives: List[FlattenedTextRegion] = []
+        if num_negatives and ref_heights:
+            borrowed_heights = list(rng_choice_with_size(
+                rng, ref_heights, size=num_negatives,
+                replace=num_negatives > len(ref_heights),
+            ))
+            height_cap = max(ref_heights)
+            width_cap = max(ref_widths)
+            for ftr in flattener.flattened_text_regions:
+                if ftr.flattened_char_polygons:
                     continue
-
-                reference_height = negative_reference_heights.pop()
-                scale = reference_height / flattened_text_region.height
-
-                height, width = flattened_text_region.shape
-                resized_height = round(height * scale)
-                resized_width = round(width * scale)
-                if resized_height > negative_height_max \
-                        or resized_width > negative_width_max:
+                scale = borrowed_heights.pop() / ftr.height
+                if round(ftr.height * scale) > height_cap \
+                        or round(ftr.width * scale) > width_cap:
                     continue
+                negatives.append(self._rescale_and_spin(ftr, scale, rng))
 
-                flattened_text_region = (
-                    flattened_text_region.to_resized_flattened_text_region(
-                        resized_height=resized_height,
-                        resized_width=resized_width,
-                    )
-                )
+        return (*positives, *negatives)
 
-                post_rotate_angle = sample_post_rotate(flattened_text_region, rng)
-                if post_rotate_angle != 0:
-                    flattened_text_region = (
-                        flattened_text_region.to_post_rotated_flattened_text_region(
-                            post_rotate_angle
-                        )
-                    )
-                negative_flattened_text_regions.append(flattened_text_region)
+    def _post_rotate(self, image, active_mask, char_polygons,
+                     text_region_polygons, rng: RandomGenerator):
+        cfg = self.config
+        angle = 90 if rng.random() < cfg.prob_post_rotate_90_angle else 0
+        if rng.random() < cfg.prob_post_rotate_random_angle:
+            angle += int(rng.integers(cfg.post_rotate_random_angle_min,
+                                      cfg.post_rotate_random_angle_max + 1))
+        if angle == 0:
+            return image, active_mask, char_polygons, text_region_polygons, 0
 
-        return (*positive_flattened_text_regions, *negative_flattened_text_regions)
+        num_chars = len(char_polygons)
+        spun = rotate.distort(
+            {'angle': angle},
+            image=image,
+            mask=active_mask,
+            polygons=(*char_polygons, *text_region_polygons),
+        )
+        assert spun.image and spun.mask and spun.polygons
+        return (
+            spun.image, spun.mask,
+            spun.polygons[:num_chars], spun.polygons[num_chars:], angle,
+        )
 
     def run(self, input: PageTextRegionStepInput, rng: RandomGenerator):
-        page_distortion_step_output = input.page_distortion_step_output
-        page_image = page_distortion_step_output.page_image
-        page_char_polygon_collection = (
-            page_distortion_step_output.page_char_polygon_collection
-        )
-        page_disconnected_text_region_collection = (
-            page_distortion_step_output.page_disconnected_text_region_collection
-        )
-        page_non_text_region_collection = (
-            page_distortion_step_output.page_non_text_region_collection
-        )
-        page_resized_text_line_mask = input.page_resizing_step_output.page_text_line_mask
+        cfg = self.config
+        distortion_out = input.page_distortion_step_output
+        page_image = distortion_out.page_image
+        char_collection = distortion_out.page_char_polygon_collection
+        resized_line_mask = input.page_resizing_step_output.page_text_line_mask
 
-        debug = None
-        if self.config.enable_debug:
-            debug = PageTextRegionStepDebug()
+        debug = PageTextRegionStepDebug() if cfg.enable_debug else None
 
-        # Index the disconnected text regions.
-        disconnected_text_region_polygons = list(
-            page_disconnected_text_region_collection.to_polygons()
+        precise_polygons = self._collect_precise_regions(
+            page_image,
+            resized_line_mask,
+            list(distortion_out.page_disconnected_text_region_collection.to_polygons()),
         )
-        disconnected_text_region_index = PolygonBoxIndex(
-            disconnected_text_region_polygons
-        )
-
-        # Precise text regions = text-line mask components ∩ regions.
-        precise_text_region_candidate_polygons: List[Polygon] = []
-        for resized_precise_polygon in (
-            page_resized_text_line_mask.to_disconnected_polygons()
-        ):
-            precise_polygon = resized_precise_polygon.to_conducted_resized_polygon(
-                page_resized_text_line_mask,
-                resized_height=page_image.height,
-                resized_width=page_image.width,
-            )
-            # One precise polygon may hit multiple disconnected regions.
-            for _, _, disconnected_text_region_mask, precise_mask, _ in (
-                self.box_index_query_intersected_polygons(
-                    box_index=disconnected_text_region_index,
-                    anchor_polygons=disconnected_text_region_polygons,
-                    candidate_polygon=precise_polygon,
-                )
-            ):
-                precise_text_region_candidate_polygons.extend(
-                    self.generate_precise_text_region_candidate_polygons(
-                        precise_mask=precise_mask,
-                        disconnected_text_region_mask=disconnected_text_region_mask,
-                    )
-                )
-
         if debug:
             debug.page_image = page_image
-            debug.precise_text_region_candidate_polygons = (
-                precise_text_region_candidate_polygons
+            debug.precise_text_region_candidate_polygons = precise_polygons
+
+        selected_chars = (
+            char_collection.adjusted_char_polygons
+            if cfg.use_adjusted_char_polygons
+            else char_collection.char_polygons
+        )
+        assigned = self._assign_chars(selected_chars, precise_polygons)
+        page_text_region_infos = [
+            PageTextRegionInfo(
+                precise_text_region_polygon=precise_polygons[idx],
+                char_polygons=assigned[idx],
             )
-
-        del disconnected_text_region_polygons
-        del disconnected_text_region_index
-
-        # Assign char polygons to precise text regions.
-        precise_text_region_polygons = precise_text_region_candidate_polygons
-        precise_text_region_index = PolygonBoxIndex(precise_text_region_polygons)
-
-        if not self.config.use_adjusted_char_polygons:
-            selected_char_polygons = page_char_polygon_collection.char_polygons
-        else:
-            selected_char_polygons = page_char_polygon_collection.adjusted_char_polygons
-
-        ptrp_idx_to_char_polygons: DefaultDict[int, List[Polygon]] = defaultdict(list)
-
-        for char_polygon in selected_char_polygons:
-            best_ptrp_idx = None
-            intersected_ratio_max = 0.0
-            for ptrp_idx, _, _, _, intersected_ratio in (
-                self.box_index_query_intersected_polygons(
-                    box_index=precise_text_region_index,
-                    anchor_polygons=precise_text_region_polygons,
-                    candidate_polygon=char_polygon,
-                )
-            ):
-                if intersected_ratio > intersected_ratio_max:
-                    intersected_ratio_max = intersected_ratio
-                    best_ptrp_idx = ptrp_idx
-
-            if best_ptrp_idx is not None:
-                ptrp_idx_to_char_polygons[best_ptrp_idx].append(char_polygon)
-            else:
-                # Rare: tiny delimiter-only text lines (see the reference's
-                # note at page_text_region.py:1205-1212).
-                logger.warning(
-                    f'Cannot assign a text region for char_polygon={char_polygon}'
-                )
-
-        page_text_region_infos: List[PageTextRegionInfo] = []
-        for ptrp_idx, precise_text_region_polygon in enumerate(
-            precise_text_region_polygons
-        ):
-            if ptrp_idx not in ptrp_idx_to_char_polygons:
-                continue
-            page_text_region_infos.append(
-                PageTextRegionInfo(
-                    precise_text_region_polygon=precise_text_region_polygon,
-                    char_polygons=ptrp_idx_to_char_polygons[ptrp_idx],
-                )
-            )
-
-        del precise_text_region_polygons
-        del precise_text_region_index
-
+            for idx in range(len(precise_polygons)) if idx in assigned
+        ]
         if debug:
             debug.page_text_region_infos = page_text_region_infos
 
-        page_non_text_region_polygons = self.sample_page_non_text_region_polygons(
-            page_non_text_region_polygons=tuple(
-                page_non_text_region_collection.to_polygons()
-            ),
-            num_page_text_region_infos=len(page_text_region_infos),
-            rng=rng,
+        negatives = self._sample_negative_polygons(
+            tuple(distortion_out.page_non_text_region_collection.to_polygons()),
+            len(page_text_region_infos),
+            rng,
         )
-
-        flattened_text_regions = self.build_flattened_text_regions(
-            page_image=page_image,
-            page_text_region_infos=page_text_region_infos,
-            page_non_text_region_polygons=page_non_text_region_polygons,
-            rng=rng,
+        flattened = self.build_flattened_text_regions(
+            page_image, page_text_region_infos, negatives, rng
         )
         if debug:
-            debug.flattened_text_regions = flattened_text_regions
+            debug.flattened_text_regions = flattened
 
-        (
-            image,
-            active_mask,
-            text_region_boxes,
-            char_polygons,
-            char_polygon_text_region_box_indices,
-        ) = stack_flattened_text_regions(
-            page_pad=0,
-            flattened_text_regions_pad=self.config.stack_flattened_text_regions_pad,
-            flattened_text_regions=flattened_text_regions,
+        image, active_mask, boxes, char_polygons, char_box_indices = (
+            stack_flattened_text_regions(
+                page_pad=0,
+                flattened_text_regions_pad=cfg.stack_flattened_text_regions_pad,
+                flattened_text_regions=flattened,
+            )
         )
+        region_polygons = [box.to_polygon() for box in boxes]
 
-        text_region_polygons = [
-            text_region_box.to_polygon() for text_region_box in text_region_boxes
-        ]
-
-        # Post uniform rotation.
         shape_before_rotate = image.shape
-        rotate_angle = 0
-        if rng.random() < self.config.prob_post_rotate_90_angle:
-            rotate_angle = 90
-        if rng.random() < self.config.prob_post_rotate_random_angle:
-            rotate_angle += int(
-                rng.integers(
-                    self.config.post_rotate_random_angle_min,
-                    self.config.post_rotate_random_angle_max + 1,
-                )
+        image, active_mask, char_polygons, region_polygons, rotate_angle = (
+            self._post_rotate(
+                image, active_mask, char_polygons, region_polygons, rng
             )
-
-        if rotate_angle != 0:
-            num_char_polygons = len(char_polygons)
-            rotated_result = rotate.distort(
-                {'angle': rotate_angle},
-                image=image,
-                mask=active_mask,
-                polygons=(*char_polygons, *text_region_polygons),
-            )
-            assert rotated_result.image and rotated_result.mask
-            assert rotated_result.polygons
-            image = rotated_result.image
-            active_mask = rotated_result.mask
-            char_polygons = rotated_result.polygons[:num_char_polygons]
-            text_region_polygons = rotated_result.polygons[num_char_polygons:]
+        )
 
         return PageTextRegionStepOutput(
             page_image=image,
             page_active_mask=active_mask,
             page_char_polygons=char_polygons,
-            page_text_region_polygons=text_region_polygons,
-            page_char_polygon_text_region_polygon_indices=(
-                char_polygon_text_region_box_indices
-            ),
+            page_text_region_polygons=region_polygons,
+            page_char_polygon_text_region_polygon_indices=char_box_indices,
             shape_before_rotate=shape_before_rotate,
             rotate_angle=rotate_angle,
             debug=debug,

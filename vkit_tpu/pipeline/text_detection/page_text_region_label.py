@@ -1,9 +1,10 @@
-"""Text region label step: char regression labels + heatmap + masks.
+"""Text-region label step: char regression labels (centroid + deviate
+points with corner-vector geometry), gaussian char heatmap, char masks and
+the height score map.
 
-Capability parity: vkit/pipeline/text_detection/page_text_region_label.py:
-42-648 (PageCharRegressionLabel with corner vectors / clockwise angle
-distribution validity, deviate point sampling via perspective transform,
-gaussian char heatmap, char mask, height score map).
+Behavioral spec: vkit/pipeline/text_detection/page_text_region_label.py:
+42-648 (re-derived; per-label corner geometry is one vectorized numpy
+routine over the 4 corner vectors instead of a Vector-object graph).
 """
 import logging
 import math
@@ -31,6 +32,8 @@ from .page_text_region import PageTextRegionStepOutput
 
 logger = logging.getLogger(__name__)
 
+TWO_PI = 2.0 * math.pi
+
 
 @attr.define
 class PageTextRegionLabelStepConfig:
@@ -56,42 +59,50 @@ class PageCharRegressionLabelTag(Enum):
     DEVIATE = 'deviate'
 
 
-PI = float(np.pi)
-TWO_PI = float(2 * np.pi)
+class QuadGeometry:
+    """Vectorized corner-vector geometry of one label point inside a quad.
+
+    Computes, in one pass over a (4, 2) xy array of corner offsets:
+    per-corner distances, the clockwise corner-angle deltas (whose sum is
+    2*pi iff the label point lies inside the quad), and their normalized
+    distribution.
+    """
+
+    __slots__ = ('distances', 'angles', 'valid', 'up_left_offset')
+
+    def __init__(self, np_corners_xy: np.ndarray, label_x: float, label_y: float):
+        offsets = np_corners_xy - np.asarray([label_x, label_y], dtype=np.float64)
+        self.distances = np.hypot(offsets[:, 0], offsets[:, 1])
+        thetas = np.mod(np.arctan2(offsets[:, 1], offsets[:, 0]), TWO_PI)
+        deltas = np.mod(np.roll(thetas, -1) - thetas + math.pi, TWO_PI) - math.pi
+        deltas = np.where(deltas < 0, deltas + TWO_PI, deltas)  # clockwise
+        self.angles = deltas
+        self.valid = math.isclose(float(deltas.sum()), TWO_PI, rel_tol=0.012)
+        self.up_left_offset = (float(offsets[0, 1]), float(offsets[0, 0]))  # (y, x)
 
 
-@attr.define
-class Vector:
-    y: float
-    x: float
-    _cache: dict = attr.field(factory=dict, repr=False, init=False)
-
-    @property
-    def distance(self) -> float:
-        if 'distance' not in self._cache:
-            self._cache['distance'] = math.hypot(self.x, self.y)
-        return self._cache['distance']
-
-    @property
-    def theta(self) -> float:
-        if 'theta' not in self._cache:
-            self._cache['theta'] = float(np.arctan2(self.y, self.x)) % TWO_PI
-        return self._cache['theta']
-
-    @classmethod
-    def calculate_theta_delta(
-        cls,
-        vector0: 'Vector',
-        vector1: 'Vector',
-        clockwise: bool = False,
-    ) -> float:
-        theta_delta = (vector1.theta - vector0.theta + PI) % TWO_PI - PI
-        if clockwise and theta_delta < 0:
-            theta_delta += TWO_PI
-        return theta_delta
-
-    def dot(self, other: 'Vector') -> float:
-        return self.x * other.x + self.y * other.y
+def _down_edge_orientation_idx(down_left: Point, down_right: Point) -> int:
+    """Which side of the bounding box the "down" edge faces:
+           0
+     +-----------+
+     |           |
+    2|           |3
+     |           |
+     +-----------+
+           1
+    """
+    theta = math.atan2(
+        down_right.smooth_y - down_left.smooth_y,
+        down_right.smooth_x - down_left.smooth_x,
+    ) % TWO_PI
+    factor = theta / math.pi
+    if factor >= 1.75 or factor < 0.25:
+        return 1
+    if factor < 0.75:
+        return 2
+    if factor < 1.25:
+        return 0
+    return 3
 
 
 @attr.define
@@ -110,93 +121,49 @@ class PageCharRegressionLabel:
     is_downsampled: bool = False
     downsample_labeling_factor: int = 1
 
-    _cache: dict = attr.field(factory=dict, repr=False, init=False)
+    _geometry: Optional[QuadGeometry] = attr.field(default=None, repr=False)
 
     @property
     def corner_points(self):
         yield from (self.up_left, self.up_right, self.down_right, self.down_left)
 
-    @classmethod
-    def get_bounding_orientation_idx(cls, down_left: Point, down_right: Point) -> int:
-        # Which side of the bounding box the "down" edge faces:
-        #        0
-        #  +-----------+
-        #  |           |
-        # 2|           |3
-        #  |           |
-        #  +-----------+
-        #        1
-        vector = Vector(
-            y=down_right.smooth_y - down_left.smooth_y,
-            x=down_right.smooth_x - down_left.smooth_x,
-        )
-        factor = vector.theta / PI
-        if 1.75 <= factor or factor < 0.25:
-            return 1
-        if 0.25 <= factor < 0.75:
-            return 2
-        if 0.75 <= factor < 1.25:
-            return 0
-        if 1.25 <= factor:
-            return 3
-        raise RuntimeError()
-
-    def _ensure_geometry(self):
-        cache = self._cache
-        if 'valid' in cache:
-            return
-        cache['up_left_vector'] = Vector(
-            y=self.up_left.smooth_y - self.label_point_smooth_y,
-            x=self.up_left.smooth_x - self.label_point_smooth_x,
-        )
-        cache['up_right_vector'] = Vector(
-            y=self.up_right.smooth_y - self.label_point_smooth_y,
-            x=self.up_right.smooth_x - self.label_point_smooth_x,
-        )
-        cache['down_right_vector'] = Vector(
-            y=self.down_right.smooth_y - self.label_point_smooth_y,
-            x=self.down_right.smooth_x - self.label_point_smooth_x,
-        )
-        cache['down_left_vector'] = Vector(
-            y=self.down_left.smooth_y - self.label_point_smooth_y,
-            x=self.down_left.smooth_x - self.label_point_smooth_x,
+    def _np_corners_xy(self) -> np.ndarray:
+        return np.asarray(
+            [(p.smooth_x, p.smooth_y) for p in self.corner_points],
+            dtype=np.float64,
         )
 
-        angles = [
-            Vector.calculate_theta_delta(
-                cache['up_left_vector'], cache['up_right_vector'], clockwise=True
-            ),
-            Vector.calculate_theta_delta(
-                cache['up_right_vector'], cache['down_right_vector'], clockwise=True
-            ),
-            Vector.calculate_theta_delta(
-                cache['down_right_vector'], cache['down_left_vector'], clockwise=True
-            ),
-            Vector.calculate_theta_delta(
-                cache['down_left_vector'], cache['up_left_vector'], clockwise=True
-            ),
-        ]
-        cache['angles'] = angles
-        # Valid iff the label point lies inside the quad: the clockwise
-        # corner angles must sum to 2*pi (within ~4 degrees).
-        cache['valid'] = math.isclose(sum(angles), TWO_PI, rel_tol=0.012)
-        cache['clockwise_angle_distribution'] = normalize_to_probs(angles)
+    @property
+    def geometry(self) -> QuadGeometry:
+        if self._geometry is None:
+            self._geometry = QuadGeometry(
+                self._np_corners_xy(),
+                self.label_point_smooth_x,
+                self.label_point_smooth_y,
+            )
+        return self._geometry
+
+    @property
+    def valid(self) -> bool:
+        return self.geometry.valid
+
+    # Bounding extents over the corner points.
 
     @property
     def bounding_smooth_up(self) -> float:
-        return min(point.smooth_y for point in self.corner_points)
+        return min(p.smooth_y for p in self.corner_points)
 
     @property
     def bounding_smooth_down(self) -> float:
-        return max(point.smooth_y for point in self.corner_points)
+        return max(p.smooth_y for p in self.corner_points)
 
     @property
     def bounding_smooth_left(self) -> float:
-        return min(point.smooth_x for point in self.corner_points)
+        return min(p.smooth_x for p in self.corner_points)
 
     @property
     def bounding_smooth_right(self) -> float:
-        return max(point.smooth_x for point in self.corner_points)
+        return max(p.smooth_x for p in self.corner_points)
 
     @property
     def bounding_center_point(self) -> Point:
@@ -214,75 +181,57 @@ class PageCharRegressionLabel:
 
     @property
     def bounding_orientation_idx(self) -> int:
-        return self.get_bounding_orientation_idx(
-            down_left=self.down_left, down_right=self.down_right
-        )
+        return _down_edge_orientation_idx(self.down_left, self.down_right)
 
-    @property
-    def valid(self) -> bool:
-        self._ensure_geometry()
-        return self._cache['valid']
-
-    def copy(self, with_non_bounding_related_lazy_fields: bool = False):
-        copied = attr.evolve(self)
-        if with_non_bounding_related_lazy_fields:
-            copied._cache.update(self._cache)
-        return copied
+    # Transformations.
 
     def to_shifted_page_char_regression_label(
         self, offset_y: int, offset_x: int
     ) -> 'PageCharRegressionLabel':
         assert self.valid and not self.is_downsampled
-        # A pure shift preserves the corner-vector geometry.
-        shifted = self.copy(with_non_bounding_related_lazy_fields=True)
-        shifted.label_point_smooth_y = self.label_point_smooth_y + offset_y
-        shifted.label_point_smooth_x = self.label_point_smooth_x + offset_x
-        shifted.downsampled_label_point_y = int(shifted.label_point_smooth_y)
-        shifted.downsampled_label_point_x = int(shifted.label_point_smooth_x)
-        shifted.up_left = self.up_left.to_shifted_point(offset_y=offset_y, offset_x=offset_x)
-        shifted.up_right = self.up_right.to_shifted_point(
-            offset_y=offset_y, offset_x=offset_x
+        sy = self.label_point_smooth_y + offset_y
+        sx = self.label_point_smooth_x + offset_x
+        # A pure shift preserves the corner-vector geometry: reuse it.
+        return attr.evolve(
+            self,
+            label_point_smooth_y=sy,
+            label_point_smooth_x=sx,
+            downsampled_label_point_y=int(sy),
+            downsampled_label_point_x=int(sx),
+            up_left=self.up_left.to_shifted_point(offset_y, offset_x),
+            up_right=self.up_right.to_shifted_point(offset_y, offset_x),
+            down_right=self.down_right.to_shifted_point(offset_y, offset_x),
+            down_left=self.down_left.to_shifted_point(offset_y, offset_x),
+            geometry=self.geometry,
         )
-        shifted.down_right = self.down_right.to_shifted_point(
-            offset_y=offset_y, offset_x=offset_x
-        )
-        shifted.down_left = self.down_left.to_shifted_point(
-            offset_y=offset_y, offset_x=offset_x
-        )
-        return shifted
 
     def to_downsampled_page_char_regression_label(
         self, downsample_labeling_factor: int
     ) -> 'PageCharRegressionLabel':
         assert self.valid and not self.is_downsampled
-        downsampled = self.copy(with_non_bounding_related_lazy_fields=True)
-        downsampled.is_downsampled = True
-        downsampled.downsample_labeling_factor = downsample_labeling_factor
-        downsampled.downsampled_label_point_y = int(
-            self.label_point_smooth_y // downsample_labeling_factor
+        return attr.evolve(
+            self,
+            is_downsampled=True,
+            downsample_labeling_factor=downsample_labeling_factor,
+            downsampled_label_point_y=int(
+                self.label_point_smooth_y // downsample_labeling_factor
+            ),
+            downsampled_label_point_x=int(
+                self.label_point_smooth_x // downsample_labeling_factor
+            ),
+            geometry=self.geometry,
         )
-        downsampled.downsampled_label_point_x = int(
-            self.label_point_smooth_x // downsample_labeling_factor
-        )
-        return downsampled
+
+    # Model-facing encodings.
 
     def generate_up_left_offsets(self):
-        self._ensure_geometry()
-        up_left_vector = self._cache['up_left_vector']
-        return up_left_vector.y, up_left_vector.x
+        return self.geometry.up_left_offset
 
     def generate_clockwise_angle_distribution(self):
-        self._ensure_geometry()
-        return self._cache['clockwise_angle_distribution']
+        return normalize_to_probs(list(self.geometry.angles))
 
     def generate_clockwise_distances(self):
-        self._ensure_geometry()
-        return (
-            self._cache['up_left_vector'].distance,
-            self._cache['up_right_vector'].distance,
-            self._cache['down_right_vector'].distance,
-            self._cache['down_left_vector'].distance,
-        )
+        return tuple(float(d) for d in self.geometry.distances)
 
 
 @attr.define
@@ -294,269 +243,181 @@ class PageTextRegionLabelStepOutput:
     page_char_bounding_box_mask: Mask
 
 
+def _label_for(char_idx: int, tag: PageCharRegressionLabelTag, point: Point,
+               quad: Sequence[Point]) -> PageCharRegressionLabel:
+    return PageCharRegressionLabel(
+        char_idx=char_idx,
+        tag=tag,
+        label_point_smooth_y=point.smooth_y,
+        label_point_smooth_x=point.smooth_x,
+        downsampled_label_point_y=point.y,
+        downsampled_label_point_x=point.x,
+        up_left=quad[0],
+        up_right=quad[1],
+        down_right=quad[2],
+        down_left=quad[3],
+    )
+
+
 class PageTextRegionLabelStep(
-    PipelineStep[
-        PageTextRegionLabelStepConfig,
-        PageTextRegionLabelStepInput,
-        PageTextRegionLabelStepOutput,
-    ]
+    PipelineStep[PageTextRegionLabelStepConfig, PageTextRegionLabelStepInput, PageTextRegionLabelStepOutput]
 ):
 
     def __init__(self, config: PageTextRegionLabelStepConfig):
         super().__init__(config)
-        self.char_heatmap_default_engine_executor = (
-            char_heatmap_default_engine_executor_factory.create(
-                self.config.char_heatmap_default_engine_init_config
-            )
+        self.char_heatmap_engine = char_heatmap_default_engine_executor_factory.create(
+            config.char_heatmap_default_engine_init_config
         )
-        self.char_mask_engine_executor = (
+        self.char_mask_engine = (
             char_mask_engine_executor_aggregator_factory.create_engine_executor(
-                self.config.char_mask_engine_config
+                config.char_mask_engine_config
             )
         )
 
-    def generate_page_char_mask(
-        self,
-        shape: Tuple[int, int],
-        page_inactive_mask: Mask,
-        page_char_polygons: Sequence[Polygon],
-        page_text_region_polygons: Sequence[Polygon],
-        page_char_polygon_text_region_polygon_indices: Sequence[int],
-    ):
+    def _char_masks(self, shape, inactive_mask: Mask, char_polygons,
+                    region_polygons, region_indices):
         height, width = shape
-        result = self.char_mask_engine_executor.run(
-            CharMaskEngineRunConfig(
-                height=height,
-                width=width,
-                char_polygons=page_char_polygons,
-                char_bounding_polygons=[
-                    page_text_region_polygons[idx]
-                    for idx in page_char_polygon_text_region_polygon_indices
-                ],
-            ),
-        )
-        page_inactive_mask.fill_mask(result.combined_chars_mask, 0)
+        result = self.char_mask_engine.run(CharMaskEngineRunConfig(
+            height=height,
+            width=width,
+            char_polygons=char_polygons,
+            char_bounding_polygons=[region_polygons[i] for i in region_indices],
+        ))
+        inactive_mask.fill_mask(result.combined_chars_mask, 0)
         return result.combined_chars_mask, result.char_masks
 
     @classmethod
-    def generate_page_char_height_score_map(
-        cls,
-        shape: Tuple[int, int],
-        page_inactive_mask: Mask,
-        page_char_polygons: Sequence[Polygon],
-        fill_score_map_char_masks: Optional[Sequence[Mask]],
-    ) -> ScoreMap:
-        rectangular_heights = [
-            char_polygon.get_rectangular_height() for char_polygon in page_char_polygons
-        ]
-        sorted_indices = tuple(reversed(np.asarray(rectangular_heights).argsort()))
-
-        page_char_height_score_map = ScoreMap.from_shape(shape, is_prob=False)
-        for idx in sorted_indices:
+    def _height_score_map(cls, shape, inactive_mask: Mask, char_polygons,
+                          per_char_masks) -> ScoreMap:
+        heights = np.asarray([p.get_rectangular_height() for p in char_polygons])
+        score_map = ScoreMap.from_shape(shape, is_prob=False)
+        # Tall chars paint first so overlapped small chars keep their label.
+        for idx in np.argsort(heights)[::-1]:
             idx = int(idx)
-            if fill_score_map_char_masks is None:
-                page_char_polygons[idx].fill_score_map(
-                    page_char_height_score_map, value=rectangular_heights[idx]
-                )
-            else:
-                fill_score_map_char_masks[idx].fill_score_map(
-                    page_char_height_score_map, value=rectangular_heights[idx]
-                )
-        page_inactive_mask.fill_score_map(page_char_height_score_map, 0.0)
-        return page_char_height_score_map
+            source = char_polygons[idx] if per_char_masks is None \
+                else per_char_masks[idx]
+            source.fill_score_map(score_map, value=float(heights[idx]))
+        inactive_mask.fill_score_map(score_map, 0.0)
+        return score_map
 
-    def generate_page_char_gaussian_score_map(
-        self,
-        shape: Tuple[int, int],
-        page_char_polygons: Sequence[Polygon],
-    ) -> ScoreMap:
-        height, width = shape
-        char_heatmap = self.char_heatmap_default_engine_executor.run({
-            'height': height,
-            'width': width,
-            'char_polygons': page_char_polygons,
-        })
-        return char_heatmap.score_map
+    def _sample_deviate_points(self, polygon: Polygon, count: int,
+                               page_shape, rng: RandomGenerator) -> PointList:
+        """Random interior points of the bounding box, mapped through the
+        box->quad homography onto the page."""
+        bb = polygon.bounding_box
+        raw = np.stack([
+            rng.integers(1, bb.width - 1, count).astype(np.float64),
+            rng.integers(1, bb.height - 1, count).astype(np.float64),
+        ], axis=1)
 
-    def generate_page_char_regression_labels(
-        self,
-        shape: Tuple[int, int],
-        page_char_polygons: Sequence[Polygon],
-        rng: RandomGenerator,
-    ) -> List[PageCharRegressionLabel]:
-        page_height, page_width = shape
+        np_box_quad = np.asarray(
+            [(0, 0), (bb.width - 1, 0),
+             (bb.width - 1, bb.height - 1), (0, bb.height - 1)],
+            dtype=np.float64,
+        )
+        to_quad = warp_ops.solve_perspective(
+            np_box_quad, polygon.internals.np_self_relative_points.astype(np.float64)
+        )
+        mapped = warp_ops.affine_np_points(to_quad.astype(np.float32), raw)
 
-        center_points = PointList()
-        for polygon in page_char_polygons:
-            center_points.append(polygon.get_center_point())
-        kd_tree = KDTree(center_points.to_np_array())
+        page_height, page_width = page_shape
+        xs = np.clip(mapped[:, 0] + bb.left, 0, page_width - 1)
+        ys = np.clip(mapped[:, 1] + bb.up, 0, page_height - 1)
+        return PointList(
+            Point.create(y=float(y), x=float(x)) for x, y in zip(xs, ys)
+        )
 
-        page_char_regression_labels: List[PageCharRegressionLabel] = []
+    def _regression_labels(self, shape, char_polygons,
+                           rng: RandomGenerator) -> List[PageCharRegressionLabel]:
+        cfg = self.config
+        centers = PointList(p.get_center_point() for p in char_polygons)
+        kd_tree = KDTree(centers.to_np_array())
 
-        for char_idx, (polygon, center_point) in enumerate(
-            zip(page_char_polygons, center_points)
-        ):
+        labels: List[PageCharRegressionLabel] = []
+        for char_idx, (polygon, center) in enumerate(zip(char_polygons, centers)):
             assert polygon.num_points == 4
-            up_left, up_right, down_right, down_left = polygon.points
+            quad = polygon.points
 
-            # 1. Centroid label (must be valid).
-            label = PageCharRegressionLabel(
-                char_idx=char_idx,
-                tag=PageCharRegressionLabelTag.CENTROID,
-                label_point_smooth_y=center_point.smooth_y,
-                label_point_smooth_x=center_point.smooth_x,
-                downsampled_label_point_y=center_point.y,
-                downsampled_label_point_x=center_point.x,
-                up_left=up_left,
-                up_right=up_right,
-                down_right=down_right,
-                down_left=down_left,
+            centroid = _label_for(
+                char_idx, PageCharRegressionLabelTag.CENTROID, center, quad
             )
-            assert label.valid
-            page_char_regression_labels.append(label)
+            assert centroid.valid
+            labels.append(centroid)
 
-            # 2. Deviate labels.
-            if self.config.num_deviate_char_regression_labels <= 0:
+            if cfg.num_deviate_char_regression_labels <= 0:
+                continue
+            bb = polygon.bounding_box
+            if bb.height <= 2 or bb.width <= 2:
                 continue
 
-            bounding_box = polygon.bounding_box
-            if bounding_box.height <= 2 or bounding_box.width <= 2:
-                continue
-
-            deviate_points_in_bounding_box = PointList()
-            for _ in range(
-                self.config.num_deviate_char_regression_labels_candiates_factor
-                * self.config.num_deviate_char_regression_labels
-            ):
-                y = int(rng.integers(1, bounding_box.height - 1))
-                x = int(rng.integers(1, bounding_box.width - 1))
-                deviate_points_in_bounding_box.append(Point.create(y=y, x=x))
-
-            # Map bounding-box samples into the (possibly skewed) quad.
-            np_src_points = np.asarray(
-                [
-                    (0, 0),
-                    (bounding_box.width - 1, 0),
-                    (bounding_box.width - 1, bounding_box.height - 1),
-                    (0, bounding_box.height - 1),
-                ],
-                dtype=np.float64,
+            candidates = self._sample_deviate_points(
+                polygon,
+                cfg.num_deviate_char_regression_labels_candiates_factor
+                * cfg.num_deviate_char_regression_labels,
+                shape, rng,
             )
-            np_dst_points = polygon.internals.np_self_relative_points.astype(np.float64)
-            trans_mat = warp_ops.solve_perspective(np_src_points, np_dst_points)
+            # A deviate point must still be closest to its own char.
+            _, np_nearest = kd_tree.query(candidates.to_np_array())
+            own = (np_nearest[:, 0] == char_idx).tolist()
 
-            deviate_points = PointList()
-            np_deviate = warp_ops.affine_np_points(
-                trans_mat.astype(np.float32),
-                deviate_points_in_bounding_box.to_point_tuple().to_smooth_np_array(),
-            )
-            for dev_x, dev_y in np_deviate:
-                shifted_deviate_point = Point.create(y=float(dev_y), x=float(dev_x))
-                y = bounding_box.up + shifted_deviate_point.smooth_y
-                x = bounding_box.left + shifted_deviate_point.smooth_x
-                y = float(np.clip(y, 0, page_height - 1))
-                x = float(np.clip(x, 0, page_width - 1))
-                deviate_points.append(Point.create(y=y, x=x))
-
-            # Drop samples whose nearest char center is another char.
-            _, np_kd_nbr_indices = kd_tree.query(deviate_points.to_np_array())
-            preserve_flags = [
-                idx == char_idx for idx in np_kd_nbr_indices[:, 0].tolist()
-            ]
-
-            num_valid = 0
-            for deviate_point, preserve_flag in zip(deviate_points, preserve_flags):
-                if num_valid >= self.config.num_deviate_char_regression_labels:
+            kept = 0
+            for point, is_own in zip(candidates, own):
+                if kept >= cfg.num_deviate_char_regression_labels:
                     break
-                if not preserve_flag:
+                if not is_own:
                     continue
-                label = PageCharRegressionLabel(
-                    char_idx=char_idx,
-                    tag=PageCharRegressionLabelTag.DEVIATE,
-                    label_point_smooth_y=deviate_point.smooth_y,
-                    label_point_smooth_x=deviate_point.smooth_x,
-                    downsampled_label_point_y=deviate_point.y,
-                    downsampled_label_point_x=deviate_point.x,
-                    up_left=up_left,
-                    up_right=up_right,
-                    down_right=down_right,
-                    down_left=down_left,
+                deviate = _label_for(
+                    char_idx, PageCharRegressionLabelTag.DEVIATE, point, quad
                 )
-                if label.valid:
-                    page_char_regression_labels.append(label)
-                    num_valid += 1
+                if deviate.valid:
+                    labels.append(deviate)
+                    kept += 1
+            if kept < cfg.num_deviate_char_regression_labels:
+                logger.warning(f'not enough deviate labels for char {char_idx}')
 
-            if num_valid < self.config.num_deviate_char_regression_labels:
-                logger.warning(
-                    f'Cannot sample enough deviate labels for char_polygon={polygon}'
-                )
+        return labels
 
-        return page_char_regression_labels
-
-    def generate_page_char_bounding_box_mask(
-        self,
-        shape: Tuple[int, int],
-        page_char_regression_labels: Sequence[PageCharRegressionLabel],
-    ) -> Mask:
-        page_char_bounding_box_mask = Mask.from_shape(shape)
+    @staticmethod
+    def _bounding_box_mask(shape, labels) -> Mask:
         height, width = shape
-        for label in page_char_regression_labels:
+        mask = Mask.from_shape(shape)
+        for label in labels:
             box = Box(
-                up=max(0, math.floor(label.bounding_smooth_up)),
-                down=min(height - 1, math.ceil(label.bounding_smooth_down)),
-                left=max(0, math.floor(label.bounding_smooth_left)),
-                right=min(width - 1, math.ceil(label.bounding_smooth_right)),
+                max(0, math.floor(label.bounding_smooth_up)),
+                min(height - 1, math.ceil(label.bounding_smooth_down)),
+                max(0, math.floor(label.bounding_smooth_left)),
+                min(width - 1, math.ceil(label.bounding_smooth_right)),
             )
             if box.valid:
-                box.fill_mask(page_char_bounding_box_mask)
-        return page_char_bounding_box_mask
+                box.fill_mask(mask)
+        return mask
 
     def run(self, input: PageTextRegionLabelStepInput, rng: RandomGenerator):
-        out = input.page_text_region_step_output
-        page_image = out.page_image
-        page_active_mask = out.page_active_mask
-        page_char_polygons = out.page_char_polygons
-        page_text_region_polygons = out.page_text_region_polygons
-        page_char_polygon_text_region_polygon_indices = (
-            out.page_char_polygon_text_region_polygon_indices
-        )
+        src = input.page_text_region_step_output
+        shape = src.page_image.shape
+        inactive = src.page_active_mask.to_inverted_mask()
 
-        page_inactive_mask = page_active_mask.to_inverted_mask()
-        page_char_mask, fill_score_map_char_masks = self.generate_page_char_mask(
-            shape=page_image.shape,
-            page_inactive_mask=page_inactive_mask,
-            page_char_polygons=page_char_polygons,
-            page_text_region_polygons=page_text_region_polygons,
-            page_char_polygon_text_region_polygon_indices=(
-                page_char_polygon_text_region_polygon_indices
-            ),
+        char_mask, per_char_masks = self._char_masks(
+            shape, inactive, src.page_char_polygons,
+            src.page_text_region_polygons,
+            src.page_char_polygon_text_region_polygon_indices,
         )
-
-        page_char_height_score_map = self.generate_page_char_height_score_map(
-            shape=page_image.shape,
-            page_inactive_mask=page_inactive_mask,
-            page_char_polygons=page_char_polygons,
-            fill_score_map_char_masks=fill_score_map_char_masks,
+        height_score_map = self._height_score_map(
+            shape, inactive, src.page_char_polygons, per_char_masks
         )
-
-        page_char_gaussian_score_map = self.generate_page_char_gaussian_score_map(
-            page_image.shape, page_char_polygons
-        )
-
-        page_char_regression_labels = self.generate_page_char_regression_labels(
-            page_image.shape, page_char_polygons, rng
-        )
-
-        page_char_bounding_box_mask = self.generate_page_char_bounding_box_mask(
-            page_image.shape, page_char_regression_labels
-        )
+        gaussian = self.char_heatmap_engine.run({
+            'height': shape[0],
+            'width': shape[1],
+            'char_polygons': src.page_char_polygons,
+        }).score_map
+        labels = self._regression_labels(shape, src.page_char_polygons, rng)
 
         return PageTextRegionLabelStepOutput(
-            page_char_mask=page_char_mask,
-            page_char_height_score_map=page_char_height_score_map,
-            page_char_gaussian_score_map=page_char_gaussian_score_map,
-            page_char_regression_labels=page_char_regression_labels,
-            page_char_bounding_box_mask=page_char_bounding_box_mask,
+            page_char_mask=char_mask,
+            page_char_height_score_map=height_score_map,
+            page_char_gaussian_score_map=gaussian,
+            page_char_regression_labels=labels,
+            page_char_bounding_box_mask=self._bounding_box_mask(shape, labels),
         )
 
 

@@ -77,3 +77,41 @@ def test_step_timer():
     assert summary['b']['count'] == 1
     timer.reset()
     assert not timer.summary()
+
+
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    """tp-sharded params survive save (gather) + restore (re-shard)."""
+    import jax
+    import numpy as np
+
+    from vkit_tpu.models import (
+        TrainBatch, create_model, create_optimizer, init_train_state,
+    )
+    from vkit_tpu.models.checkpoint import CheckpointManager
+    from vkit_tpu.parallel import make_mesh, shard_params_for_tp
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip('needs >= 2 devices')
+
+    mesh = make_mesh(len(jax.devices()))
+    model = create_model(stage_features=(32, 64, 128, 256), fpn_features=64)
+    state = init_train_state(
+        model, create_optimizer(),
+        np.zeros((2, 32, 32, 3), np.uint8), seed=0,
+    )
+    shardings = shard_params_for_tp(state, mesh)
+    state = jax.device_put(state, shardings)
+
+    manager = CheckpointManager(tmp_path)
+    manager.save(state, metadata={'k': 1})
+    restored = manager.restore(state)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Restored leaves carry the example's sharding.
+    leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    assert leaf.sharding == jax.tree_util.tree_leaves(state.params)[0].sharding
+    assert manager.read_metadata()['k'] == 1
+    # No stray tmp dirs.
+    assert not list(tmp_path.glob('*.tmp'))

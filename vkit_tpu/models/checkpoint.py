@@ -39,9 +39,11 @@ class CheckpointManager:
         return self.directory / f'step_{step:08d}'
 
     def all_steps(self):
+        # In-progress *.tmp directories are invisible until renamed.
         return sorted(
             int(p.name.split('_')[1])
-            for p in self.directory.glob('step_*') if p.is_dir()
+            for p in self.directory.glob('step_*')
+            if p.is_dir() and not p.name.endswith('.tmp')
         )
 
     def latest_step(self) -> Optional[int]:
@@ -49,22 +51,34 @@ class CheckpointManager:
         return steps[-1] if steps else None
 
     def save(self, state: TrainState, metadata: Optional[dict] = None):
+        # Stage into step_N.tmp and os.replace() once complete, so a crash
+        # mid-save can never surface a half-written checkpoint.
         step = int(state.step)
-        path = self._step_dir(step)
+        final_path = self._step_dir(step)
+        tmp_path = final_path.with_suffix('.tmp')
+        if tmp_path.exists():
+            import shutil
+            shutil.rmtree(tmp_path)
+        tmp_path.mkdir(parents=True, exist_ok=True)
+
         if _HAS_ORBAX:
-            self._ckptr.save(
-                (path / 'state').resolve(), state, force=True
-            )
+            self._ckptr.save((tmp_path / 'state').resolve(), state, force=True)
         else:
-            leaves, treedef = jax.tree_util.tree_flatten(state)
-            path.mkdir(parents=True, exist_ok=True)
+            leaves, _ = jax.tree_util.tree_flatten(state)
+            # Sharded jax.Arrays gather to host here (fully addressable).
             np.savez(
-                path / 'state.npz',
+                tmp_path / 'state.npz',
                 **{f'leaf_{i}': np.asarray(x) for i, x in enumerate(leaves)},
             )
-        (path / 'metadata.json').write_text(
+        (tmp_path / 'metadata.json').write_text(
             json.dumps({'step': step, **(metadata or {})})
         )
+
+        if final_path.exists():
+            import shutil
+            shutil.rmtree(final_path)
+        import os
+        os.replace(tmp_path, final_path)
         self._gc()
 
     def restore(self, example_state: TrainState, step: Optional[int] = None) -> TrainState:
@@ -78,7 +92,13 @@ class CheckpointManager:
             )
         data = np.load(path / 'state.npz')
         leaves, treedef = jax.tree_util.tree_flatten(example_state)
-        restored = [data[f'leaf_{i}'] for i in range(len(leaves))]
+        restored = []
+        for i, example in enumerate(leaves):
+            value = data[f'leaf_{i}']
+            if isinstance(example, jax.Array) and hasattr(example, 'sharding'):
+                # Re-shard to match the example's placement (tp/dp meshes).
+                value = jax.device_put(value, example.sharding)
+            restored.append(value)
         return jax.tree_util.tree_unflatten(treedef, restored)
 
     def read_metadata(self, step: Optional[int] = None) -> Any:

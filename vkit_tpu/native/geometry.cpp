@@ -199,8 +199,16 @@ void vg_remap_f32(
     const float* border, float* out) {
     const long long row_len = (long long)width * channels;
     for (long long p = 0; p < (long long)out_h * out_w; ++p) {
-        const float my = map_y[p];
-        const float mx = map_x[p];
+        float my = map_y[p];
+        float mx = map_x[p];
+        // NaN or far-out-of-range coords resolve to all-border taps; the
+        // clamp also keeps the float->int cast below well-defined.
+        if (std::isnan(my) || std::isnan(mx)) {
+            my = -2.0f;
+            mx = -2.0f;
+        }
+        my = std::min(std::max(my, -2.0f), (float)height + 1.0f);
+        mx = std::min(std::max(mx, -2.0f), (float)width + 1.0f);
         const float y0f = std::floor(my);
         const float x0f = std::floor(mx);
         const float wy = my - y0f;

@@ -218,3 +218,64 @@ def test_batch_random_photometric(batch):
         images, level=6, rng=np.random.default_rng(8)
     ))
     assert not np.array_equal(out1, out3)
+
+
+def test_batched_geometric_vs_per_element():
+    """Fixed configs: the batched plan warp must match per-element warps."""
+    import numpy as np
+
+    from vkit_tpu.element import Image
+    from vkit_tpu.mechanism import distortion as D
+    from vkit_tpu.mechanism.batched import batched_plan_warp
+
+    rng = np.random.default_rng(5)
+    n, h, w = 3, 96, 128
+    images = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+    cases = [
+        (D.rotate, {'angle': 25}),
+        (D.shear_hori, {'angle': 12}),
+        (D.camera_cubic_curve, {
+            'curve_alpha': 12, 'curve_beta': -10, 'curve_direction': 0,
+            'curve_scale': 1.0,
+            'camera_model_config': {'rotation_unit_vec': [1.0, 0.0, 0.0],
+                                    'rotation_theta': 6},
+            'grid_size': 16,
+        }),
+    ]
+    plans = [dist.plan(cfg, (h, w), np.random.default_rng(0))
+             for dist, cfg in cases]
+    warped, shapes, _ = batched_plan_warp(plans, images)
+    warped = np.asarray(warped)
+
+    for idx, ((dist, cfg), plan) in enumerate(zip(cases, plans)):
+        single = dist.distort_image(cfg, Image(mat=images[idx]), state=plan)
+        assert single.shape == shapes[idx]
+        got = warped[idx, :shapes[idx][0], :shapes[idx][1]]
+        # Interior comparison: padding/border taps differ at the rim.
+        inner = (slice(4, -4), slice(4, -4))
+        mae = np.abs(
+            got[inner].astype(np.float32) - single.mat[inner].astype(np.float32)
+        ).mean()
+        assert mae < 3.0, f'case {idx}: mae={mae}'
+
+
+def test_batch_random_distort_all_stages():
+    """Randomized photometric + geometric stages over a batch."""
+    import numpy as np
+
+    from vkit_tpu.mechanism.batched_random import batch_random_distort
+
+    rng = np.random.default_rng(11)
+    images = rng.integers(0, 256, (4, 80, 96, 3), dtype=np.uint8)
+    out, active, boxes = batch_random_distort(images, level=4, rng=rng)
+    out = np.asarray(out)
+
+    assert out.ndim == 4 and out.shape[0] == 4 and out.shape[3] == 3
+    assert active.shape == out.shape[:3]
+    assert len(boxes) == 4
+    for idx, box in enumerate(boxes):
+        assert box.valid
+        assert box.down < out.shape[1] and box.right < out.shape[2]
+        # The content box must cover a meaningful region.
+        assert box.area > 0.2 * 80 * 96

@@ -483,57 +483,77 @@ def attr_evolve_streak(cfg, **kwargs):
 # ---------------------------------------------------------------------------
 
 
-def batched_grid_warp(
-    distortion,
-    configs: Sequence,
+def plan_backward_maps(plan, src_shape):
+    """(map_y, map_x, coverage) for ANY WarpPlan on its dst canvas.
+
+    Lattice plans repair uncovered dst pixels by row interpolation /
+    extension so the shared-slope tap scheme stays monotonic (the active
+    mask excludes them anyway); matrix and nop plans cover fully.
+    """
+    h_in, w_in = src_shape
+    from ..ops.warp import affine_maps_np
+
+    if plan.nop:
+        ys, xs = np.meshgrid(
+            np.arange(h_in, dtype=np.float64),
+            np.arange(w_in, dtype=np.float64),
+            indexing='ij',
+        )
+        return ys, xs, np.ones((h_in, w_in), dtype=bool)
+
+    if plan.matrix is not None:
+        map_y, map_x = affine_maps_np(plan.matrix, plan.dst_shape)
+        return (
+            map_y.astype(np.float64), map_x.astype(np.float64),
+            np.ones(plan.dst_shape, dtype=bool),
+        )
+
+    map_y, map_x, cov = plan.backward_maps()
+    map_y = np.asarray(map_y, dtype=np.float64).copy()
+    map_x = np.asarray(map_x, dtype=np.float64).copy()
+    cols = np.arange(map_x.shape[1], dtype=np.float64)
+    for y in range(map_x.shape[0]):
+        row_cov = cov[y]
+        if not row_cov.any():
+            map_x[y] = cols
+            map_y[y] = -(h_in + 8.0)
+            continue
+        idx = np.flatnonzero(row_cov)
+        first, last = idx[0], idx[-1]
+        map_x[y] = np.interp(cols, idx.astype(np.float64), map_x[y, idx])
+        map_y[y] = np.interp(cols, idx.astype(np.float64), map_y[y, idx])
+        if first > 0:
+            map_x[y, :first] = map_x[y, first] - (first - cols[:first])
+        if last < len(cols) - 1:
+            map_x[y, last + 1:] = map_x[y, last] + (cols[last + 1:] - last)
+    return map_y, map_x, cov
+
+
+def batched_plan_warp(
+    plans: Sequence,
     images,
-    rng=None,
     border_value: float = 0.0,
     taps_max: int = 24,
 ):
-    """Batch a grid-rendering geometric distortion through the MXU warp.
+    """Warp each batch sample by its own WarpPlan in ONE device program.
 
-    Host work per sample: build the warp plan and its dense backward maps
-    — exactly what the per-element path feeds the remap kernel.  Device work: ONE two-pass
-    shifts+matmuls program over the whole batch (ops/warp_mxu.py dense
-    path).  Per-sample canvases are padded to the batch max; returns
-    (warped (N, Hmax, Wmax, C) uint8, result_shapes list).
+    Host work per sample: dense backward maps from the plan (analytic for
+    matrix plans, per-cell homographies for lattice plans).  Device work:
+    one two-pass shifts+matmuls program over the whole batch
+    (ops/warp_mxu.py dense path).  Canvases pad to the batch max; returns
+    (warped (N, Hmax, Wmax, C) uint8, result_shapes, coverages).
     """
     from ..ops.warp_mxu import plan_dense_warp, apply_dense_warp
     import jax as _jax
 
     n, h_in, w_in = images.shape[:3]
-    assert len(configs) == n
-    if rng is None:
-        rng = np.random.default_rng(0)
+    assert len(plans) == n
 
     map_list = []
     shapes = []
     coverages = []
-    for cfg in configs:
-        plan = distortion.plan(cfg, (h_in, w_in), rng)
-        map_y, map_x, cov = plan.backward_maps()
-        map_y = np.asarray(map_y, dtype=np.float64).copy()
-        map_x = np.asarray(map_x, dtype=np.float64).copy()
-        # Uncovered dst pixels (outside every grid cell) hold
-        # zero-initialized map values that break row monotonicity; repair
-        # by interpolation/extension from the covered span (the reference
-        # masks them out of the active region anyway).
-        cols = np.arange(map_x.shape[1], dtype=np.float64)
-        for y in range(map_x.shape[0]):
-            row_cov = cov[y]
-            if not row_cov.any():
-                map_x[y] = cols
-                map_y[y] = -(h_in + 8.0)
-                continue
-            idx = np.flatnonzero(row_cov)
-            first, last = idx[0], idx[-1]
-            map_x[y] = np.interp(cols, idx.astype(np.float64), map_x[y, idx])
-            map_y[y] = np.interp(cols, idx.astype(np.float64), map_y[y, idx])
-            if first > 0:
-                map_x[y, :first] = map_x[y, first] - (first - cols[:first])
-            if last < len(cols) - 1:
-                map_x[y, last + 1:] = map_x[y, last] + (cols[last + 1:] - last)
+    for plan in plans:
+        map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
         map_list.append((map_y, map_x))
         shapes.append(cov.shape)
         coverages.append(cov)
@@ -557,7 +577,7 @@ def batched_grid_warp(
             map_ys[idx, h:] = -(h_in + 8)
 
     try:
-        plan, statics = plan_dense_warp(
+        plan_, statics = plan_dense_warp(
             map_ys, map_xs, (h_in, w_in), taps_max=taps_max
         )
     except AssertionError:
@@ -580,8 +600,26 @@ def batched_grid_warp(
     fn = _jax.jit(
         apply_dense_warp, static_argnames=('statics', 'border_value')
     )
-    warped = fn(images, plan, statics=statics, border_value=border_value)
+    warped = fn(images, plan_, statics=statics, border_value=border_value)
     return warped, shapes, coverages
+
+
+def batched_grid_warp(
+    distortion,
+    configs: Sequence,
+    images,
+    rng=None,
+    border_value: float = 0.0,
+    taps_max: int = 24,
+):
+    """Batch one geometric distortion (per-sample configs) through the MXU
+    warp; see batched_plan_warp."""
+    n, h_in, w_in = images.shape[:3]
+    assert len(configs) == n
+    if rng is None:
+        rng = np.random.default_rng(0)
+    plans = [distortion.plan(cfg, (h_in, w_in), rng) for cfg in configs]
+    return batched_plan_warp(plans, images, border_value, taps_max)
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,11 @@ All samples share one traced program per (round, name) — no per-sample
 Python on the device path.  Photometric only (the geometric stage changes
 canvas shapes per sample; use parallel.synthesize_batch or
 batched_grid_warp for batched geometry).
+
+The geometric stage IS batched here too (batch_random_geometric_distort):
+every sampled policy canonicalizes to a WarpPlan, all plans warp in one
+device program on a shared max canvas, and the reference's corner-point
+trim folds into per-sample active-content boxes.
 """
 import zlib
 from collections import defaultdict
@@ -102,3 +107,87 @@ def batch_random_photometric_distort(
                 distorted = batch_distort_images(name, configs, out, key)
                 out = _gate(out, distorted, selected)
     return out
+
+
+def batch_random_geometric_distort(
+    images,
+    level: int,
+    rng: RandomGenerator,
+    stage_config: Optional[RandomDistortionStageConfig] = None,
+):
+    """Apply a randomized geometric policy draw (exactly one, maybe
+    disabled) to each batch sample, on a shared max-size canvas.
+
+    Returns (warped (N, Hmax, Wmax, C) uint8, active (N, Hmax, Wmax) uint8,
+    content_boxes).  Per-sample canvases pad to the batch max; the active
+    mask marks each sample's valid warped region, and content_boxes are
+    the per-sample active bounding boxes (the reference's corner-point
+    trim, folded into the downstream crop).
+    """
+    from ..element import Box, Mask
+    from .batched import batched_plan_warp
+    from .distortion.warp_plan import nop_plan, warp_active_mask
+
+    if stage_config is None:
+        from .distortion_policy.random_distortion import (
+            random_distortion_factory,
+        )
+        stage_config = random_distortion_factory.create_geometric_stage_config()
+    stage = RandomDistortionStage(stage_config)
+
+    n, height, width = images.shape[:3]
+    plans = []
+    for _ in range(n):
+        plan = None
+        if rng.random() <= stage_config.prob_enable:
+            drawn = stage.sample_distortion_policies(rng)
+            if drawn:
+                policy = drawn[0]
+                config = policy.sample_config(level, (height, width), rng)
+                plan = policy.distortion.plan(config, (height, width), rng)
+        plans.append(plan if plan is not None else nop_plan((height, width)))
+
+    warped, shapes, _ = batched_plan_warp(plans, images)
+
+    h_max = max(s[0] for s in shapes)
+    w_max = max(s[1] for s in shapes)
+    active = np.zeros((n, h_max, w_max), dtype=np.uint8)
+    content_boxes = []
+    for idx, plan in enumerate(plans):
+        h, w = shapes[idx]
+        active[idx, :h, :w] = warp_active_mask(plan).mat
+        try:
+            content_boxes.append(Mask(mat=active[idx]).to_external_box())
+        except RuntimeError:
+            content_boxes.append(Box(0, h - 1, 0, w - 1))
+    return warped, active, content_boxes
+
+
+def batch_random_distort(
+    images,
+    level: int,
+    rng: RandomGenerator,
+    key=None,
+    factory_config=None,
+):
+    """Full randomized distortion for a batch: the photometric stage, then
+    the geometric stage, with the trim folded into per-sample content
+    boxes — the batched twin of RandomDistortion.distort.
+
+    Returns (images (N, Hmax, Wmax, C) uint8, active (N, Hmax, Wmax) uint8,
+    content_boxes).
+    """
+    from .distortion_policy.random_distortion import random_distortion_factory
+
+    photometric_cfg = random_distortion_factory.create_photometric_stage_config(
+        factory_config
+    )
+    geometric_cfg = random_distortion_factory.create_geometric_stage_config(
+        factory_config
+    )
+    out = batch_random_photometric_distort(
+        images, level, rng, key=key, stage_config=photometric_cfg
+    )
+    return batch_random_geometric_distort(
+        out, level, rng, stage_config=geometric_cfg
+    )

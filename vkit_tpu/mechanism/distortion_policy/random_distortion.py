@@ -381,6 +381,24 @@ class RandomDistortionFactory:
             ),
         )
 
+    def create_geometric_stage_config(
+        self,
+        config: Optional[Union[Mapping[str, Any], PathType,
+                               RandomDistortionFactoryConfig]] = None,
+    ) -> RandomDistortionStageConfig:
+        """The geometric stage alone (used by mechanism.batched_random)."""
+        config = self._structure(config)
+        policies, weights = self._instantiate(
+            self.geometric_factories, self.geometric_weights, config
+        )
+        return RandomDistortionStageConfig(
+            distortion_policies=policies,
+            distortion_policy_weights=weights,
+            prob_enable=config.prob_geometric,
+            num_distortions_min=1,
+            num_distortions_max=1,
+        )
+
     def create(
         self,
         config: Optional[Union[Mapping[str, Any], PathType,

@@ -23,7 +23,9 @@ def test_thread_pool_produces_and_cleans_up():
 def test_process_pool_produces_and_cleans_up():
     pool = Pool(
         PoolConfig(
-            inventory=4, num_processes=2, rng_seed=11, timeout=30,
+            # Spawn-mode workers re-import the package (incl. jax); on this
+            # single-core host that takes tens of seconds under load.
+            inventory=4, num_processes=2, rng_seed=11, timeout=120,
             use_processes=True,
         ),
         _produce,

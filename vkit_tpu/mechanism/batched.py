@@ -247,8 +247,12 @@ def batched_jpeg_quality(images, qualities):
     chroma = jnp.asarray(np.stack([
         _quality_scaled_table(_CHROMA_QTABLE, int(q)) for q in np.asarray(qualities)
     ]).astype(np.float32))
-    out = jax.vmap(_jpeg_single)(images.astype(jnp.float32), luma, chroma)
-    return _finish(out)
+    # BGR-compat: the reference encodes its RGB mats through cv.imencode,
+    # which reads them as BGR; run the codec on reversed channels.
+    out = jax.vmap(_jpeg_single)(
+        images[..., ::-1].astype(jnp.float32), luma, chroma
+    )
+    return _finish(out)[..., ::-1]
 
 
 def batched_pixelation(images, ratio: float):

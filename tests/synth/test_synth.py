@@ -1,0 +1,115 @@
+"""The batched synthesis pipeline: host prep -> device program."""
+import numpy as np
+import pytest
+
+from tests.pipeline.fixtures import build_assets
+from vkit_tpu.synth import SynthPlanner, SynthPlannerConfig, synthesize_page_batch
+from vkit_tpu.synth.prep import (
+    CHAR_HEIGHT,
+    CHAR_MASK,
+    TEXT_LINE_HEIGHT,
+    TEXT_LINE_MASK,
+)
+
+
+@pytest.fixture(scope='module')
+def planner(tmp_path_factory):
+    assets = build_assets(tmp_path_factory.mktemp('synth_assets'))
+    return SynthPlanner(SynthPlannerConfig(
+        lexicon_collection_json=assets['lexicon_json'],
+        font_collection_folder=assets['font_collection_folder'],
+        char_sampler_configs=[{
+            'type': 'corpus',
+            'weight': 1,
+            'config': {'txt_files': [assets['corpus_txt']]},
+        }],
+        page_height=320,
+        page_width=320,
+    ))
+
+
+def test_prepare_page_labels_consistent(planner):
+    rng = np.random.default_rng(0)
+    page = planner.prepare_page(rng)
+    assert page.background.shape == (320, 320, 3)
+    assert page.label_stack.shape == (320, 320, 4)
+    assert page.line_entries, 'layout produced no text lines'
+    assert page.text_lines and page.char_polygons
+
+    tl_mask = page.label_stack[..., TEXT_LINE_MASK]
+    ch_mask = page.label_stack[..., CHAR_MASK]
+    tl_h = page.label_stack[..., TEXT_LINE_HEIGHT]
+    ch_h = page.label_stack[..., CHAR_HEIGHT]
+    assert tl_mask.sum() > 0 and ch_mask.sum() > 0
+    # Heights positive wherever the masks are on.
+    assert (tl_h[tl_mask > 0] > 0).all()
+    assert (ch_h[ch_mask > 0] > 0).all()
+    # Char polygons expand to the glyph ref metrics (≈ font size), so they
+    # extend past the word staircase — but must still overlap it broadly.
+    overlap = (ch_mask > 0) & (tl_mask > 0)
+    assert overlap.sum() / max((ch_mask > 0).sum(), 1) > 0.3
+    assert overlap.sum() / max((tl_mask > 0).sum(), 1) > 0.5
+
+
+def test_synthesize_batch_no_distortion_is_clean(planner):
+    """nop geometric + no photometric: the program reduces to device
+    assembly; labels pass through the warp unchanged."""
+    rng = np.random.default_rng(1)
+    pages = planner.prepare_batch(2, rng)
+    result = synthesize_page_batch(
+        pages, level=5, rng=rng,
+        enable_photometric=False, enable_geometric=False,
+    )
+    assert result.images.shape == (2, 320, 320, 3)
+    assert result.label_stack.shape == (2, 320, 320, 4)
+    assert (result.active_masks == 1).all()
+
+    for idx, page in enumerate(pages):
+        # Labels identical to the host-prepared stack (nop warp).
+        np.testing.assert_allclose(
+            result.label_stack[idx], page.label_stack, atol=1e-4
+        )
+        # Ink landed: the composited page darkens inside the char mask.
+        ch = page.label_stack[..., CHAR_MASK] > 0
+        ink = result.images[idx][ch].mean()
+        bg = page.background[ch].mean()
+        assert ink < bg - 5
+
+    # Polygons unchanged under the nop plan.
+    for polygon, ref in zip(result.word_polygons[0], pages[0].word_polygons):
+        np.testing.assert_allclose(
+            polygon.to_np_array(), ref.to_np_array(), atol=1e-6
+        )
+
+
+def test_synthesize_batch_randomized(planner):
+    rng = np.random.default_rng(2)
+    pages = planner.prepare_batch(2, rng)
+    result = synthesize_page_batch(
+        pages, level=4, rng=rng, out_shape=(256, 256),
+    )
+    assert result.images.shape == (2, 256, 256, 3)
+    assert result.label_stack.shape == (2, 256, 256, 4)
+    assert result.active_masks.shape == (2, 256, 256)
+    assert len(result.content_boxes) == 2
+
+    for idx in range(2):
+        active = result.active_masks[idx] > 0
+        assert active.any()
+        labels = result.label_stack[idx]
+        # Warped label mass stays (mostly) inside the active region.
+        tl_on = labels[..., TEXT_LINE_MASK] > 0.5
+        if tl_on.any():
+            assert (tl_on & active).sum() / tl_on.sum() > 0.9
+        ch_on = labels[..., CHAR_MASK] > 0.5
+        if ch_on.any():
+            heights = labels[..., CHAR_HEIGHT][ch_on]
+            assert (heights > 0).all()
+            assert heights.max() < 320
+
+        # Co-transformed char polygons land in the output canvas (active
+        # region bounds, with warp slack).
+        for polygon in result.char_polygons[idx][:10]:
+            xy = polygon.to_np_array()
+            assert xy[:, 0].min() > -256 and xy[:, 0].max() < 512
+            assert xy[:, 1].min() > -256 and xy[:, 1].max() < 512

@@ -43,6 +43,7 @@ from .type import (
     CharGlyph,
     FontEngineRunConfig,
     FontEngineRunConfigGlyphSequence,
+    TextLine,
 )
 
 
@@ -309,6 +310,126 @@ def plan_text_line_layout(
         text=''.join(run_config.chars[:char_idx]),
         is_hori=is_hori,
     )
+
+
+def layout_to_text_line(
+    layout: TextLineLayout,
+    atlas: GlyphAtlas,
+    style,
+    chars: Sequence[str],
+):
+    """Bridge a layout into a real TextLine with blank rasters.
+
+    The label pipeline's geometry helpers (split / to_polygon /
+    to_char_polygons / get_height_points) read only boxes, glyphs and the
+    main axis — never pixels — so a TextLine whose rasters are lazy zero
+    pages serves them at negligible cost.  The actual pixels live on the
+    device via the glyph compositor.
+    """
+    from ...element import Image, Mask
+    from ...ops.resize import Interpolation
+
+    image = Image.from_shape((layout.height, layout.width),
+                             num_channels=3, value=255)
+    mask = Mask.from_shape((layout.height, layout.width))
+    anchor = Box.from_shapable(image)
+    glyphs = [atlas._glyphs[gid] for gid in layout.glyph_ids]
+    return TextLine(
+        image=image.to_box_attached(anchor),
+        mask=mask.to_box_attached(anchor),
+        score_map=None,
+        char_boxes=list(layout.char_boxes),
+        char_glyphs=glyphs,
+        resize_interpolation=Interpolation.LINEAR,
+        style=style,
+        font_size=layout.font_size,
+        text=layout.text,
+        is_hori=layout.is_hori,
+    )
+
+
+class AtlasPack:
+    """Batch-level union of glyph atlases (mixed fonts/sizes): remaps each
+    atlas's local glyph ids into one tile array for a single compositor
+    call."""
+
+    def __init__(self):
+        self._atlases: List[GlyphAtlas] = []
+        self._atlas_index: Dict[int, int] = {}
+        self._offsets: List[int] = []
+
+    def _atlas_slot(self, atlas: GlyphAtlas) -> int:
+        slot = self._atlas_index.get(id(atlas))
+        if slot is None:
+            slot = len(self._atlases)
+            self._atlas_index[id(atlas)] = slot
+            self._atlases.append(atlas)
+        return slot
+
+    def global_id(self, atlas: GlyphAtlas, local_id: int) -> Tuple[int, int]:
+        """Returns (slot, local_id); resolve to a flat id at tiles() time
+        (atlases may still be growing while entries accumulate)."""
+        return (self._atlas_slot(atlas), local_id)
+
+    def tiles_and_resolver(self):
+        """Build the combined (V, T, T) tile array; returns it plus a
+        resolver mapping (slot, local_id) -> flat tile index."""
+        if not self._atlases:
+            return np.zeros((1, 1, 1), dtype=np.float32), lambda key: 0
+        # Quantize the array dims (tile count to 64, tile size to 8) so the
+        # compositor program recompiles only on real growth, not on every
+        # newly observed char.
+        tile = -(-max(a.tile_size for a in self._atlases) // 8) * 8
+        offsets = []
+        total = 0
+        for a in self._atlases:
+            offsets.append(total)
+            total += a.num_glyphs
+        total = -(-total // 64) * 64
+        tiles = np.zeros((total, tile, tile), dtype=np.float32)
+        for a, off in zip(self._atlases, offsets):
+            src = a.tiles
+            tiles[off:off + src.shape[0], :src.shape[1], :src.shape[2]] = src
+        return tiles, (lambda key: offsets[key[0]] + key[1])
+
+
+def pack_placements(
+    entries: Sequence[Tuple[TextLineLayout, Tuple[int, int], int,
+                            Tuple[int, int, int], GlyphAtlas]],
+    pack: AtlasPack,
+    bucket: int = 256,
+):
+    """Multi-atlas variant of placements_for_text_lines: entries carry the
+    atlas each layout's glyph ids index into."""
+    from ...ops.glyph import build_placements
+
+    keyed_rows = []
+    max_extent = 1
+    for layout, (page_up, page_left), sample_id, color, atlas in entries:
+        for cb, gid, src_h, src_w in zip(
+            layout.char_boxes, layout.glyph_ids,
+            layout.src_hs, layout.src_ws,
+        ):
+            keyed_rows.append((pack.global_id(atlas, gid), {
+                'sample_id': sample_id,
+                'up': page_up + cb.up,
+                'left': page_left + cb.left,
+                'dst_h': cb.height,
+                'dst_w': cb.width,
+                'src_h': float(src_h),
+                'src_w': float(src_w),
+                'color': np.asarray(color, dtype=np.float32),
+            }))
+            max_extent = max(max_extent, cb.height, cb.width)
+
+    tiles, resolve = pack.tiles_and_resolver()
+    rows = []
+    for key, row in keyed_rows:
+        row['glyph_id'] = resolve(key)
+        rows.append(row)
+
+    out_tile = -(-max_extent // 32) * 32
+    return build_placements(rows, num_channels=3, bucket=bucket), tiles, out_tile
 
 
 def placements_for_text_lines(

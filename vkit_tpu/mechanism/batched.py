@@ -24,7 +24,7 @@ Catalog coverage:
 
 Entry point: ``batch_distort_images(name, configs, images, key)``.
 """
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +48,14 @@ from .distortion.photometric.base import OutOfBoundBehavior
 
 
 def _per_sample(values, dtype=jnp.float32):
-    """(N,) array broadcastable over (N, H, W, C)."""
-    arr = jnp.asarray(np.asarray(values), dtype=dtype)
+    """(N,) array broadcastable over (N, H, W, C).
+
+    Accepts Python lists, numpy arrays, and traced jax values (the
+    compiled dispatch passes per-sample params as jit arguments)."""
+    if isinstance(values, jnp.ndarray):
+        arr = values.astype(dtype)
+    else:
+        arr = jnp.asarray(np.asarray(values), dtype=dtype)
     return arr[:, None, None, None]
 
 
@@ -160,12 +166,16 @@ def batched_complement(
         out = 255.0 - x
     else:
         t = _per_sample(thresholds)
-        lte = _per_sample(
-            np.broadcast_to(
-                np.asarray(enable_threshold_ltes, dtype=bool), (x.shape[0],)
-            ),
-            dtype=jnp.bool_,
-        )
+        if isinstance(enable_threshold_ltes, (jnp.ndarray, np.ndarray)):
+            lte = _per_sample(enable_threshold_ltes, dtype=jnp.bool_)
+        else:
+            lte = _per_sample(
+                np.broadcast_to(
+                    np.asarray(enable_threshold_ltes, dtype=bool),
+                    (x.shape[0],)
+                ),
+                dtype=jnp.bool_,
+            )
         gate = jnp.where(lte, x <= t, t <= x)
         out = jnp.where(gate, 255.0 - x, x)
     return _apply_channels(images, _finish(out), channels)
@@ -175,7 +185,7 @@ def batched_posterization(
     images, num_bits, channels: Optional[Sequence[int]] = None
 ):
     x = _select_channels(images, channels).astype(jnp.int32)
-    bits = jnp.asarray(np.asarray(num_bits), dtype=jnp.int32)[:, None, None, None]
+    bits = jnp.asarray(num_bits, dtype=jnp.int32)[:, None, None, None]
     keep = jnp.left_shift(jnp.right_shift(255, bits), bits)
     out = jnp.bitwise_and(x, keep).astype(jnp.uint8)
     return _apply_channels(images, out, channels)
@@ -190,7 +200,7 @@ def batched_color_balance(images, ratios):
 
 def batched_channel_permutation(images, perms):
     """``perms``: (N, C) int — out channel c reads in channel perms[n, c]."""
-    perms = jnp.asarray(np.asarray(perms), dtype=jnp.int32)
+    perms = jnp.asarray(perms, dtype=jnp.int32)
     n, c = perms.shape
     onehot = jax.nn.one_hot(perms, c, dtype=jnp.float32)   # (N, C_out, C_in)
     out = jnp.einsum(
@@ -275,8 +285,8 @@ def batched_fog(
 
     n, h, w = images.shape[:3]
     size = int(2 ** np.ceil(np.log2(max(h, w))))
-    roughnesses = jnp.asarray(
-        np.broadcast_to(np.asarray(roughnesses, dtype=np.float32), (n,))
+    roughnesses = jnp.broadcast_to(
+        jnp.asarray(roughnesses, dtype=jnp.float32), (n,)
     )
     keys = jax.random.split(key, n)
     masks = jax.vmap(
@@ -408,7 +418,7 @@ def batched_zoom_in_blur(images, ratio: float = 0.1, step: float = 0.01,
 def _blend_streak_masks(images, masks, colors, alphas):
     """images (N,H,W,3) u8; masks (N,H,W) u8; colors (N,3); alphas (N,)."""
     m = jnp.asarray(masks)[..., None].astype(jnp.float32)
-    color = jnp.asarray(np.asarray(colors), dtype=jnp.float32)[:, None, None, :]
+    color = jnp.asarray(colors, dtype=jnp.float32)[:, None, None, :]
     a = _per_sample(alphas)
     x = images.astype(jnp.float32)
     blended = (1.0 - a) * x + a * color
@@ -538,6 +548,8 @@ def batched_plan_warp(
     images,
     border_value: float = 0.0,
     taps_max: int = 24,
+    return_maps: bool = False,
+    canvas_shape: Optional[Tuple[int, int]] = None,
 ):
     """Warp each batch sample by its own WarpPlan in ONE device program.
 
@@ -545,7 +557,15 @@ def batched_plan_warp(
     matrix plans, per-cell homographies for lattice plans).  Device work:
     one two-pass shifts+matmuls program over the whole batch
     (ops/warp_mxu.py dense path).  Canvases pad to the batch max; returns
-    (warped (N, Hmax, Wmax, C) uint8, result_shapes, coverages).
+    (warped (N, Hmax, Wmax, C) with the input dtype, result_shapes,
+    coverages); with ``return_maps`` also the padded (map_ys, map_xs) —
+    the synth pipeline differentiates them for local-stretch label
+    corrections.
+
+    ``canvas_shape``: optional STATIC padded canvas.  Per-sample dst
+    canvases pad to it instead of the batch max, so every batch compiles
+    the same device program (dst shapes vary per random draw otherwise).
+    Grown automatically if a sample's dst exceeds it.
     """
     from ..ops.warp_mxu import plan_dense_warp, apply_dense_warp
     import jax as _jax
@@ -564,6 +584,9 @@ def batched_plan_warp(
 
     h_max = max(s[0] for s in shapes)
     w_max = max(s[1] for s in shapes)
+    if canvas_shape is not None:
+        h_max = max(h_max, canvas_shape[0])
+        w_max = max(w_max, canvas_shape[1])
     map_ys = np.zeros((n, h_max, w_max), dtype=np.float64)
     map_xs = np.zeros((n, h_max, w_max), dtype=np.float64)
     for idx, (my, mx) in enumerate(map_list):
@@ -580,32 +603,76 @@ def batched_plan_warp(
             map_xs[idx, h:] = map_xs[idx, h - 1]
             map_ys[idx, h:] = -(h_in + 8)
 
-    try:
-        plan_, statics = plan_dense_warp(
-            map_ys, map_xs, (h_in, w_in), taps_max=taps_max
-        )
-    except AssertionError:
-        # Field too non-separable for the shared-slope tap scheme (strong
-        # perspective/curvature): warp on the host instead, same contract.
-        from ..ops.warp import remap_np
-
-        host = np.zeros((n, h_max, w_max) + images.shape[3:], dtype=np.uint8)
-        images_np = np.asarray(images)
-        for idx in range(n):
-            h, w = shapes[idx]
-            host[idx, :h, :w] = remap_np(
-                images_np[idx],
-                map_ys[idx, :h, :w].astype(np.float32),
-                map_xs[idx, :h, :w].astype(np.float32),
-                border_value=border_value,
-            )
-        return jnp.asarray(host), shapes, coverages
-
-    fn = _jax.jit(
-        apply_dense_warp, static_argnames=('statics', 'border_value')
+    # Per-sample routing: the two-pass MXU scheme covers fields whose
+    # non-separable residual fits taps_max; extreme draws (strong rotation
+    # or curvature) fall back to the native host remap INDIVIDUALLY, so one
+    # wild sample no longer knocks the whole batch off the device path.
+    from ..ops.warp_mxu import (
+        dense_warp_positions,
+        line_tap_needs,
+        plan_dense_warp_from_positions,
     )
-    warped = fn(images, plan_, statics=statics, border_value=border_value)
-    return warped, shapes, coverages
+
+    pos_v, map_xs_fixed, row_monotone = dense_warp_positions(
+        map_ys, map_xs, (h_in, w_in)
+    )
+    needs = np.maximum(line_tap_needs(pos_v), line_tap_needs(map_xs_fixed))
+    on_device = row_monotone & (needs <= taps_max)
+
+    warped_dev = None
+    if on_device.any():
+        # Static batch dimension: infeasible samples keep a slot in the
+        # device program with benign identity maps (overwritten below), so
+        # the compiled program never depends on which samples qualified.
+        plan_pos_v = pos_v
+        plan_xs = map_xs_fixed
+        if not on_device.all():
+            plan_pos_v = pos_v.copy()
+            plan_xs = map_xs_fixed.copy()
+            ident_v = np.broadcast_to(
+                np.arange(h_max, dtype=np.float64), (w_in, h_max)
+            )
+            ident_x = np.broadcast_to(
+                np.arange(w_max, dtype=np.float64), (h_max, w_max)
+            )
+            for idx in np.flatnonzero(~on_device):
+                plan_pos_v[idx] = ident_v
+                plan_xs[idx] = ident_x
+        plan_, statics = plan_dense_warp_from_positions(
+            plan_pos_v, plan_xs, (h_in, w_in), taps_max=taps_max
+        )
+        fn = _jax.jit(
+            apply_dense_warp, static_argnames=('statics', 'border_value')
+        )
+        warped_dev = fn(
+            images, plan_, statics=statics, border_value=border_value
+        )
+        if on_device.all():
+            if return_maps:
+                return warped_dev, shapes, coverages, (map_ys, map_xs)
+            return warped_dev, shapes, coverages
+
+    from ..ops.warp import remap_np
+
+    images_np = np.asarray(images)
+    if warped_dev is not None:
+        out = np.array(warped_dev)
+    else:
+        out = np.zeros(
+            (n, h_max, w_max) + images_np.shape[3:], dtype=images_np.dtype
+        )
+    for idx in np.flatnonzero(~on_device):
+        h, w = shapes[idx]
+        out[idx] = border_value
+        out[idx, :h, :w] = remap_np(
+            images_np[idx],
+            map_ys[idx, :h, :w].astype(np.float32),
+            map_xs[idx, :h, :w].astype(np.float32),
+            border_value=border_value,
+        )
+    if return_maps:
+        return jnp.asarray(out), shapes, coverages, (map_ys, map_xs)
+    return jnp.asarray(out), shapes, coverages
 
 
 def batched_grid_warp(
@@ -792,3 +859,412 @@ def batch_distort_images(name: str, configs: Sequence, images, key=None):
     raise NotImplementedError(
         f'{name}: not available on the batched device path'
     )
+
+
+# ---------------------------------------------------------------------------
+# Compiled dispatch: ONE jitted call per (name, static-signature).
+#
+# The plain dispatch above executes eagerly — dozens of small device ops
+# per apply, which measures fine locally but is dispatch-bound on a
+# tunneled TPU backend (~28 ms/op round trip).  Here every distortion
+# splits into a host PREP (configs -> numpy param arrays + a hashable
+# static signature: channel subsets, kernel widths, clip-vs-cycle) and a
+# traced APPLY over (images, key, arrays); the jitted apply is cached per
+# (name, static), so a steady-state batch pays one dispatch per
+# distortion regardless of parameter draws.
+# ---------------------------------------------------------------------------
+
+
+def _chan(configs):
+    channels = _uniform(configs, 'channels')
+    return tuple(channels) if channels is not None else None
+
+
+def _f32(values):
+    return np.asarray(values, dtype=np.float32)
+
+
+def _prep_mean_shift(configs, shape, key):
+    deltas = _field(configs, 'delta')
+    thresholds = _field(configs, 'threshold')
+    arrays = {'deltas': _f32(deltas)}
+    has_thresholds = not all(t is None for t in thresholds)
+    if has_thresholds:
+        arrays['thresholds'] = _f32([
+            t if t is not None else (255 if d > 0 else 0)
+            for t, d in zip(thresholds, deltas)
+        ])
+    return arrays, (_chan(configs), _uniform(configs, 'oob_behavior'),
+                    has_thresholds)
+
+
+def _apply_mean_shift(images, key, arrays, static):
+    channels, oob, has_thresholds = static
+    return batched_mean_shift(
+        images, arrays['deltas'],
+        arrays['thresholds'] if has_thresholds else None,
+        channels=channels, oob_behavior=oob,
+    )
+
+
+def _prep_complement(configs, shape, key):
+    ltes = _field(configs, 'enable_threshold_lte')
+    thresholds = _field(configs, 'threshold')
+    has_thresholds = not all(t is None for t in thresholds)
+    arrays = {}
+    if has_thresholds:
+        arrays['thresholds'] = _f32([
+            t if t is not None else (255 if lte else 0)
+            for t, lte in zip(thresholds, ltes)
+        ])
+        arrays['ltes'] = np.asarray(ltes, dtype=bool)
+    return arrays, (_chan(configs), has_thresholds)
+
+
+def _apply_complement(images, key, arrays, static):
+    channels, has_thresholds = static
+    if not has_thresholds:
+        return batched_complement(images, None, channels=channels)
+    return batched_complement(
+        images, arrays['thresholds'],
+        enable_threshold_ltes=arrays['ltes'], channels=channels,
+    )
+
+
+def _prep_brightness(configs, shape, key):
+    from ..element import ImageMode
+
+    mode = _uniform(configs, 'intermediate_image_mode')
+    return ({'deltas': _f32(_field(configs, 'delta'))},
+            (mode == ImageMode.HSV,))
+
+
+def _prep_jpeg(configs, shape, key):
+    qualities = _field(configs, 'quality')
+    luma = np.stack([
+        _quality_scaled_table(_LUMA_QTABLE, int(q)) for q in qualities
+    ]).astype(np.float32)
+    chroma = np.stack([
+        _quality_scaled_table(_CHROMA_QTABLE, int(q)) for q in qualities
+    ]).astype(np.float32)
+    return {'luma': luma, 'chroma': chroma}, ()
+
+
+def _apply_jpeg(images, key, arrays, static):
+    from ..parallel.batch import _jpeg_single
+
+    out = jax.vmap(_jpeg_single)(
+        images[..., ::-1].astype(jnp.float32),
+        arrays['luma'], arrays['chroma'],
+    )
+    return _finish(out)[..., ::-1]
+
+
+def _prep_fog(configs, shape, key):
+    return ({
+        'roughnesses': _f32(_field(configs, 'roughness')),
+        'rmax': _f32(_field(configs, 'ratio_max')),
+        'rmin': _f32(_field(configs, 'ratio_min')),
+    }, (tuple(_uniform(configs, 'fog_rgb')),))
+
+
+def _apply_fog(images, key, arrays, static):
+    return batched_fog(
+        images, arrays['roughnesses'], key,
+        fog_rgb=static[0],
+        ratio_maxs=arrays['rmax'], ratio_mins=arrays['rmin'],
+    )
+
+
+def _gaussian_kernels(sigmas):
+    kernels = []
+    for sigma in np.asarray(sigmas):
+        ksize = estimate_gaussian_kernel_size(float(sigma))
+        k1 = blur_ops.gaussian_kernel1d(float(sigma), ksize)
+        kernels.append(np.outer(k1, k1))
+    return kernels
+
+
+def _prep_gaussian_blur(configs, shape, key):
+    kernels = _gaussian_kernels(_field(configs, 'sigma'))
+    return {'kernels': np.asarray(_padded_kernels(kernels))}, ()
+
+
+def _prep_defocus_blur(configs, shape, key):
+    kernels = []
+    for radius in _field(configs, 'radius'):
+        radius = int(radius)
+        size = 2 * radius + 1
+        coords = np.arange(size) - radius
+        xs, ys = np.meshgrid(coords, coords)
+        kernel = ((xs**2 + ys**2) <= radius**2).astype(np.float32)
+        kernels.append(kernel / kernel.sum())
+    return {'kernels': np.asarray(_padded_kernels(kernels))}, ()
+
+
+def _prep_motion_blur(configs, shape, key):
+    kernels = []
+    for radius, angle in zip(_field(configs, 'radius'),
+                             _field(configs, 'angle')):
+        ksize = 2 * int(radius) + 1
+        kernel = blur_ops.motion_line_kernel(ksize, -(float(angle) % 360))
+        kernels.append(kernel / max(kernel.sum(), 1e-6))
+    return {'kernels': np.asarray(_padded_kernels(kernels))}, ()
+
+
+def _apply_filter2d(images, key, arrays, static):
+    return _batched_filter2d(images, arrays['kernels'])
+
+
+def _prep_glass_blur(configs, shape, key):
+    from .distortion.photometric.blur import build_glass_blur_permutation
+
+    n, h, w = shape[:3]
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    kernels = _gaussian_kernels(_field(configs, 'sigma'))
+    flat_idx = np.empty((n, h, w), dtype=np.int32)
+    for i, cfg in enumerate(configs):
+        pos_y, pos_x = build_glass_blur_permutation(
+            (h, w), int(cfg.delta), int(cfg.loop), rng
+        )
+        flat_idx[i] = pos_y * w + pos_x
+    return {
+        'kernels': np.asarray(_padded_kernels(kernels)),
+        'flat_idx': flat_idx.reshape(n, h * w),
+    }, ()
+
+
+def _apply_glass_blur(images, key, arrays, static):
+    blurred = _batched_filter2d(images, arrays['kernels'])
+    n, h, w = images.shape[:3]
+
+    def permute_one(img, idx):
+        return img.reshape(h * w, -1)[idx].reshape(h, w, -1)
+
+    return jax.vmap(permute_one)(blurred, arrays['flat_idx'])
+
+
+def _prep_line_streak(configs, shape, key):
+    from .distortion.photometric.streak import line_streak_stencils
+
+    n, h, w = shape[:3]
+    masks_v = np.zeros((n, h, w), dtype=np.uint8)
+    masks_h = np.zeros((n, h, w), dtype=np.uint8)
+    for i, cfg in enumerate(configs):
+        vert, hori = line_streak_stencils(
+            (h, w), cfg.thickness, cfg.gap, cfg.dash_thickness, cfg.dash_gap,
+            cfg.enable_vert, cfg.enable_hori,
+        )
+        if vert is not None:
+            masks_v[i] = vert
+        if hori is not None:
+            masks_h[i] = hori
+    return {
+        'masks_v': masks_v, 'masks_h': masks_h,
+        'colors': _f32(_field(configs, 'color')),
+        'alphas': _f32(_field(configs, 'alpha')),
+    }, ()
+
+
+def _apply_line_streak(images, key, arrays, static):
+    out = _blend_streak_masks(
+        images, arrays['masks_v'], arrays['colors'], arrays['alphas']
+    )
+    return _blend_streak_masks(
+        out, arrays['masks_h'], arrays['colors'], arrays['alphas']
+    )
+
+
+def _prep_rectangle_streak(configs, shape, key):
+    from .distortion.photometric.streak import rectangle_streak_stencils
+
+    n, h, w = shape[:3]
+    masks = np.zeros((n, h, w), dtype=np.uint8)
+    for i, cfg in enumerate(configs):
+        aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
+        vert, hori = rectangle_streak_stencils(
+            (h, w), cfg.thickness, aspect, cfg.short_side_min,
+            cfg.short_side_step, cfg.dash_thickness, cfg.dash_gap,
+        )
+        masks[i] = vert | hori
+    return {
+        'masks': masks,
+        'colors': _f32(_field(configs, 'color')),
+        'alphas': _f32(_field(configs, 'alpha')),
+    }, ()
+
+
+def _prep_ellipse_streak(configs, shape, key):
+    from .distortion.photometric.streak import (
+        concentric_boxes,
+        ellipse_ring_stencil,
+    )
+
+    n, h, w = shape[:3]
+    masks = np.zeros((n, h, w), dtype=np.uint8)
+    for i, cfg in enumerate(configs):
+        aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
+        boxes = concentric_boxes(h, w, aspect, cfg.short_side_min,
+                                 cfg.short_side_step)
+        masks[i] = ellipse_ring_stencil(
+            (h, w), (w // 2, h // 2),
+            [(b.width // 2, b.height // 2) for b in boxes], cfg.thickness,
+        )
+    return {
+        'masks': masks,
+        'colors': _f32(_field(configs, 'color')),
+        'alphas': _f32(_field(configs, 'alpha')),
+    }, ()
+
+
+def _apply_mask_streak(images, key, arrays, static):
+    return _blend_streak_masks(
+        images, arrays['masks'], arrays['colors'], arrays['alphas']
+    )
+
+
+def _apply_channel_permutation(images, key, arrays, static):
+    n = images.shape[0]
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, images.shape[-1])
+    )(jax.random.split(key, n))
+    return batched_channel_permutation(images, perms)
+
+
+def _field_prep(field_names, *statics_fields):
+    """Prep factory: per-sample float arrays + uniform static fields."""
+    def prep(configs, shape, key):
+        arrays = {
+            name: _f32(_field(configs, name)) for name in field_names
+        }
+        static = tuple(
+            tuple(v) if isinstance(v, (list, tuple)) else v
+            for v in (
+                _uniform(configs, f) for f in statics_fields
+            )
+        )
+        return arrays, static
+    return prep
+
+
+_COMPILED_CATALOG = {
+    'mean_shift': (_prep_mean_shift, _apply_mean_shift),
+    'color_shift': (
+        _field_prep(('delta',)),
+        lambda images, key, arrays, static:
+            batched_color_shift(images, arrays['delta']),
+    ),
+    'brightness_shift': (
+        _prep_brightness,
+        lambda images, key, arrays, static:
+            batched_brightness_shift(images, arrays['deltas'],
+                                     use_hsv=static[0]),
+    ),
+    'std_shift': (
+        _field_prep(('scale',), 'channels'),
+        lambda images, key, arrays, static:
+            batched_std_shift(images, arrays['scale'], channels=static[0]),
+    ),
+    'boundary_equalization': (
+        _field_prep((), 'channels'),
+        lambda images, key, arrays, static:
+            batched_boundary_equalization(images, channels=static[0]),
+    ),
+    'histogram_equalization': (
+        _field_prep((), 'channels'),
+        lambda images, key, arrays, static:
+            batched_histogram_equalization(images, channels=static[0]),
+    ),
+    'complement': (_prep_complement, _apply_complement),
+    'posterization': (
+        lambda configs, shape, key: (
+            {'num_bits': np.asarray(_field(configs, 'num_bits'), np.int32)},
+            (_chan(configs),),
+        ),
+        lambda images, key, arrays, static:
+            batched_posterization(images, arrays['num_bits'],
+                                  channels=static[0]),
+    ),
+    'color_balance': (
+        _field_prep(('ratio',)),
+        lambda images, key, arrays, static:
+            batched_color_balance(images, arrays['ratio']),
+    ),
+    'channel_permutation': (
+        _field_prep(()), _apply_channel_permutation,
+    ),
+    'gaussion_noise': (
+        _field_prep(('std',)),
+        lambda images, key, arrays, static:
+            batched_gaussion_noise(images, arrays['std'], key),
+    ),
+    'poisson_noise': (
+        _field_prep(()),
+        lambda images, key, arrays, static:
+            batched_poisson_noise(images, key),
+    ),
+    'impulse_noise': (
+        _field_prep(('prob_salt', 'prob_pepper')),
+        lambda images, key, arrays, static:
+            batched_impulse_noise(images, arrays['prob_salt'],
+                                  arrays['prob_pepper'], key),
+    ),
+    'speckle_noise': (
+        _field_prep(('std',)),
+        lambda images, key, arrays, static:
+            batched_speckle_noise(images, arrays['std'], key),
+    ),
+    'jpeg_quality': (_prep_jpeg, _apply_jpeg),
+    'pixelation': (
+        _field_prep((), 'ratio'),
+        lambda images, key, arrays, static:
+            batched_pixelation(images, static[0]),
+    ),
+    'fog': (_prep_fog, _apply_fog),
+    'gaussian_blur': (_prep_gaussian_blur, _apply_filter2d),
+    'defocus_blur': (_prep_defocus_blur, _apply_filter2d),
+    'motion_blur': (_prep_motion_blur, _apply_filter2d),
+    'glass_blur': (_prep_glass_blur, _apply_glass_blur),
+    'zoom_in_blur': (
+        _field_prep((), 'ratio', 'step', 'alpha'),
+        lambda images, key, arrays, static:
+            batched_zoom_in_blur(images, ratio=static[0], step=static[1],
+                                 alpha=static[2]),
+    ),
+    'line_streak': (_prep_line_streak, _apply_line_streak),
+    'rectangle_streak': (_prep_rectangle_streak, _apply_mask_streak),
+    'ellipse_streak': (_prep_ellipse_streak, _apply_mask_streak),
+}
+
+_COMPILED_FNS = {}
+
+
+def _compiled_fn(name: str, static: tuple):
+    cache_key = (name, static)
+    fn = _COMPILED_FNS.get(cache_key)
+    if fn is None:
+        apply = _COMPILED_CATALOG[name][1]
+
+        def wrapped(images, key, arrays, _apply=apply, _static=static):
+            return _apply(images, key, arrays, _static)
+
+        fn = jax.jit(wrapped)
+        _COMPILED_FNS[cache_key] = fn
+    return fn
+
+
+def batch_distort_images_compiled(name: str, configs: Sequence, images,
+                                  key=None):
+    """batch_distort_images, but ONE jitted dispatch per apply.
+
+    Numeric per-sample params travel as jit arguments (no retrace across
+    draws); program-structure params form the compile-cache key.
+    """
+    n = images.shape[0]
+    assert len(configs) == n
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    prep, _ = _COMPILED_CATALOG[name]
+    arrays, static = prep(configs, images.shape, key)
+    fn = _compiled_fn(name, static)
+    return fn(images, key, {k: jnp.asarray(v) for k, v in arrays.items()})

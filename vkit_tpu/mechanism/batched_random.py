@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from .batched import _per_sample, batch_distort_images
+from .batched import _per_sample, batch_distort_images_compiled
 from .distortion_policy.random_distortion import (
     RandomDistortionStage,
     RandomDistortionStageConfig,
@@ -37,6 +37,19 @@ from .distortion_policy.random_distortion import (
 # Shape-changing params must be shared across a batched apply; for these
 # names each selected sample gets its own gated full-batch apply.
 _PER_SAMPLE_ONLY = ('pixelation', 'zoom_in_blur')
+
+# Config fields that select the traced program's STRUCTURE (channel subset,
+# clip-vs-cycle, gate direction) rather than feeding it numerically; a
+# batched apply can only share members whose static fields agree.
+_STATIC_FIELDS = ('channels', 'oob_behavior', 'enable_threshold_lte')
+
+
+def _static_signature(config) -> tuple:
+    return tuple(
+        (field, repr(getattr(config, field)))
+        for field in _STATIC_FIELDS
+        if hasattr(config, field)
+    )
 
 
 def _gate(original, distorted, selected):
@@ -97,16 +110,66 @@ def batch_random_photometric_distort(
             if name in _PER_SAMPLE_ONLY:
                 groups = [[m] for m in members]
             else:
-                groups = [members]
+                by_sig = defaultdict(list)
+                for member in members:
+                    by_sig[_static_signature(member[1])].append(member)
+                groups = [by_sig[sig] for sig in sorted(by_sig)]
             for group in groups:
                 selected = np.zeros(n, dtype=bool)
                 configs = [group[0][1]] * n
                 for sample_idx, config in group:
                     selected[sample_idx] = True
                     configs[sample_idx] = config
-                distorted = batch_distort_images(name, configs, out, key)
+                try:
+                    distorted = batch_distort_images_compiled(name, configs, out, key)
+                except AssertionError:
+                    if len(group) == 1:
+                        raise
+                    # A shape-static param not covered by _STATIC_FIELDS
+                    # differs within the group: apply member-by-member.
+                    for sample_idx, config in group:
+                        one = np.zeros(n, dtype=bool)
+                        one[sample_idx] = True
+                        distorted = batch_distort_images_compiled(
+                            name, [config] * n, out, key
+                        )
+                        out = _gate(out, distorted, one)
+                    continue
                 out = _gate(out, distorted, selected)
     return out
+
+
+def sample_geometric_plans(
+    batch_size: int,
+    shape,
+    level: int,
+    rng: RandomGenerator,
+    stage_config: Optional[RandomDistortionStageConfig] = None,
+):
+    """One WarpPlan per sample from the geometric policy stage (exactly-one
+    policy draw, maybe disabled -> nop plan), same rng discipline as the
+    per-element RandomDistortion."""
+    from .distortion.warp_plan import nop_plan
+
+    if stage_config is None:
+        from .distortion_policy.random_distortion import (
+            random_distortion_factory,
+        )
+        stage_config = random_distortion_factory.create_geometric_stage_config()
+    stage = RandomDistortionStage(stage_config)
+
+    height, width = shape
+    plans = []
+    for _ in range(batch_size):
+        plan = None
+        if rng.random() <= stage_config.prob_enable:
+            drawn = stage.sample_distortion_policies(rng)
+            if drawn:
+                policy = drawn[0]
+                config = policy.sample_config(level, (height, width), rng)
+                plan = policy.distortion.plan(config, (height, width), rng)
+        plans.append(plan if plan is not None else nop_plan((height, width)))
+    return plans
 
 
 def batch_random_geometric_distort(
@@ -126,26 +189,12 @@ def batch_random_geometric_distort(
     """
     from ..element import Box, Mask
     from .batched import batched_plan_warp
-    from .distortion.warp_plan import nop_plan, warp_active_mask
-
-    if stage_config is None:
-        from .distortion_policy.random_distortion import (
-            random_distortion_factory,
-        )
-        stage_config = random_distortion_factory.create_geometric_stage_config()
-    stage = RandomDistortionStage(stage_config)
+    from .distortion.warp_plan import warp_active_mask
 
     n, height, width = images.shape[:3]
-    plans = []
-    for _ in range(n):
-        plan = None
-        if rng.random() <= stage_config.prob_enable:
-            drawn = stage.sample_distortion_policies(rng)
-            if drawn:
-                policy = drawn[0]
-                config = policy.sample_config(level, (height, width), rng)
-                plan = policy.distortion.plan(config, (height, width), rng)
-        plans.append(plan if plan is not None else nop_plan((height, width)))
+    plans = sample_geometric_plans(
+        n, (height, width), level, rng, stage_config=stage_config
+    )
 
     warped, shapes, _ = batched_plan_warp(plans, images)
 

@@ -183,6 +183,57 @@ def nop_plan(shape: Tuple[int, int]) -> WarpPlan:
     return WarpPlan(src_shape=shape, dst_shape=shape, nop=True)
 
 
+def rescale_plan_to(
+    plan: WarpPlan,
+    out_shape: Tuple[int, int],
+    preserve_aspect: bool = True,
+) -> WarpPlan:
+    """Fold a final resize into the plan: the dst side rescales so the
+    plan's output canvas IS ``out_shape``.
+
+    This is how the batched synthesis pipeline keeps static shapes: every
+    sample's randomized warp lands on one static canvas in a single
+    resampling pass (no padded-canvas + second resize), and the local
+    stretch encoded in the backward maps then carries the resize ratio for
+    the label-height correction.  With ``preserve_aspect`` the content
+    letterboxes into the canvas (scale = min ratio); the active mask marks
+    the covered region.
+    """
+    out_h, out_w = out_shape
+    h_d, w_d = plan.dst_shape
+    if preserve_aspect:
+        sy = sx = min(out_h / h_d, out_w / w_d)
+    else:
+        sy, sx = out_h / h_d, out_w / w_d
+
+    if plan.nop or plan.matrix is not None:
+        if plan.nop:
+            fwd = np.eye(3, dtype=np.float64)
+        else:
+            fwd = np.eye(3, dtype=np.float64)
+            m = np.asarray(plan.matrix, dtype=np.float64)
+            fwd[:m.shape[0]] = m
+        scale = np.diag([sx, sy, 1.0])
+        return WarpPlan(
+            src_shape=plan.src_shape,
+            dst_shape=out_shape,
+            matrix=(scale @ fwd).astype(np.float32),
+        )
+
+    assert plan.dst_lattice is not None
+    return WarpPlan(
+        src_shape=plan.src_shape,
+        dst_shape=out_shape,
+        src_lattice=plan.src_lattice,
+        dst_lattice=plan.dst_lattice * np.asarray([sx, sy], dtype=np.float64),
+        grid_size=plan.grid_size,
+        shift_xy=plan.shift_xy,
+        resize_ratio_xy=(
+            plan.resize_ratio_xy[0] * sx, plan.resize_ratio_xy[1] * sy
+        ),
+    )
+
+
 def matrix_plan(matrix: np.ndarray, src_shape: Tuple[int, int],
                 dst_shape: Tuple[int, int]) -> WarpPlan:
     return WarpPlan(src_shape=src_shape, dst_shape=dst_shape,
@@ -304,7 +355,11 @@ def warp_active_mask(plan: WarpPlan) -> Mask:
         return Mask.from_shape(plan.dst_shape, value=1)
     if plan.is_lattice:
         active = Mask.from_shape(plan.dst_shape)
-        plan.border_polygon().fill_mask(active)
+        # Projected lattice coordinates may overshoot the canvas edge by a
+        # rounding hair (e.g. after rescale_plan_to); clip before filling.
+        plan.border_polygon().to_clipped_polygon(plan.dst_shape).fill_mask(
+            active
+        )
         return active
     # Analytic form: warp an all-ones mask (per-tap border masking in the
     # warp kernel keeps edges exact; no cv.remap border artifact here).

@@ -61,12 +61,15 @@ def build_placements(
     """Pack host placement rows into a bucket-padded GlyphPlacements.
 
     ``rows``: iterable of dicts with keys glyph_id, sample_id, up, left,
-    dst_h, dst_w, src_h, src_w, color.  The table pads up to the next
-    multiple of ``bucket`` so compile count stays bounded.
+    dst_h, dst_w, src_h, src_w, color.  The table pads to ``bucket`` or the
+    next power of two above the row count, so at most log2 distinct scan
+    lengths ever compile.
     """
     rows = list(rows)
     count = len(rows)
-    padded = max(bucket, -(-count // bucket) * bucket)
+    padded = bucket
+    while padded < count:
+        padded *= 2
 
     glyph_ids = np.zeros(padded, dtype=np.int32)
     sample_ids = np.zeros(padded, dtype=np.int32)

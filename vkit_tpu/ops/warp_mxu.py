@@ -335,9 +335,14 @@ def plan_dense_line_resample(
         f'dense field needs {taps} taps (> {taps_max}); field is too '
         'non-separable for the device path — use the host remap'
     )
+    # Statics select the compiled program: quantize them hard so randomized
+    # batches reuse one compilation (extra taps/width cost a few masked
+    # matmul rounds; a recompile costs minutes on a tunneled chip).
+    taps = 6 if taps <= 6 else (12 if taps <= 12 else taps_max)
 
     i0_min = int(i0_abs.min())
     m_shift = int(i0_abs.max()) - i0_min + taps
+    m_shift = -(-m_shift // 64) * 64
     assert m_shift <= _ROLL_WINDOW - 128
 
     starts_src = k + i0_min
@@ -424,6 +429,74 @@ class DenseWarpStatics(NamedTuple):
     statics_h: DenseLineStatics
 
 
+def line_tap_needs(pos: np.ndarray) -> np.ndarray:
+    """Per-sample tap requirement of the shared-slope scheme for (N, L, J)
+    positions — the per-sample form of plan_dense_line_resample's check."""
+    pos = np.asarray(pos, dtype=np.float64)
+    n, l, j = pos.shape
+    slopes = (pos[:, :, -1] - pos[:, :, 0]).mean(axis=1) / max(j - 1, 1)
+    jj = np.arange(j, dtype=np.float64)
+    i0_abs = np.floor(slopes[:, None] * jj[None, :])
+    rel = pos - i0_abs[:, None, :]
+    u = rel - np.floor(rel.min(axis=2))[:, :, None]
+    return np.ceil(u.max(axis=(1, 2))).astype(np.int64) + 2
+
+
+def dense_warp_positions(
+    map_ys: np.ndarray,
+    map_xs: np.ndarray,
+    src_shape: Tuple[int, int],
+):
+    """(pos_v, map_xs_fixed, row_monotone): the two passes' position
+    arrays + a per-sample monotonicity flag.
+
+    Samples whose map_x rows are badly non-monotone cannot use the
+    two-pass decomposition at all; callers route those to the host remap.
+    """
+    map_ys = np.asarray(map_ys, dtype=np.float64)
+    map_xs = np.asarray(map_xs, dtype=np.float64)
+    n, h_out, w_out = map_xs.shape
+    h_in, w_in = src_shape
+
+    dx = np.diff(map_xs, axis=2)
+    row_monotone = dx.reshape(n, -1).min(axis=1) > -0.5
+    if dx.min() <= 0:
+        # Repair tiny seams (grid-cell rounding) with a running max.
+        map_xs = np.maximum.accumulate(map_xs, axis=2)
+
+    # Pass V positions: g(y, u) = map_y(y, x*(y, u)) with map_x(y, x*) = u,
+    # for u over the INPUT column grid.  Rows are monotone in x, so x* is a
+    # 1-D interpolation per row; clamp outside the row's x-range.
+    u_grid = np.arange(w_in, dtype=np.float64)
+    out_grid = np.arange(w_out, dtype=np.float64)
+    g = np.empty((n, h_out, w_in), dtype=np.float64)
+    for idx in range(n):
+        for y in range(h_out):
+            xs_row = map_xs[idx, y]
+            ys_row = map_ys[idx, y]
+            x_star = np.interp(u_grid, xs_row, out_grid)
+            g[idx, y] = np.interp(x_star, out_grid, ys_row)
+    # Pass V resamples along the source rows for each input column u:
+    # lines = u (W_in), positions over y = g[., y, u] -> transpose.
+    pos_v = g.transpose(0, 2, 1)                       # (N, W_in, H_out)
+    return pos_v, map_xs, row_monotone
+
+
+def plan_dense_warp_from_positions(
+    pos_v: np.ndarray,
+    map_xs: np.ndarray,
+    src_shape: Tuple[int, int],
+    taps_max: int = 24,
+) -> Tuple[DenseWarpPlan, DenseWarpStatics]:
+    h_in, w_in = src_shape
+    plan_v, statics_v = plan_dense_line_resample(pos_v, h_in, taps_max)
+    plan_h, statics_h = plan_dense_line_resample(map_xs, w_in, taps_max)
+    return (
+        DenseWarpPlan(pass_v=plan_v, pass_h=plan_h),
+        DenseWarpStatics(statics_v=statics_v, statics_h=statics_h),
+    )
+
+
 def plan_dense_warp(
     map_ys: np.ndarray,
     map_xs: np.ndarray,
@@ -438,42 +511,15 @@ def plan_dense_warp(
     Requires ``map_x`` monotonically increasing along each output row
     (true for camera-model and mild MLS warps).
     """
-    map_ys = np.asarray(map_ys, dtype=np.float64)
-    map_xs = np.asarray(map_xs, dtype=np.float64)
-    n, h_out, w_out = map_xs.shape
-    h_in, w_in = src_shape
-
-    dx = np.diff(map_xs, axis=2)
-    assert dx.min() > -0.5, (
+    pos_v, map_xs_fixed, row_monotone = dense_warp_positions(
+        map_ys, map_xs, src_shape
+    )
+    assert row_monotone.all(), (
         'map_x must be (near-)monotone along rows for the two-pass '
         'decomposition'
     )
-    if dx.min() <= 0:
-        # Repair tiny seams (grid-cell rounding) with a running max.
-        map_xs = np.maximum.accumulate(map_xs, axis=2)
-
-    # Pass V positions: g(y, u) = map_y(y, x*(y, u)) with map_x(y, x*) = u,
-    # for u over the INPUT column grid.  Rows are monotone in x, so x* is a
-    # 1-D interpolation per row; clamp outside the row's x-range.
-    u_grid = np.arange(w_in, dtype=np.float64)
-    g = np.empty((n, h_out, w_in), dtype=np.float64)
-    for idx in range(n):
-        for y in range(h_out):
-            xs_row = map_xs[idx, y]
-            ys_row = map_ys[idx, y]
-            x_star = np.interp(u_grid, xs_row, np.arange(w_out, dtype=np.float64))
-            g[idx, y] = np.interp(x_star, np.arange(w_out, dtype=np.float64), ys_row)
-    # Pass V resamples along the source rows for each input column u:
-    # lines = u (W_in), positions over y = g[., y, u] -> transpose.
-    pos_v = g.transpose(0, 2, 1)                       # (N, W_in, H_out)
-    plan_v, statics_v = plan_dense_line_resample(pos_v, h_in, taps_max)
-
-    # Pass H: lines = output rows, positions = map_x.
-    plan_h, statics_h = plan_dense_line_resample(map_xs, w_in, taps_max)
-
-    return (
-        DenseWarpPlan(pass_v=plan_v, pass_h=plan_h),
-        DenseWarpStatics(statics_v=statics_v, statics_h=statics_h),
+    return plan_dense_warp_from_positions(
+        pos_v, map_xs_fixed, src_shape, taps_max
     )
 
 

@@ -1,0 +1,200 @@
+"""The batched device synthesis program: assemble -> distort -> label ->
+resize for a page batch.
+
+Pipeline (per batch of N host-prepped pages):
+  1. assemble    — glyph compositing onto the background canvases
+                   (ops/glyph.py, one scan program).
+  2. photometric — randomized policy rounds over the full batch
+                   (mechanism/batched_random.py, gated device programs).
+  3. geometric   — one randomized WarpPlan per sample; ONE dense two-pass
+                   MXU warp moves the image AND the 4 label channels
+                   together (mechanism/batched.batched_plan_warp).
+  4. label fix   — the warped height channels are rescaled by the local
+                   vertical stretch of the backward field (the device twin
+                   of the reference recomputing heights from warped point
+                   pairs, vkit/pipeline/text_detection/
+                   page_distortion.py:163-223).
+  5. resize      — tap-matmul resize of every channel to the static output
+                   shape (the page_resizing step's dense work).
+
+Label polygons co-transform analytically on the host (WarpPlan forward
+point maps) — cheap, and exactly what the reference's point path computes.
+"""
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.random import Generator as RandomGenerator
+
+from ..element import Box, Polygon
+from ..engine.font.atlas import AtlasPack, pack_placements
+from ..mechanism.batched import batched_plan_warp
+from ..mechanism.batched_random import (
+    batch_random_photometric_distort,
+    sample_geometric_plans,
+)
+from ..ops.glyph import composite_glyphs
+from .prep import CHAR_HEIGHT, HostPage, TEXT_LINE_HEIGHT
+
+
+class SynthBatchResult(NamedTuple):
+    images: np.ndarray          # (N, out_h, out_w, 3) uint8
+    label_stack: np.ndarray     # (N, out_h, out_w, 4) float32 (see prep.py)
+    active_masks: np.ndarray    # (N, out_h, out_w) uint8
+    content_boxes: Sequence[Box]          # per-sample active bounding boxes
+    word_polygons: Sequence[List[Polygon]]   # co-transformed, out coords
+    char_polygons: Sequence[List[Polygon]]
+
+
+@jax.jit
+def _finish_program(stack, map_ys, map_xs, active):
+    """Height-channel correction by the warp's local vertical stretch.
+
+    The backward field maps dst->src, so a dst step of 1 px covers
+    ||d(src)/d(dst_y)|| source pixels; content rendered there stretched by
+    the inverse.  Because the final resize is folded into the plans
+    (rescale_plan_to), the stretch carries the resize ratio too — this is
+    the device twin of the reference recomputing heights from warped point
+    pairs and then rescaling them with the page.
+    """
+    x = stack.astype(jnp.float32)
+    dmy = jnp.diff(map_ys, axis=1, append=map_ys[:, -1:, :])
+    dmx = jnp.diff(map_xs, axis=1, append=map_xs[:, -1:, :])
+    step = jnp.sqrt(dmy * dmy + dmx * dmx)
+    stretch = jnp.clip(1.0 / jnp.maximum(step, 1e-3), 0.05, 20.0)
+
+    x = x.at[..., 3 + TEXT_LINE_HEIGHT].multiply(stretch)
+    x = x.at[..., 3 + CHAR_HEIGHT].multiply(stretch)
+
+    images = jnp.clip(jnp.round(x[..., :3]), 0, 255).astype(jnp.uint8)
+    labels = x[..., 3:]
+    active_u8 = (active > 0.5).astype(jnp.uint8)
+    return images, labels, active_u8
+
+
+def synthesize_page_batch(
+    pages: Sequence[HostPage],
+    level: int,
+    rng: RandomGenerator,
+    key=None,
+    out_shape: Optional[Tuple[int, int]] = None,
+    enable_photometric: bool = True,
+    enable_geometric: bool = True,
+    placement_bucket: int = 1024,
+) -> SynthBatchResult:
+    """Run the device synthesis program over N host-prepped pages.
+
+    ``out_shape`` (default: the page shape) is the STATIC output canvas;
+    every randomized geometric draw folds its resize into the warp plan so
+    one compiled program serves all batches.
+    """
+    from ..mechanism.distortion.warp_plan import (
+        nop_plan,
+        rescale_plan_to,
+        warp_active_mask,
+    )
+    from ..utility import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n = len(pages)
+    assert n > 0
+    height, width = pages[0].background.shape[:2]
+    assert all(p.background.shape[:2] == (height, width) for p in pages)
+
+    # 1. Assemble: glyph compositing, one program for the whole batch.
+    base = np.stack([p.background for p in pages])
+    pack = AtlasPack()
+    entries = []
+    for sample_id, page in enumerate(pages):
+        for layout, anchor, color, atlas in page.line_entries:
+            entries.append((layout, anchor, sample_id, color, atlas))
+    if entries:
+        placements, tiles, out_tile = pack_placements(
+            entries, pack, bucket=placement_bucket
+        )
+        assembled = composite_glyphs(base, tiles, placements,
+                                     out_tile=out_tile)
+    else:
+        assembled = jnp.asarray(base)
+
+    # 2. Photometric stage (policy-sampled, gated device rounds).
+    if enable_photometric:
+        assembled = batch_random_photometric_distort(
+            assembled, level, rng, key=key
+        )
+
+    # 3. Geometric stage: one dense warp moves image + labels together.
+    # The final resize folds INTO each plan (rescale_plan_to), so every
+    # sample's randomized warp lands on the one static output canvas in a
+    # single resampling pass — one compiled program for every batch.
+    out_shape = out_shape or (height, width)
+    if enable_geometric:
+        raw_plans = sample_geometric_plans(n, (height, width), level, rng)
+    else:
+        raw_plans = [nop_plan((height, width)) for _ in range(n)]
+    plans = [rescale_plan_to(p, out_shape) for p in raw_plans]
+
+    labels = np.stack([p.label_stack for p in pages])
+    stack = jnp.concatenate(
+        [assembled.astype(jnp.float32), jnp.asarray(labels)], axis=-1
+    )
+    warped, shapes, _, (map_ys, map_xs) = batched_plan_warp(
+        plans, stack, return_maps=True
+    )
+    assert warped.shape[1:3] == out_shape
+
+    active = np.zeros((n,) + out_shape, dtype=np.float32)
+    for idx, plan in enumerate(plans):
+        active[idx] = warp_active_mask(plan).mat
+
+    # 4. Height correction, one jitted program.
+    images, label_stack, active_u8 = _finish_program(
+        warped,
+        jnp.asarray(map_ys, dtype=jnp.float32),
+        jnp.asarray(map_xs, dtype=jnp.float32),
+        jnp.asarray(active),
+    )
+
+    # Host: analytic polygon co-transform + content boxes (the reference's
+    # corner-point trim folded into per-sample boxes; the rescaled plans
+    # already map into output coordinates).
+    images_np = np.asarray(images)
+    label_np = np.asarray(label_stack)
+    active_np = np.asarray(active_u8)
+
+    word_polygons: List[List[Polygon]] = []
+    char_polygons: List[List[Polygon]] = []
+    content_boxes: List[Box] = []
+    for idx, (plan, page) in enumerate(zip(plans, pages)):
+        def transform(polygons):
+            return [
+                Polygon.from_np_array(plan.map_points(p.to_np_array()))
+                for p in polygons
+            ]
+
+        word_polygons.append(transform(page.word_polygons))
+        char_polygons.append(transform(page.char_polygons))
+
+        row_any = active_np[idx].any(axis=1)
+        col_any = active_np[idx].any(axis=0)
+        if row_any.any():
+            rows = np.flatnonzero(row_any)
+            cols = np.flatnonzero(col_any)
+            content_boxes.append(
+                Box(int(rows[0]), int(rows[-1]), int(cols[0]), int(cols[-1]))
+            )
+        else:
+            content_boxes.append(
+                Box(0, out_shape[0] - 1, 0, out_shape[1] - 1)
+            )
+
+    return SynthBatchResult(
+        images=images_np,
+        label_stack=label_np,
+        active_masks=active_np,
+        content_boxes=content_boxes,
+        word_polygons=word_polygons,
+        char_polygons=char_polygons,
+    )

@@ -63,3 +63,34 @@ def device_trace(log_dir: str, enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+_COMPILE_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Persistent XLA compile cache (idempotent).
+
+    On a tunneled TPU backend cold compiles run minutes; the on-disk cache
+    turns reruns into seconds.  Defaults to `.jax_cache` next to the
+    repository root (the same directory __graft_entry__ uses).
+    """
+    global _COMPILE_CACHE_ENABLED
+    if _COMPILE_CACHE_ENABLED:
+        return
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            '.jax_cache',
+        )
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # noqa: BLE001 - flag names vary across jax versions
+        pass
+    _COMPILE_CACHE_ENABLED = True

@@ -340,20 +340,34 @@ def plan_dense_line_resample(
     # matmul rounds; a recompile costs minutes on a tunneled chip).
     taps = 6 if taps <= 6 else (12 if taps <= 12 else taps_max)
 
-    i0_min = int(i0_abs.min())
-    m_shift = int(i0_abs.max()) - i0_min + taps
+    # Per-sample offset: mixed slope signs across a batch must not ADD
+    # their spans (a +1 and a -1 slope would otherwise double m_shift).
+    i0_min = i0_abs.min(axis=1)                                     # (N,)
+    m_shift = int((i0_abs.max(axis=1) - i0_min).max()) + taps
     m_shift = -(-m_shift // 64) * 64
-    assert m_shift <= _ROLL_WINDOW - 128
 
-    starts_src = k + i0_min
+    starts_src = k + i0_min[:, None]
     pad_lo = _round_up(max(0, -int(starts_src.min())), 128)
     m_padded = _round_up(
         max(in_len + pad_lo, int(starts_src.max()) + pad_lo + _ROLL_WINDOW),
         128,
     )
+    # Feasible iff SOME shift kernel covers the window: the padded
+    # roll-window path (m_shift <= window - 128) or the borderless
+    # 2048-lane slab path (the same window_ok test the apply uses).
+    rel_min = -pad_lo
+    rel_max = m_padded - _ROLL_WINDOW - pad_lo
+    slab_ok = (
+        in_len + m_shift <= 2048
+        and rel_min >= -(2048 - in_len - m_shift)
+        and rel_max <= 2048 - m_shift
+    )
+    assert slab_ok or m_shift <= _ROLL_WINDOW - 128, (
+        f'shift window {m_shift} (in_len {in_len}) exceeds both kernels'
+    )
 
     plan = DenseLinePlan(
-        i0=jnp.asarray((i0_abs - i0_min).astype(np.int32)),
+        i0=jnp.asarray((i0_abs - i0_min[:, None]).astype(np.int32)),
         starts=jnp.asarray((starts_src + pad_lo).astype(np.int32)),
         u=jnp.asarray(u),
     )
@@ -442,6 +456,15 @@ def line_tap_needs(pos: np.ndarray) -> np.ndarray:
     return np.ceil(u.max(axis=(1, 2))).astype(np.int64) + 2
 
 
+def line_window_needs(pos: np.ndarray) -> np.ndarray:
+    """Per-sample shift-window requirement (i0 span) of the shared-slope
+    scheme — samples beyond the roll window must take the host path."""
+    pos = np.asarray(pos, dtype=np.float64)
+    n, l, j = pos.shape
+    slopes = (pos[:, :, -1] - pos[:, :, 0]).mean(axis=1) / max(j - 1, 1)
+    return np.ceil(np.abs(slopes) * (j - 1)).astype(np.int64)
+
+
 def dense_warp_positions(
     map_ys: np.ndarray,
     map_xs: np.ndarray,
@@ -466,7 +489,10 @@ def dense_warp_positions(
 
     # Pass V positions: g(y, u) = map_y(y, x*(y, u)) with map_x(y, x*) = u,
     # for u over the INPUT column grid.  Rows are monotone in x, so x* is a
-    # 1-D interpolation per row; clamp outside the row's x-range.
+    # 1-D interpolation per row.  Outside the row's x-range EXTRAPOLATE
+    # linearly (np.interp clamps, and a clamped g flattens per-line slopes
+    # at rotated-canvas corners — tap needs then explode and the sample
+    # falls off the device path).
     u_grid = np.arange(w_in, dtype=np.float64)
     out_grid = np.arange(w_out, dtype=np.float64)
     g = np.empty((n, h_out, w_in), dtype=np.float64)
@@ -475,7 +501,23 @@ def dense_warp_positions(
             xs_row = map_xs[idx, y]
             ys_row = map_ys[idx, y]
             x_star = np.interp(u_grid, xs_row, out_grid)
-            g[idx, y] = np.interp(x_star, out_grid, ys_row)
+            lo, hi = xs_row[0], xs_row[-1]
+            sx = (w_out - 1) / max(hi - lo, 1e-9)
+            left = u_grid < lo
+            if left.any():
+                x_star[left] = (u_grid[left] - lo) * sx
+            right = u_grid > hi
+            if right.any():
+                x_star[right] = (w_out - 1) + (u_grid[right] - hi) * sx
+            row_g = np.interp(x_star, out_grid, ys_row)
+            sy = (ys_row[-1] - ys_row[0]) / max(w_out - 1, 1)
+            left = x_star < 0
+            if left.any():
+                row_g[left] = ys_row[0] + x_star[left] * sy
+            right = x_star > w_out - 1
+            if right.any():
+                row_g[right] = ys_row[-1] + (x_star[right] - (w_out - 1)) * sy
+            g[idx, y] = row_g
     # Pass V resamples along the source rows for each input column u:
     # lines = u (W_in), positions over y = g[., y, u] -> transpose.
     pos_v = g.transpose(0, 2, 1)                       # (N, W_in, H_out)

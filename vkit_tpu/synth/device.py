@@ -67,6 +67,11 @@ def _finish_program(stack, map_ys, map_xs, active):
     x = x.at[..., 3 + TEXT_LINE_HEIGHT].multiply(stretch)
     x = x.at[..., 3 + CHAR_HEIGHT].multiply(stretch)
 
+    # The warp extends its backward maps smoothly past the projected
+    # border (tap-budget discipline); the active mask restores border
+    # semantics outside the content region.
+    gate = (active > 0.5).astype(jnp.float32)[..., None]
+    x = x * gate
     images = jnp.clip(jnp.round(x[..., :3]), 0, 255).astype(jnp.uint8)
     labels = x[..., 3:]
     active_u8 = (active > 0.5).astype(jnp.uint8)
@@ -140,8 +145,14 @@ def synthesize_page_batch(
     stack = jnp.concatenate(
         [assembled.astype(jnp.float32), jnp.asarray(labels)], axis=-1
     )
+    # Lattice draws (camera/MLS) at production levels have per-line slope
+    # variation far beyond the two-pass tap budget; route straight to the
+    # fused gather program and skip the feasibility probing (host numpy).
+    warp_mode = (
+        'gather' if any(p.is_lattice for p in plans) else 'auto'
+    )
     warped, shapes, _, (map_ys, map_xs) = batched_plan_warp(
-        plans, stack, return_maps=True
+        plans, stack, return_maps=True, mode=warp_mode
     )
     assert warped.shape[1:3] == out_shape
 

@@ -139,6 +139,35 @@ def measure_reference_fixed_chain(num_iters: int, side: int):
     return num_iters / elapsed, elapsed
 
 
+def measure_reference_single_distortion(name: str, config: dict,
+                                        num_iters: int, side: int,
+                                        with_labels: bool = True):
+    """One catalog distortion with full label co-transform (the per-config
+    baseline for BENCH configs 2-4)."""
+    from vkit.mechanism import distortion as ref_distortion
+
+    dist = getattr(ref_distortion, name)
+    rng = np.random.default_rng(0)
+    image, mask, score_map, polygons, points = build_sample(side, rng)
+
+    def one(seed):
+        kwargs = {'image': image}
+        if with_labels:
+            kwargs.update(mask=mask, score_map=score_map,
+                          polygons=polygons, points=points)
+        return dist.distort(
+            config, rng=np.random.default_rng(seed), **kwargs
+        )
+
+    one(0)
+    begin = time.perf_counter()
+    for seed in range(1, num_iters + 1):
+        result = one(seed)
+    elapsed = time.perf_counter() - begin
+    assert result.image is not None
+    return num_iters / elapsed, elapsed
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--num-seeds', type=int, default=16)
@@ -160,11 +189,58 @@ def main():
     print(f'reference RandomDistortion pipeline @{args.side}: '
           f'{rd_rate:.2f} samples/sec ({rd_secs:.1f}s, {args.num_seeds} seeds)')
 
+    iters = max(4, args.num_seeds // 2)
+    affine_rate, _ = measure_reference_single_distortion(
+        'rotate', {'angle': 17}, iters, args.side
+    )
+    print(f'reference rotate + label co-transform @{args.side}: '
+          f'{affine_rate:.2f} samples/sec')
+    camera_rate, _ = measure_reference_single_distortion(
+        'camera_cubic_curve',
+        {
+            'curve_alpha': 12, 'curve_beta': -10, 'curve_direction': 0,
+            'curve_scale': 1.0,
+            'camera_model_config': {
+                'rotation_unit_vec': [1.0, 0.0, 0.0], 'rotation_theta': 6,
+            },
+            'grid_size': 16,
+        },
+        iters, args.side,
+    )
+    print(f'reference camera_cubic_curve + labels @{args.side}: '
+          f'{camera_rate:.2f} samples/sec')
+    from vkit.element import Point
+
+    mls_rate, _ = measure_reference_single_distortion(
+        'similarity_mls',
+        {
+            'src_handle_points': [
+                Point.create(y=100, x=100),
+                Point.create(y=100, x=args.side - 100),
+                Point.create(y=args.side - 100, x=100),
+                Point.create(y=args.side - 100, x=args.side - 100),
+            ],
+            'dst_handle_points': [
+                Point.create(y=120, x=90),
+                Point.create(y=80, x=args.side - 80),
+                Point.create(y=args.side - 110, x=130),
+                Point.create(y=args.side - 90, x=args.side - 120),
+            ],
+            'grid_size': 16,
+        },
+        iters, args.side,
+    )
+    print(f'reference similarity_mls + labels @{args.side}: '
+          f'{mls_rate:.2f} samples/sec')
+
     payload = {
         'host_cores': multiprocessing.cpu_count(),
         'side': args.side,
         'reference_fixed_chain_samples_per_sec': round(chain_rate, 4),
         'reference_random_distortion_samples_per_sec': round(rd_rate, 4),
+        'reference_rotate_with_labels_samples_per_sec': round(affine_rate, 4),
+        'reference_camera_cubic_curve_samples_per_sec': round(camera_rate, 4),
+        'reference_similarity_mls_samples_per_sec': round(mls_rate, 4),
         'num_seeds': args.num_seeds,
         'notes': (
             'Measured on /root/reference via tools/refshims '

@@ -1,20 +1,16 @@
-"""Batched RandomDistortion: policy sampling on host, gated device apply.
+"""Batched RandomDistortion: policy sampling on host, compiled device apply.
 
 The per-element RandomDistortion threads one image through a sampled
 sequence of distortions (distortion_policy/random_distortion.py).  Here the
 SAME stage sampler runs per batch element on the host (numpy rng, same
-weights/conflict groups/retries), and the device applies each round as
-full-batch catalog programs gated per sample:
+weights/conflict groups/retries), and the device applies each round
+per distortion name: the samples that drew a name gather into a
+power-of-two padded sub-batch, ONE compiled program (batched.py compiled
+dispatch) runs on just those samples, and results scatter back.  No
+full-batch compute for a two-sample draw, no per-draw retraces, and a
+bounded set of compilations per (name, static-signature, bucket).
 
-  round r:  for each distortion name drawn by >=1 sample,
-            out = where(sample drew it, batched_apply(out), out)
-
-All samples share one traced program per (round, name) — no per-sample
-Python on the device path.  Photometric only (the geometric stage changes
-canvas shapes per sample; use parallel.synthesize_batch or
-batched_grid_warp for batched geometry).
-
-The geometric stage IS batched here too (batch_random_geometric_distort):
+The geometric stage is batched too (batch_random_geometric_distort):
 every sampled policy canonicalizes to a WarpPlan, all plans warp in one
 device program on a shared max canvas, and the reference's corner-point
 trim folds into per-sample active-content boxes.
@@ -28,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from .batched import _per_sample, batch_distort_images_compiled
+from .batched import batch_distort_images_compiled
 from .distortion_policy.random_distortion import (
     RandomDistortionStage,
     RandomDistortionStageConfig,
@@ -50,13 +46,6 @@ def _static_signature(config) -> tuple:
         for field in _STATIC_FIELDS
         if hasattr(config, field)
     )
-
-
-def _gate(original, distorted, selected):
-    sel = _per_sample(selected.astype(np.float32))
-    out = distorted.astype(jnp.float32) * sel \
-        + original.astype(jnp.float32) * (1.0 - sel)
-    return jnp.round(out).astype(jnp.uint8)
 
 
 def batch_random_photometric_distort(
@@ -97,7 +86,7 @@ def batch_random_photometric_distort(
         sequences.append(seq)
 
     max_rounds = max((len(seq) for seq in sequences), default=0)
-    out = images
+    out = jnp.asarray(images)
     for round_idx in range(max_rounds):
         name_to_members = defaultdict(list)
         for sample_idx, seq in enumerate(sequences):
@@ -115,28 +104,43 @@ def batch_random_photometric_distort(
                     by_sig[_static_signature(member[1])].append(member)
                 groups = [by_sig[sig] for sig in sorted(by_sig)]
             for group in groups:
-                selected = np.zeros(n, dtype=bool)
-                configs = [group[0][1]] * n
-                for sample_idx, config in group:
-                    selected[sample_idx] = True
-                    configs[sample_idx] = config
                 try:
-                    distorted = batch_distort_images_compiled(name, configs, out, key)
+                    out = _apply_group(name, group, out, key)
                 except AssertionError:
                     if len(group) == 1:
                         raise
                     # A shape-static param not covered by _STATIC_FIELDS
                     # differs within the group: apply member-by-member.
-                    for sample_idx, config in group:
-                        one = np.zeros(n, dtype=bool)
-                        one[sample_idx] = True
-                        distorted = batch_distort_images_compiled(
-                            name, [config] * n, out, key
-                        )
-                        out = _gate(out, distorted, one)
-                    continue
-                out = _gate(out, distorted, selected)
+                    for member in group:
+                        out = _apply_group(name, [member], out, key)
     return out
+
+
+def _apply_group(name, group, out, key):
+    """Apply one distortion to its member sub-batch only.
+
+    Members gather into a power-of-two padded sub-batch (bounded compile
+    count), the compiled op runs on just those samples, and results
+    scatter back — no full-batch compute for a 2-sample draw (the round-1
+    per-name gating recomputed the whole batch and masked most of it off).
+    """
+    n = out.shape[0]
+    idx = [sample_idx for sample_idx, _ in group]
+    if len(idx) == n:
+        configs = [config for _, config in group]
+        return batch_distort_images_compiled(name, configs, out, key)
+
+    bucket = 1
+    while bucket < len(idx):
+        bucket *= 2
+    padded_idx = idx + [idx[0]] * (bucket - len(idx))
+    configs = [group[0][1]] * bucket
+    for slot, (_, config) in enumerate(group):
+        configs[slot] = config
+
+    sub = jnp.take(out, jnp.asarray(padded_idx), axis=0)
+    distorted = batch_distort_images_compiled(name, configs, sub, key)
+    return out.at[jnp.asarray(idx)].set(distorted[:len(idx)])
 
 
 def sample_geometric_plans(

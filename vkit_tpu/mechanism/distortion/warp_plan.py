@@ -20,6 +20,47 @@ from ...element import Image, Mask, Polygon, ScoreMap
 from ...ops import warp as warp_ops
 
 
+_BWD_NATIVE = None
+_BWD_NATIVE_TRIED = False
+
+
+def _native_lattice_backward_maps(dst_quads, inv_mats, shape):
+    """C++ per-cell fill + homography (vkit_tpu/native); None if
+    unavailable.  Bit-compatible with the Python per-cell loop below
+    (same vg_fill_poly coverage rule)."""
+    global _BWD_NATIVE, _BWD_NATIVE_TRIED
+    if not _BWD_NATIVE_TRIED:
+        _BWD_NATIVE_TRIED = True
+        try:
+            from ...native import load_library
+            lib = load_library()
+            if lib is not None and hasattr(lib, 'vg_lattice_backward_maps'):
+                _BWD_NATIVE = lib
+        except Exception:  # noqa: BLE001
+            _BWD_NATIVE = None
+    if _BWD_NATIVE is None:
+        return None
+
+    import ctypes
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    dst_h, dst_w = shape
+    quads = np.ascontiguousarray(dst_quads, dtype=np.float64)
+    mats = np.ascontiguousarray(inv_mats, dtype=np.float64)
+    map_y = np.zeros((dst_h, dst_w), dtype=np.float32)
+    map_x = np.zeros((dst_h, dst_w), dtype=np.float32)
+    covered = np.zeros((dst_h, dst_w), dtype=np.uint8)
+    _BWD_NATIVE.vg_lattice_backward_maps(
+        quads.ctypes.data_as(f64p), mats.ctypes.data_as(f64p),
+        len(quads), dst_h, dst_w,
+        map_y.ctypes.data_as(f32p), map_x.ctypes.data_as(f32p),
+        covered.ctypes.data_as(u8p),
+    )
+    return map_y, map_x, covered.astype(bool)
+
+
 @dataclass
 class WarpPlan:
     src_shape: Tuple[int, int]
@@ -119,6 +160,14 @@ class WarpPlan:
 
         inv_mats = self._cell_mats(inverse=True)
         dst_quads = self._quads('dst')
+
+        native = _native_lattice_backward_maps(
+            dst_quads, inv_mats, (dst_h, dst_w)
+        )
+        if native is not None:
+            self._cache['bwd'] = native
+            return native
+
         for idx in range(dst_quads.shape[0]):
             quad = dst_quads[idx]
             x0 = max(int(np.floor(quad[:, 0].min())), 0)

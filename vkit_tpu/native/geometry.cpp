@@ -106,6 +106,66 @@ void vg_fill_poly(const double* points_xy, int n_points,
     }
 }
 
+// Backward maps for a lattice warp: for each dst cell quad (K cells,
+// corners pre-rounded like the host path), scanline-fill the quad with
+// the SAME rule as vg_fill_poly and write the cell's inverse-homography
+// source coordinates into map_x / map_y (+ coverage).  This is the hot
+// per-cell loop of WarpPlan.backward_maps moved to C++ (~100x the Python
+// per-cell version on production canvases).
+void vg_lattice_backward_maps(
+    const double* quads_xy,   // K * 4 * 2 (x, y), clockwise from up-left
+    const double* inv_mats,   // K * 9 row-major 3x3
+    int n_cells,
+    int height, int width,
+    float* map_y, float* map_x, uint8_t* covered) {
+    std::vector<uint8_t> local;
+    for (int c = 0; c < n_cells; ++c) {
+        const double* quad = quads_xy + c * 8;
+        double x_min = 1e300, x_max = -1e300, y_min = 1e300, y_max = -1e300;
+        for (int i = 0; i < 4; ++i) {
+            double x = quad[2 * i], y = quad[2 * i + 1];
+            if (x < x_min) x_min = x;
+            if (x > x_max) x_max = x;
+            if (y < y_min) y_min = y;
+            if (y > y_max) y_max = y;
+        }
+        long long x0 = (long long)std::floor(x_min); if (x0 < 0) x0 = 0;
+        long long y0 = (long long)std::floor(y_min); if (y0 < 0) y0 = 0;
+        long long x1 = (long long)std::ceil(x_max);
+        if (x1 > width - 1) x1 = width - 1;
+        long long y1 = (long long)std::ceil(y_max);
+        if (y1 > height - 1) y1 = height - 1;
+        if (x1 < x0 || y1 < y0) continue;
+        int lh = (int)(y1 - y0 + 1);
+        int lw = (int)(x1 - x0 + 1);
+        local.assign((size_t)lh * lw, 0);
+        double shifted[8];
+        for (int i = 0; i < 4; ++i) {
+            shifted[2 * i] = quad[2 * i] - (double)x0;
+            shifted[2 * i + 1] = quad[2 * i + 1] - (double)y0;
+        }
+        vg_fill_poly(shifted, 4, lh, lw, local.data());
+
+        const double* m = inv_mats + c * 9;
+        for (int ly = 0; ly < lh; ++ly) {
+            const uint8_t* row = local.data() + (size_t)ly * lw;
+            long long dy = y0 + ly;
+            for (int lx = 0; lx < lw; ++lx) {
+                if (!row[lx]) continue;
+                long long dx = x0 + lx;
+                double w = m[6] * (double)dx + m[7] * (double)dy + m[8];
+                if (w == 0.0) continue;
+                double sx = (m[0] * (double)dx + m[1] * (double)dy + m[2]) / w;
+                double sy = (m[3] * (double)dx + m[4] * (double)dy + m[5]) / w;
+                size_t off = (size_t)dy * width + dx;
+                map_x[off] = (float)sx;
+                map_y[off] = (float)sy;
+                covered[off] = 1;
+            }
+        }
+    }
+}
+
 // 8-connected component labeling, labels assigned in raster order of each
 // component's first pixel (1-based; 0 = background). Returns the number of
 // components. labels: caller-allocated int32 (height * width).

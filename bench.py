@@ -1,178 +1,426 @@
-"""Driver benchmark: full distortion pipeline @640x640, images/sec/chip.
+"""Driver benchmark: the BASELINE.json workloads vs the MEASURED reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints per-config lines to stderr and ONE JSON line to stdout:
+{"metric", "value", "unit", "vs_baseline"}.  The headline metric is
+BASELINE config 5 — the full RandomDistortion pipeline (policy sampling
+over the complete photometric + geometric catalog, label-raster
+co-transform, analytic polygon/point co-transform, corner trim) — against
+the ACTUAL reference running the same workload on this host's CPU
+(BASELINE_REF.json, tools/measure_reference.py).
 
-The TPU path is vkit_tpu.parallel.synthesize_batch — the whole catalog slice
-(affine warp + contrast/brightness + gaussian noise + JPEG DCT sim + resize)
-as one jitted batch program.  The baseline is the same per-image chain run
-on CPU through the host-side numpy ops (algorithmically equivalent to the
-reference's per-image cv2 pipeline; the reference itself is not importable
-here — it requires shapely/pyclipper which are not installed).  The CPU
-number is measured once and cached in BASELINE_CPU.json.
+Configs (BASELINE.json):
+  1. fixed distortion chain (affine warp + contrast/brightness + noise +
+     JPEG sim + resize) @640^2            vs reference same chain
+  2. affine warp + mask/score-map/polygon/point co-transform @640^2
+                                          vs reference rotate w/ labels
+  3. camera cubic-curve dense-field warp + labels @640^2
+                                          vs reference camera_cubic_curve
+  4. MLS similarity deformation + glyph text compositing @640^2
+                                          vs reference similarity_mls
+                                          (reference number EXCLUDES text
+                                          rendering; ours includes it)
+  5. full RandomDistortion pipeline @640^2 (headline)
+                                          vs reference RandomDistortion
 """
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 REPO = Path(__file__).resolve().parent
-CPU_BASELINE_FILE = REPO / 'BASELINE_CPU.json'
+REF_FILE = REPO / 'BASELINE_REF.json'
 
-BATCH = 64
-HEIGHT = WIDTH = 640
-STEPS = 12
+SIDE = 640
 
 
-def measure_cpu_baseline() -> float:
-    """images/sec for the equivalent per-image chain on CPU.
-
-    Implemented with cv2, exactly the calls the reference's distortions make
-    (vkit/mechanism/distortion/geometric/affine.py cv.warpAffine;
-    photometric/effect.py cv.imencode/imdecode) — a *favorable* stand-in for
-    the reference, which adds Python orchestration on top.  Falls back to
-    this repo's host numpy path if cv2 is unavailable.
-    """
-    rng = np.random.default_rng(0)
-    image_mat = rng.integers(0, 256, (HEIGHT, WIDTH, 3), dtype=np.uint8)
-
-    try:
-        import cv2
-
-        def one(seed: int):
-            sample_rng = np.random.default_rng(seed)
-            mat = cv2.getRotationMatrix2D(
-                ((WIDTH - 1) / 2, (HEIGHT - 1) / 2), 17, 1.0
-            )
-            out = cv2.warpAffine(image_mat, mat, (WIDTH, HEIGHT))
-            out = np.clip(out.astype(np.float32) * 1.2 + 30, 0, 255)
-            noise = sample_rng.normal(0, 10, out.shape)
-            out = np.clip(out + noise, 0, 255).astype(np.uint8)
-            ok, enc = cv2.imencode(
-                '.jpg', out, [cv2.IMWRITE_JPEG_QUALITY, 60]
-            )
-            assert ok
-            return cv2.imdecode(enc, cv2.IMREAD_COLOR)
-
-    except ImportError:
-        from vkit_tpu.element import Image
-        from vkit_tpu.mechanism.distortion import (
-            brightness_shift,
-            gaussion_noise,
-            jpeg_quality,
-            rotate,
-            std_shift,
-        )
-
-        image = Image(mat=image_mat)
-
-        def one(seed: int):
-            sample_rng = np.random.default_rng(seed)
-            out = rotate.distort_image({'angle': 17}, image, rng=sample_rng)
-            out = std_shift.distort_image({'scale': 1.2}, out, rng=sample_rng)
-            out = brightness_shift.distort_image(
-                {'delta': 30}, out, rng=sample_rng
-            )
-            out = gaussion_noise.distort_image({'std': 10}, out, rng=sample_rng)
-            out = jpeg_quality.distort_image({'quality': 60}, out, rng=sample_rng)
-            return out
-
-    one(0)  # Warmup.
-    count = 16
-    start = time.perf_counter()
-    for idx in range(count):
-        one(idx + 1)
-    elapsed = time.perf_counter() - start
-    return count / elapsed
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
-def get_cpu_baseline() -> float:
-    if CPU_BASELINE_FILE.exists():
-        return float(json.loads(CPU_BASELINE_FILE.read_text())['images_per_sec'])
-    # Honest CPU number: measure in a subprocess pinned to the CPU backend
-    # (otherwise the host path could silently dispatch jnp work to the TPU).
-    import subprocess
-    import sys
-    env = dict(os.environ, JAX_PLATFORMS='cpu')
-    out = subprocess.run(
-        [sys.executable, __file__, '--measure-cpu'],
-        capture_output=True, text=True, env=env, check=True,
-    )
-    ips = float(out.stdout.strip().splitlines()[-1])
-    CPU_BASELINE_FILE.write_text(
-        json.dumps({
-            'images_per_sec': ips,
-            'note': (
-                'per-image full distortion chain (rotate + contrast + '
-                'brightness + noise + jpeg) @640x640 on CPU via the host '
-                'numpy path, algorithmically equivalent to the reference '
-                'per-image cv2 pipeline'
-            ),
-        }, indent=2) + '\n'
-    )
-    return ips
+def load_reference() -> dict:
+    if REF_FILE.exists():
+        return json.loads(REF_FILE.read_text())
+    log('BASELINE_REF.json missing — run tools/measure_reference.py; '
+        'falling back to the last recorded numbers')
+    return {
+        'reference_fixed_chain_samples_per_sec': 8.57,
+        'reference_random_distortion_samples_per_sec': 3.19,
+    }
 
 
-def measure_tpu() -> float:
+def _force(x) -> float:
+    """Synchronize: fetch one scalar (block_until_ready is unreliable on
+    the tunneled backend)."""
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).astype(jnp.float32).mean())
+
+
+def _time_loop(fn, warmups: int = 2, iters: int = 3) -> float:
+    """Seconds per iteration of fn (host+device, forced execution)."""
+    for _ in range(warmups):
+        fn()
+    begin = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - begin) / iters
+
+
+def _label_sample(rng):
+    """Polygons + points shaped like the reference workload (64 + 64)."""
+    polygons = []
+    points = np.empty((64, 2), dtype=np.float64)
+    cell = SIDE // 8
+    i = 0
+    for row in range(8):
+        for col in range(8):
+            up, left = row * cell + 4, col * cell + 4
+            polygons.append(np.asarray([
+                (left, up), (left + cell - 8, up),
+                (left + cell - 8, up + cell // 2), (left, up + cell // 2),
+            ], dtype=np.float64))
+            points[i] = (left, up)
+            i += 1
+    return polygons, points
+
+
+def _label_stack(batch: int, rng) -> np.ndarray:
+    """(N, H, W, 2) float32: a full mask channel + a random score map."""
+    stack = np.empty((batch, SIDE, SIDE, 2), dtype=np.float32)
+    stack[..., 0] = 1.0
+    stack[..., 1] = rng.random((batch, SIDE, SIDE), dtype=np.float32)
+    return stack
+
+
+def _transform_labels(plans, polygons, points):
+    # One vectorized forward map per sample (the per-polygon loop is pure
+    # Python overhead; the reference pays it per polygon, we don't).
+    all_xy = np.concatenate(polygons + [points], axis=0)
+    for plan in plans:
+        plan.map_points(all_xy)
+
+
+def bench_fixed_chain() -> float:
+    """Config 1: the one-jit chain (parallel.synthesize_batch), timed as a
+    lax.scan on-device loop (dispatch-free)."""
     import jax
+    import jax.numpy as jnp
 
     from vkit_tpu.parallel import sample_synthesis_params, synthesize_batch
 
+    batch, steps = 64, 12
     rng = np.random.default_rng(0)
-    images = rng.integers(0, 256, (BATCH, HEIGHT, WIDTH, 3), dtype=np.uint8)
-    images_dev = jax.device_put(jax.numpy.asarray(images))
+    images = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (batch, SIDE, SIDE, 3), dtype=np.uint8)
+    ))
     params, warp_statics = sample_synthesis_params(
-        rng, BATCH, HEIGHT, WIDTH, level=5
+        rng, batch, SIDE, SIDE, level=5
     )
     params = jax.device_put(params)
     key = jax.random.PRNGKey(0)
 
-    jnp = jax.numpy
-
-    # The whole timing loop runs as ONE device program (lax.scan): the
-    # tunneled backend costs ~28ms per dispatch, which would otherwise
-    # dominate.  Each scan step re-runs the full pipeline with a distinct
-    # key (not hoistable), and the mean-accumulator forces every step's
-    # execution; one scalar fetch at the end synchronizes.
     @jax.jit
     def timed_loop(images, params, key):
         def body(acc, step):
             out = synthesize_batch(
                 images, params, jax.random.fold_in(key, step),
-                warp_statics=warp_statics, out_shape=(HEIGHT, WIDTH),
+                warp_statics=warp_statics, out_shape=(SIDE, SIDE),
             )
             return acc + out.astype(jnp.float32).mean(), None
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(STEPS))
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(steps))
         return acc
 
-    float(timed_loop(images_dev, params, key))  # Compile + warmup.
+    float(timed_loop(images, params, key))  # compile + warm
+    begin = time.perf_counter()
+    float(timed_loop(images, params, key))
+    return (steps * batch) / (time.perf_counter() - begin)
 
-    start = time.perf_counter()
-    float(timed_loop(images_dev, params, key))
-    elapsed = time.perf_counter() - start
-    return (STEPS * BATCH) / elapsed
+
+def bench_affine_labels() -> float:
+    """Config 2: rotate warp moving image + mask + score map together,
+    plus analytic polygon/point co-transform (the reference's
+    rotate.distort workload)."""
+    import jax.numpy as jnp
+
+    from vkit_tpu.mechanism.batched import batched_plan_warp
+    from vkit_tpu.mechanism.distortion import rotate
+
+    batch = 64
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (batch, SIDE, SIDE, 3), dtype=np.uint8)
+    stack = jnp.asarray(np.concatenate(
+        [images.astype(np.float32), _label_stack(batch, rng)], axis=-1
+    ))
+    polygons, points = _label_sample(rng)
+
+    state = {'angle': 17.0}
+
+    def step():
+        state['angle'] += 0.01  # distinct param draw, same program
+        plans = [
+            rotate.plan({'angle': state['angle']}, (SIDE, SIDE),
+                        np.random.default_rng(0))
+            for _ in range(batch)
+        ]
+        out = batched_plan_warp(plans, stack, canvas_shape=(832, 832))[0]
+        _transform_labels(plans, polygons, points)
+        _force(out[:, ::64, ::64, 0])
+
+    secs = _time_loop(step)
+    return batch / secs
+
+
+def _camera_config():
+    return {
+        'curve_alpha': 12, 'curve_beta': -10, 'curve_direction': 0,
+        'curve_scale': 1.0,
+        'camera_model_config': {
+            'rotation_unit_vec': [1.0, 0.0, 0.0], 'rotation_theta': 6,
+        },
+        'grid_size': 16,
+    }
+
+
+def bench_camera_labels() -> float:
+    """Config 3: camera cubic-curve dense-field warp + labels."""
+    import jax.numpy as jnp
+
+    from vkit_tpu.mechanism.batched import batched_plan_warp
+    from vkit_tpu.mechanism.distortion import camera_cubic_curve
+
+    batch = 32
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (batch, SIDE, SIDE, 3), dtype=np.uint8)
+    stack = jnp.asarray(np.concatenate(
+        [images.astype(np.float32), _label_stack(batch, rng)], axis=-1
+    ))
+    polygons, points = _label_sample(rng)
+    config = _camera_config()
+
+    state = {'alpha': 12.0}
+
+    def step():
+        state['alpha'] += 0.01
+        cfg = dict(config, curve_alpha=state['alpha'])
+        plans = [
+            camera_cubic_curve.plan(cfg, (SIDE, SIDE),
+                                    np.random.default_rng(0))
+            for _ in range(batch)
+        ]
+        out = batched_plan_warp(
+            plans, stack, canvas_shape=(704, 704), mode='gather'
+        )[0]
+        _transform_labels(plans, polygons, points)
+        _force(out[:, ::64, ::64, 0])
+
+    secs = _time_loop(step)
+    return batch / secs
+
+
+def bench_mls_glyphs() -> float:
+    """Config 4: glyph text compositing onto the page batch, then an MLS
+    similarity deformation of image + labels.  (The reference baseline is
+    MLS alone — text rendering there is a separate host engine.)"""
+    import jax.numpy as jnp
+
+    from vkit_tpu.element import Point
+    from vkit_tpu.mechanism.batched import batched_plan_warp
+    from vkit_tpu.mechanism.distortion import similarity_mls
+    from vkit_tpu.ops.glyph import build_placements, composite_glyphs
+
+    batch = 32
+    rng = np.random.default_rng(3)
+    images = rng.integers(150, 256, (batch, SIDE, SIDE, 3), dtype=np.uint8)
+    labels = jnp.asarray(_label_stack(batch, rng))
+    polygons, points = _label_sample(rng)
+
+    # A synthetic glyph atlas (64 tiles) + ~40 glyphs per page.
+    tiles = rng.random((64, 24, 24)).astype(np.float32)
+    rows = []
+    for sample_id in range(batch):
+        for _ in range(40):
+            rows.append({
+                'glyph_id': int(rng.integers(0, 64)),
+                'sample_id': sample_id,
+                'up': int(rng.integers(0, SIDE - 32)),
+                'left': int(rng.integers(0, SIDE - 32)),
+                'dst_h': int(rng.integers(16, 32)),
+                'dst_w': int(rng.integers(16, 32)),
+                'src_h': 24.0, 'src_w': 24.0,
+                'color': np.zeros(3, dtype=np.float32),
+            })
+    placements = build_placements(rows, bucket=1024)
+
+    mls_config = {
+        'src_handle_points': [
+            Point.create(y=100, x=100), Point.create(y=100, x=SIDE - 100),
+            Point.create(y=SIDE - 100, x=100),
+            Point.create(y=SIDE - 100, x=SIDE - 100),
+        ],
+        'dst_handle_points': [
+            Point.create(y=120, x=90), Point.create(y=80, x=SIDE - 80),
+            Point.create(y=SIDE - 110, x=130),
+            Point.create(y=SIDE - 90, x=SIDE - 120),
+        ],
+        'grid_size': 16,
+    }
+
+    images_dev = jnp.asarray(images)
+
+    def step():
+        composited = composite_glyphs(images_dev, tiles, placements,
+                                      out_tile=32)
+        stack = jnp.concatenate(
+            [composited.astype(jnp.float32), labels], axis=-1
+        )
+        plans = [
+            similarity_mls.plan(mls_config, (SIDE, SIDE),
+                                np.random.default_rng(0))
+            for _ in range(batch)
+        ]
+        out = batched_plan_warp(
+            plans, stack, canvas_shape=(704, 704), mode='gather'
+        )[0]
+        _transform_labels(plans, polygons, points)
+        _force(out[:, ::64, ::64, 0])
+
+    secs = _time_loop(step)
+    return batch / secs
+
+
+def bench_random_distortion() -> float:
+    """Config 5 (headline): the full RandomDistortion pipeline — policy
+    sampling over the whole catalog, photometric stage, geometric stage
+    warping image + mask + score map in one program, analytic polygon /
+    point co-transform, and the corner trim as content boxes."""
+    import jax
+    import jax.numpy as jnp
+
+    from vkit_tpu.element import Mask
+    from vkit_tpu.mechanism.batched import batched_plan_warp
+    from vkit_tpu.mechanism.batched_random import (
+        batch_random_photometric_distort,
+        sample_geometric_plans,
+    )
+    from vkit_tpu.mechanism.distortion.warp_plan import (
+        rescale_plan_to,
+        warp_active_mask,
+    )
+
+    batch = 32
+    out_shape = (704, 704)   # static letterbox canvas for randomized draws
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(
+        rng.integers(0, 256, (batch, SIDE, SIDE, 3), dtype=np.uint8)
+    )
+    labels = jnp.asarray(_label_stack(batch, rng))
+    polygons, points = _label_sample(rng)
+    key = jax.random.PRNGKey(0)
+
+    def step():
+        photo = batch_random_photometric_distort(images, 5, rng, key=key)
+        raw_plans = sample_geometric_plans(batch, (SIDE, SIDE), 5, rng)
+        plans = [rescale_plan_to(p, out_shape) for p in raw_plans]
+        stack = jnp.concatenate(
+            [photo.astype(jnp.float32), labels], axis=-1
+        )
+        mode = 'gather' if any(p.is_lattice for p in plans) else 'auto'
+        out = batched_plan_warp(plans, stack, mode=mode)[0]
+        _transform_labels(plans, polygons, points)
+        # Corner trim: per-sample active content boxes.
+        for plan in plans:
+            mask = warp_active_mask(plan)
+            try:
+                mask.to_external_box()
+            except RuntimeError:
+                pass
+        _force(out[:, ::64, ::64, 0])
+
+    secs = _time_loop(step, warmups=3, iters=4)
+    return batch / secs
 
 
 def main():
-    cpu_ips = get_cpu_baseline()
-    tpu_ips = measure_tpu()
+    from vkit_tpu.utility import enable_compilation_cache
+
+    enable_compilation_cache()
+    ref = load_reference()
+
+    t0 = time.time()
+    chain = bench_fixed_chain()
+    ref_chain = ref.get('reference_fixed_chain_samples_per_sec', 8.57)
+    log(f'[1] fixed distortion chain @640^2: {chain:.1f} img/s '
+        f'(reference {ref_chain:.2f}/s -> {chain / ref_chain:.1f}x) '
+        f'[{time.time() - t0:.0f}s]')
+
+    t0 = time.time()
+    affine = bench_affine_labels()
+    ref_affine = ref.get('reference_rotate_with_labels_samples_per_sec')
+    log(f'[2] affine warp + label co-transform: {affine:.1f} samples/s'
+        + (f' (reference {ref_affine:.2f}/s -> {affine / ref_affine:.1f}x)'
+           if ref_affine else '')
+        + f' [{time.time() - t0:.0f}s]')
+
+    t0 = time.time()
+    camera = bench_camera_labels()
+    ref_camera = ref.get('reference_camera_cubic_curve_samples_per_sec')
+    log(f'[3] camera cubic-curve warp + labels: {camera:.1f} samples/s'
+        + (f' (reference {ref_camera:.2f}/s -> {camera / ref_camera:.1f}x)'
+           if ref_camera else '')
+        + f' [{time.time() - t0:.0f}s]')
+
+    t0 = time.time()
+    mls = bench_mls_glyphs()
+    ref_mls = ref.get('reference_similarity_mls_samples_per_sec')
+    log(f'[4] MLS deformation + glyph compositing: {mls:.1f} samples/s'
+        + (f' (reference MLS-only {ref_mls:.2f}/s -> {mls / ref_mls:.1f}x)'
+           if ref_mls else '')
+        + f' [{time.time() - t0:.0f}s]')
+
+    t0 = time.time()
+    rd = bench_random_distortion()
+    ref_rd = ref.get('reference_random_distortion_samples_per_sec', 3.19)
+    log(f'[5] full RandomDistortion pipeline: {rd:.1f} samples/s '
+        f'(reference {ref_rd:.2f}/s -> {rd / ref_rd:.1f}x) '
+        f'[{time.time() - t0:.0f}s]')
+
     print(json.dumps({
-        'metric': 'full distortion pipeline @640x640',
-        'value': round(tpu_ips, 2),
+        'metric': (
+            'full RandomDistortion pipeline @640x640 '
+            '(policy sampling + full catalog + label co-transform + trim)'
+        ),
+        'value': round(rd, 2),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(tpu_ips / cpu_ips, 2),
+        'vs_baseline': round(rd / ref_rd, 2),
+        'configs': {
+            'fixed_chain': {
+                'value': round(chain, 2),
+                'vs_reference': round(chain / ref_chain, 2),
+            },
+            'affine_with_labels': {
+                'value': round(affine, 2),
+                'vs_reference': (
+                    round(affine / ref_affine, 2) if ref_affine else None
+                ),
+            },
+            'camera_cubic_curve_with_labels': {
+                'value': round(camera, 2),
+                'vs_reference': (
+                    round(camera / ref_camera, 2) if ref_camera else None
+                ),
+            },
+            'mls_with_glyph_compositing': {
+                'value': round(mls, 2),
+                'vs_reference_mls_only': (
+                    round(mls / ref_mls, 2) if ref_mls else None
+                ),
+            },
+        },
     }))
 
 
 if __name__ == '__main__':
-    import sys
-
-    if '--measure-cpu' in sys.argv:
-        # The axon sitecustomize pre-imports jax with the TPU platform; env
-        # vars alone are ignored, so force the backend before first use.
-        import jax
-        jax.config.update('jax_platforms', 'cpu')
-        print(measure_cpu_baseline())
-    else:
-        main()
+    main()

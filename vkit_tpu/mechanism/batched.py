@@ -518,10 +518,7 @@ def plan_backward_maps(plan, src_shape):
 
     if plan.matrix is not None:
         map_y, map_x = affine_maps_np(plan.matrix, plan.dst_shape)
-        return (
-            map_y.astype(np.float64), map_x.astype(np.float64),
-            np.ones(plan.dst_shape, dtype=bool),
-        )
+        return map_y, map_x, np.ones(plan.dst_shape, dtype=bool)
 
     map_y, map_x, cov = plan.backward_maps()
     map_y = np.asarray(map_y, dtype=np.float64).copy()
@@ -585,6 +582,104 @@ def plan_backward_maps(plan, src_shape):
     return map_y, map_x, cov
 
 
+
+
+def _interp_weights(length: int, nodes: np.ndarray) -> np.ndarray:
+    """(length, len(nodes)) float32 bilinear weights through node rows."""
+    idx = np.searchsorted(nodes, np.arange(length), side='right') - 1
+    idx = np.clip(idx, 0, len(nodes) - 2)
+    left = nodes[idx]
+    right = nodes[idx + 1]
+    t = (np.arange(length) - left) / np.maximum(right - left, 1)
+    weights = np.zeros((length, len(nodes)), dtype=np.float32)
+    rows = np.arange(length)
+    weights[rows, idx] = 1.0 - t
+    weights[rows, idx + 1] = t
+    return weights
+
+
+@jax.jit
+def _coarse_gather_remap(stack_f32, coarse_y, coarse_x, w_y, w_x, border):
+    """Upsample coarse backward maps (tap matmuls) + bilinear gather, one
+    program.  Returns (warped, map_y_full, map_x_full) — all on device."""
+    from ..ops.warp import remap_f32
+
+    my = jnp.einsum(
+        'hr,nrc,wc->nhw', w_y, coarse_y, w_x,
+        preferred_element_type=jnp.float32,
+    )
+    mx = jnp.einsum(
+        'hr,nrc,wc->nhw', w_y, coarse_x, w_x,
+        preferred_element_type=jnp.float32,
+    )
+    warped = jax.vmap(
+        lambda im, a, b: remap_f32(im, a, b, 'bilinear', border),
+        in_axes=(0, 0, 0),
+    )(stack_f32, my, mx)
+    return warped, my, mx
+
+
+def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
+                        node_step: int = 8):
+    """Gather-warp a batch from per-sample backward maps sampled at coarse
+    nodes (linear extension beyond each sample's own canvas)."""
+    h_max, w_max = canvas
+    n = len(map_list)
+    ys = np.unique(np.round(
+        np.linspace(0, h_max - 1, max(2, (h_max - 1) // node_step + 1))
+    ).astype(np.int64))
+    xs = np.unique(np.round(
+        np.linspace(0, w_max - 1, max(2, (w_max - 1) // node_step + 1))
+    ).astype(np.int64))
+
+    coarse_y = np.empty((n, len(ys), len(xs)), dtype=np.float32)
+    coarse_x = np.empty((n, len(ys), len(xs)), dtype=np.float32)
+    for idx, (my, mx) in enumerate(map_list):
+        h, w = shapes[idx]
+        if h == h_max and w == w_max:
+            coarse_y[idx] = my[np.ix_(ys, xs)]
+            coarse_x[idx] = mx[np.ix_(ys, xs)]
+            continue
+        # Linear extension beyond this sample's dst canvas (same rule as
+        # the dense padding path): extend columns then rows.
+        ys_in = np.minimum(ys, h - 1)
+        xs_in = np.minimum(xs, w - 1)
+        cy = my[np.ix_(ys_in, xs_in)].astype(np.float64)
+        cx = mx[np.ix_(ys_in, xs_in)].astype(np.float64)
+        over_x = xs > w - 1
+        if over_x.any() and w > 1:
+            step_x = (mx[ys_in, w - 1] - mx[ys_in, 0]) / (w - 1)
+            step_y = (my[ys_in, w - 1] - my[ys_in, 0]) / (w - 1)
+            d = (xs[over_x] - (w - 1)).astype(np.float64)
+            cx[:, over_x] = mx[ys_in, w - 1][:, None] + d[None, :] * step_x[:, None]
+            cy[:, over_x] = my[ys_in, w - 1][:, None] + d[None, :] * step_y[:, None]
+        over_y = ys > h - 1
+        if over_y.any() and h > 1:
+            last = np.flatnonzero(~over_y)[-1]
+            step_cy = (cy[last] - cy[0]) / max(ys[last], 1)
+            step_cx = (cx[last] - cx[0]) / max(ys[last], 1)
+            d = (ys[over_y] - ys[last]).astype(np.float64)
+            cy[over_y] = cy[last][None, :] + d[:, None] * step_cy[None, :]
+            cx[over_y] = cx[last][None, :] + d[:, None] * step_cx[None, :]
+        coarse_y[idx] = cy
+        coarse_x[idx] = cx
+
+    w_y = _interp_weights(h_max, ys)
+    w_x = _interp_weights(w_max, xs)
+
+    images = jnp.asarray(images)
+    orig_dtype = images.dtype
+    warped, my_full, mx_full = _coarse_gather_remap(
+        images.astype(jnp.float32),
+        jnp.asarray(coarse_y), jnp.asarray(coarse_x),
+        jnp.asarray(w_y), jnp.asarray(w_x),
+        float(border_value),
+    )
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        warped = jnp.clip(jnp.round(warped), 0, 255).astype(orig_dtype)
+    return warped, (my_full, mx_full)
+
+
 def batched_plan_warp(
     plans: Sequence,
     images,
@@ -630,8 +725,67 @@ def batched_plan_warp(
     if canvas_shape is not None:
         h_max = max(h_max, canvas_shape[0])
         w_max = max(w_max, canvas_shape[1])
-    map_ys = np.zeros((n, h_max, w_max), dtype=np.float64)
-    map_xs = np.zeros((n, h_max, w_max), dtype=np.float64)
+
+    if mode == 'gather':
+        # Coarse-node path: only ~1/64th of the backward field crosses the
+        # host->device link; the dense maps re-materialize ON DEVICE as
+        # two tap-weight matmuls fused with the gather remap (uploading
+        # full maps cost ~125MB/batch over the tunnel — the wall).
+        warped, dev_maps = _coarse_gather_warp(
+            images, map_list, shapes, (h_max, w_max), border_value
+        )
+        if return_maps:
+            return warped, shapes, coverages, dev_maps
+        return warped, shapes, coverages
+
+    # Affine fast path: every plan is an affine matrix (or nop) — no dense
+    # maps at all.  Host work is a handful of 3x3 inversions; the device
+    # program is the exact two-pass MXU warp (ops/warp_mxu.py affine form).
+    if mode != 'gather':
+        mats = []
+        affine_ok = True
+        for plan in plans:
+            if plan.is_lattice:
+                affine_ok = False
+                break
+            mat3 = np.eye(3, dtype=np.float64)
+            if plan.matrix is not None:
+                m = np.asarray(plan.matrix, dtype=np.float64)
+                mat3[:m.shape[0]] = m
+            if np.abs(mat3[2, :2]).max() > 1e-9:
+                affine_ok = False  # perspective (skew_hori/vert)
+                break
+            mats.append(mat3)
+        if affine_ok:
+            inv_aa = np.asarray([
+                np.linalg.inv(m)[0, 0] for m in mats
+            ])
+            # The two-shear decomposition degenerates near 90-degree
+            # rotations; those (rare) batches take the dense path below.
+            if np.abs(inv_aa).min() > 0.2:
+                from ..ops.warp_mxu import apply_affine_warp, plan_affine_warp
+
+                aplan, astatics = plan_affine_warp(
+                    np.stack(mats), (h_in, w_in), (h_max, w_max)
+                )
+                fn = _jax.jit(
+                    apply_affine_warp,
+                    static_argnames=('statics', 'border_value'),
+                )
+                warped = fn(
+                    images, aplan, statics=astatics,
+                    border_value=border_value,
+                )
+                if return_maps:
+                    # Affine maps are analytic; callers needing the local
+                    # stretch derive it from the matrices (see
+                    # synth.device).  Returning None skips materializing
+                    # two (N, H, W) float arrays on the host.
+                    return warped, shapes, coverages, None
+                return warped, shapes, coverages
+
+    map_ys = np.zeros((n, h_max, w_max), dtype=np.float32)
+    map_xs = np.zeros((n, h_max, w_max), dtype=np.float32)
     for idx, (my, mx) in enumerate(map_list):
         h, w = my.shape
         map_ys[idx, :h, :w] = my
@@ -661,7 +815,6 @@ def batched_plan_warp(
     # ONE fused bilinear-gather program instead.  The gather lowers well
     # off roofline on TPU but still clears this batch size in ~0.2s —
     # ~50x faster than per-sample host remaps, and a single compilation.
-    from ..ops.warp import remap_f32
     from ..ops.warp_mxu import (
         dense_warp_positions,
         line_tap_needs,
@@ -669,30 +822,24 @@ def batched_plan_warp(
         plan_dense_warp_from_positions,
     )
 
-    # mode='gather' skips the feasibility analysis entirely (the position
-    # transpose + tap probing is 1-2s of host numpy per batch — wasted
-    # when the caller already knows the draws exceed the tap budget).
-    if mode == 'gather':
-        two_pass = False
-    else:
-        pos_v, map_xs_fixed, row_monotone = dense_warp_positions(
-            map_ys, map_xs, (h_in, w_in)
-        )
-        needs = np.maximum(
-            line_tap_needs(pos_v), line_tap_needs(map_xs_fixed)
-        )
+    pos_v, map_xs_fixed, row_monotone = dense_warp_positions(
+        map_ys, map_xs, (h_in, w_in)
+    )
+    needs = np.maximum(
+        line_tap_needs(pos_v), line_tap_needs(map_xs_fixed)
+    )
 
-        def window_fits(spans, in_len):
-            slab = in_len + spans + taps_max <= 1792
-            return (spans + taps_max <= 832) | slab
+    def window_fits(spans, in_len):
+        slab = in_len + spans + taps_max <= 1792
+        return (spans + taps_max <= 832) | slab
 
-        windows_ok = (
-            window_fits(line_window_needs(pos_v), h_in)
-            & window_fits(line_window_needs(map_xs_fixed), w_in)
-        )
-        two_pass = bool(
-            (row_monotone & (needs <= taps_max) & windows_ok).all()
-        )
+    windows_ok = (
+        window_fits(line_window_needs(pos_v), h_in)
+        & window_fits(line_window_needs(map_xs_fixed), w_in)
+    )
+    two_pass = bool(
+        (row_monotone & (needs <= taps_max) & windows_ok).all()
+    )
 
     if two_pass:
         try:
@@ -712,23 +859,11 @@ def batched_plan_warp(
                 return warped, shapes, coverages, (map_ys, map_xs)
             return warped, shapes, coverages
 
-    gather_fn = _jax.jit(
-        jax.vmap(
-            lambda im, my, mx, bv: remap_f32(im, my, mx, 'bilinear', bv),
-            in_axes=(0, 0, 0, None),
-        ),
-        static_argnums=(),
+    warped, dev_maps = _coarse_gather_warp(
+        images, map_list, shapes, (h_max, w_max), border_value
     )
-    warped = gather_fn(
-        to_f32(jnp.asarray(images)),
-        jnp.asarray(map_ys, dtype=jnp.float32),
-        jnp.asarray(map_xs, dtype=jnp.float32),
-        float(border_value),
-    )
-    if jnp.issubdtype(jnp.asarray(images).dtype, jnp.integer):
-        warped = jnp.clip(jnp.round(warped), 0, 255).astype(jnp.uint8)
     if return_maps:
-        return warped, shapes, coverages, (map_ys, map_xs)
+        return warped, shapes, coverages, dev_maps
     return warped, shapes, coverages
 
 
@@ -1101,82 +1236,177 @@ def _apply_glass_blur(images, key, arrays, static):
     return jax.vmap(permute_one)(blurred, arrays['flat_idx'])
 
 
-def _prep_line_streak(configs, shape, key):
-    from .distortion.photometric.streak import line_streak_stencils
+def _dash_gate(length: int, dash_thickness, dash_gap):
+    """(N, length) bool, True where the dash gap blanks a row/column
+    (traced twin of streak._dash_rows; zero dash params -> no blanking)."""
+    idx = jnp.arange(length, dtype=jnp.float32)[None, :]
+    period = jnp.maximum(dash_thickness + dash_gap, 1.0)[:, None]
+    gated = jnp.mod(idx, period) < dash_gap[:, None]
+    enabled = ((dash_thickness > 0) & (dash_gap > 0))[:, None]
+    return gated & enabled
 
-    n, h, w = shape[:3]
-    masks_v = np.zeros((n, h, w), dtype=np.uint8)
-    masks_h = np.zeros((n, h, w), dtype=np.uint8)
-    for i, cfg in enumerate(configs):
-        vert, hori = line_streak_stencils(
-            (h, w), cfg.thickness, cfg.gap, cfg.dash_thickness, cfg.dash_gap,
-            cfg.enable_vert, cfg.enable_hori,
-        )
-        if vert is not None:
-            masks_v[i] = vert
-        if hori is not None:
-            masks_h[i] = hori
+
+def _prep_line_streak(configs, shape, key):
     return {
-        'masks_v': masks_v, 'masks_h': masks_h,
+        'thickness': _f32(_field(configs, 'thickness')),
+        'gap': _f32(_field(configs, 'gap')),
+        'dash_thickness': _f32(_field(configs, 'dash_thickness')),
+        'dash_gap': _f32(_field(configs, 'dash_gap')),
+        'enable_vert': np.asarray(_field(configs, 'enable_vert'), bool),
+        'enable_hori': np.asarray(_field(configs, 'enable_hori'), bool),
         'colors': _f32(_field(configs, 'color')),
         'alphas': _f32(_field(configs, 'alpha')),
     }, ()
 
 
 def _apply_line_streak(images, key, arrays, static):
+    """Periodic line stencils generated ON DEVICE from iota arithmetic —
+    no host mask build, no (N, H, W) upload."""
+    n, h, w = images.shape[:3]
+    period = jnp.maximum(arrays['thickness'] + arrays['gap'], 1.0)
+    t = arrays['thickness']
+
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    rows = jnp.arange(h, dtype=jnp.float32)[None, :]
+    vert_cols = (jnp.mod(cols, period[:, None]) < t[:, None])
+    hori_rows = (jnp.mod(rows, period[:, None]) < t[:, None])
+    dash_r = _dash_gate(h, arrays['dash_thickness'], arrays['dash_gap'])
+    dash_c = _dash_gate(w, arrays['dash_thickness'], arrays['dash_gap'])
+
+    vert = (
+        vert_cols[:, None, :] & ~dash_r[:, :, None]
+        & arrays['enable_vert'][:, None, None]
+    )
+    hori = (
+        hori_rows[:, :, None] & ~dash_c[:, None, :]
+        & arrays['enable_hori'][:, None, None]
+    )
     out = _blend_streak_masks(
-        images, arrays['masks_v'], arrays['colors'], arrays['alphas']
+        images, vert.astype(jnp.float32), arrays['colors'], arrays['alphas']
     )
     return _blend_streak_masks(
-        out, arrays['masks_h'], arrays['colors'], arrays['alphas']
+        out, hori.astype(jnp.float32), arrays['colors'], arrays['alphas']
     )
 
 
-def _prep_rectangle_streak(configs, shape, key):
-    from .distortion.photometric.streak import rectangle_streak_stencils
+def _concentric_box_array(configs, shape, max_boxes_round: int = 8):
+    """(N, B, 4) float32 concentric frames (up, down, left, right), padded
+    with degenerate rows; B rounds up so compile count stays bounded."""
+    from .distortion.photometric.streak import concentric_boxes
 
     n, h, w = shape[:3]
-    masks = np.zeros((n, h, w), dtype=np.uint8)
-    for i, cfg in enumerate(configs):
-        aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
-        vert, hori = rectangle_streak_stencils(
-            (h, w), cfg.thickness, aspect, cfg.short_side_min,
-            cfg.short_side_step, cfg.dash_thickness, cfg.dash_gap,
-        )
-        masks[i] = vert | hori
-    return {
-        'masks': masks,
-        'colors': _f32(_field(configs, 'color')),
-        'alphas': _f32(_field(configs, 'alpha')),
-    }, ()
-
-
-def _prep_ellipse_streak(configs, shape, key):
-    from .distortion.photometric.streak import (
-        concentric_boxes,
-        ellipse_ring_stencil,
-    )
-
-    n, h, w = shape[:3]
-    masks = np.zeros((n, h, w), dtype=np.uint8)
-    for i, cfg in enumerate(configs):
+    per_sample = []
+    for cfg in configs:
         aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
         boxes = concentric_boxes(h, w, aspect, cfg.short_side_min,
                                  cfg.short_side_step)
-        masks[i] = ellipse_ring_stencil(
-            (h, w), (w // 2, h // 2),
-            [(b.width // 2, b.height // 2) for b in boxes], cfg.thickness,
-        )
+        per_sample.append([
+            (b.up, b.down, b.left, b.right) for b in boxes
+        ])
+    b_max = max((len(b) for b in per_sample), default=1)
+    b_max = max(1, -(-b_max // max_boxes_round) * max_boxes_round)
+    out = np.full((n, b_max, 4), -1e6, dtype=np.float32)
+    for i, boxes in enumerate(per_sample):
+        if boxes:
+            out[i, :len(boxes)] = boxes
+    return out
+
+
+def _prep_rectangle_streak(configs, shape, key):
     return {
-        'masks': masks,
+        'boxes': _concentric_box_array(configs, shape),
+        'thickness': _f32(_field(configs, 'thickness')),
+        'dash_thickness': _f32(_field(configs, 'dash_thickness')),
+        'dash_gap': _f32(_field(configs, 'dash_gap')),
         'colors': _f32(_field(configs, 'color')),
         'alphas': _f32(_field(configs, 'alpha')),
     }, ()
 
 
-def _apply_mask_streak(images, key, arrays, static):
+def _apply_rectangle_streak(images, key, arrays, static):
+    """Concentric frame stencils ON DEVICE: a lax.scan over the (padded)
+    box list accumulates the vertical/horizontal bar masks."""
+    n, h, w = images.shape[:3]
+    t = arrays['thickness'][:, None, None]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+
+    def body(carry, box):
+        vert_acc, hori_acc = carry
+        up = box[:, 0][:, None, None]
+        down = box[:, 1][:, None, None]
+        left = box[:, 2][:, None, None]
+        right = box[:, 3][:, None, None]
+        in_up = down - t + 1.0
+        in_down = up + t - 1.0
+        in_left = right - t + 1.0
+        in_right = left + t - 1.0
+        y_band = (ys >= up) & (ys <= down)
+        vert = y_band & (
+            ((xs >= left) & (xs <= in_right))
+            | ((xs >= in_left) & (xs <= right))
+        )
+        x_core = (xs >= in_right + 1.0) & (xs <= in_left - 1.0)
+        hori = x_core & (
+            ((ys >= up) & (ys <= in_down))
+            | ((ys >= in_up) & (ys <= down))
+        )
+        return (vert_acc | vert, hori_acc | hori), None
+
+    zero = jnp.zeros((n, h, w), dtype=bool)
+    (vert, hori), _ = jax.lax.scan(
+        body, (zero, zero), jnp.transpose(arrays['boxes'], (1, 0, 2))
+    )
+    dash_r = _dash_gate(h, arrays['dash_thickness'], arrays['dash_gap'])
+    dash_c = _dash_gate(w, arrays['dash_thickness'], arrays['dash_gap'])
+    mask = (vert & ~dash_r[:, :, None]) | (hori & ~dash_c[:, None, :])
     return _blend_streak_masks(
-        images, arrays['masks'], arrays['colors'], arrays['alphas']
+        images, mask.astype(jnp.float32), arrays['colors'], arrays['alphas']
+    )
+
+
+def _prep_ellipse_streak(configs, shape, key):
+    boxes = _concentric_box_array(configs, shape)
+    heights = boxes[..., 1] - boxes[..., 0] + 1.0
+    widths = boxes[..., 3] - boxes[..., 2] + 1.0
+    axes = np.stack([widths // 2, heights // 2], axis=-1)
+    axes[boxes[..., 0] < -1e5] = 0.0   # padded rows -> degenerate
+    return {
+        'axes': axes.astype(np.float32),
+        'thickness': _f32(_field(configs, 'thickness')),
+        'colors': _f32(_field(configs, 'color')),
+        'alphas': _f32(_field(configs, 'alpha')),
+    }, ()
+
+
+def _apply_ellipse_streak(images, key, arrays, static):
+    """Implicit-band ellipse rings ON DEVICE (same first-order distance
+    formula as streak.ellipse_ring_stencil), scanned over the ring list."""
+    n, h, w = images.shape[:3]
+    cy, cx = h // 2, w // 2
+    ys = (jnp.arange(h, dtype=jnp.float32) - cy)[None, :, None]
+    xs = (jnp.arange(w, dtype=jnp.float32) - cx)[None, None, :]
+    half = jnp.maximum(arrays['thickness'] - 0.5, 0.5)[:, None, None]
+
+    def body(acc, axes):
+        a = axes[:, 0][:, None, None]
+        b = axes[:, 1][:, None, None]
+        ok = (a > 0) & (b > 0)
+        a_s = jnp.maximum(a, 1.0)
+        b_s = jnp.maximum(b, 1.0)
+        value = (xs / a_s)**2 + (ys / b_s)**2 - 1.0
+        grad = 2.0 * jnp.sqrt(
+            (xs / (a_s * a_s))**2 + (ys / (b_s * b_s))**2
+        )
+        distance = jnp.abs(value) / jnp.maximum(grad, 1e-9)
+        return acc | ((distance <= half) & ok), None
+
+    zero = jnp.zeros((n, h, w), dtype=bool)
+    mask, _ = jax.lax.scan(
+        body, zero, jnp.transpose(arrays['axes'], (1, 0, 2))
+    )
+    return _blend_streak_masks(
+        images, mask.astype(jnp.float32), arrays['colors'], arrays['alphas']
     )
 
 
@@ -1289,8 +1519,8 @@ _COMPILED_CATALOG = {
                                  alpha=static[2]),
     ),
     'line_streak': (_prep_line_streak, _apply_line_streak),
-    'rectangle_streak': (_prep_rectangle_streak, _apply_mask_streak),
-    'ellipse_streak': (_prep_ellipse_streak, _apply_mask_streak),
+    'rectangle_streak': (_prep_rectangle_streak, _apply_rectangle_streak),
+    'ellipse_streak': (_prep_ellipse_streak, _apply_ellipse_streak),
 }
 
 _COMPILED_FNS = {}

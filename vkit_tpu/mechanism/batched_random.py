@@ -3,12 +3,11 @@
 The per-element RandomDistortion threads one image through a sampled
 sequence of distortions (distortion_policy/random_distortion.py).  Here the
 SAME stage sampler runs per batch element on the host (numpy rng, same
-weights/conflict groups/retries), and the device applies each round
-per distortion name: the samples that drew a name gather into a
-power-of-two padded sub-batch, ONE compiled program (batched.py compiled
-dispatch) runs on just those samples, and results scatter back.  No
-full-batch compute for a two-sample draw, no per-draw retraces, and a
-bounded set of compilations per (name, static-signature, bucket).
+weights/conflict groups/retries), and the device applies each round per
+distortion name: ONE compiled program (batched.py compiled dispatch,
+param arrays as jit arguments) runs over the batch and a traced
+where-select keeps non-members' pixels.  No per-draw retraces, and a
+bounded compile set per (name, static-signature).
 
 The geometric stage is batched too (batch_random_geometric_distort):
 every sampled policy canonicalizes to a WarpPlan, all plans warp in one
@@ -117,30 +116,33 @@ def batch_random_photometric_distort(
 
 
 def _apply_group(name, group, out, key):
-    """Apply one distortion to its member sub-batch only.
+    """Apply one distortion to its member samples (full-batch apply +
+    masked select).
 
-    Members gather into a power-of-two padded sub-batch (bounded compile
-    count), the compiled op runs on just those samples, and results
-    scatter back — no full-batch compute for a 2-sample draw (the round-1
-    per-name gating recomputed the whole batch and masked most of it off).
+    The apply runs over the whole batch and non-members keep their
+    pixels via a traced where-select.  Wasted element-wise compute is a
+    few ms on device; the alternative (gathering members into sub-batch
+    buckets) multiplies the compile space by the bucket count, and on a
+    tunneled backend each extra compilation costs minutes — measured
+    strictly worse end to end.
     """
     n = out.shape[0]
     idx = [sample_idx for sample_idx, _ in group]
+    configs = [group[0][1]] * n
+    for sample_idx, config in group:
+        configs[sample_idx] = config
+    distorted = batch_distort_images_compiled(name, configs, out, key)
     if len(idx) == n:
-        configs = [config for _, config in group]
-        return batch_distort_images_compiled(name, configs, out, key)
+        return distorted
+    selected = np.zeros(n, dtype=np.float32)
+    selected[idx] = 1.0
+    return _masked_select(out, distorted, jnp.asarray(selected))
 
-    bucket = 1
-    while bucket < len(idx):
-        bucket *= 2
-    padded_idx = idx + [idx[0]] * (bucket - len(idx))
-    configs = [group[0][1]] * bucket
-    for slot, (_, config) in enumerate(group):
-        configs[slot] = config
 
-    sub = jnp.take(out, jnp.asarray(padded_idx), axis=0)
-    distorted = batch_distort_images_compiled(name, configs, sub, key)
-    return out.at[jnp.asarray(idx)].set(distorted[:len(idx)])
+@jax.jit
+def _masked_select(original, distorted, selected):
+    gate = selected.astype(jnp.bool_)[:, None, None, None]
+    return jnp.where(gate, distorted, original)
 
 
 def sample_geometric_plans(

@@ -410,10 +410,19 @@ def warp_active_mask(plan: WarpPlan) -> Mask:
             active
         )
         return active
-    # Analytic form: warp an all-ones mask (per-tap border masking in the
-    # warp kernel keeps edges exact; no cv.remap border artifact here).
-    ones = Mask.from_shape(plan.src_shape, value=1)
-    return warp_mask(plan, ones)
+    # Analytic form: the active region is the matrix image of the source
+    # rectangle — a quad; fill it directly (a full-page remap of an
+    # all-ones mask costs ~50ms/sample at production sizes).
+    h, w = plan.src_shape
+    corners = np.asarray(
+        [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]], dtype=np.float64
+    )
+    quad = plan.map_points(corners)
+    active = Mask.from_shape(plan.dst_shape)
+    Polygon.from_np_array(quad).to_clipped_polygon(plan.dst_shape).fill_mask(
+        active
+    )
+    return active
 
 
 def visualize_lattice(

@@ -275,7 +275,8 @@ def remap_np(
 
 
 def affine_maps_np(trans_mat: np.ndarray, dst_shape: Tuple[int, int]):
-    """Numpy twin of :func:`affine_maps`."""
+    """Numpy twin of :func:`affine_maps` (rank-1 broadcast form — the
+    (H, W, 3) homogeneous-grid matmul materialized 3x the temporaries)."""
     trans_mat = np.asarray(trans_mat, dtype=np.float64)
     if trans_mat.shape == (2, 3):
         full = np.vstack([trans_mat, [0.0, 0.0, 1.0]])
@@ -285,17 +286,16 @@ def affine_maps_np(trans_mat: np.ndarray, dst_shape: Tuple[int, int]):
     inv = np.linalg.inv(full)
 
     dst_h, dst_w = dst_shape
-    grid_x, grid_y = np.meshgrid(
-        np.arange(dst_w, dtype=np.float64), np.arange(dst_h, dtype=np.float64)
-    )
-    dst_pts = np.stack([grid_x, grid_y, np.ones_like(grid_x)], axis=-1)
-    src = dst_pts @ inv.T
-    denom = src[..., 2]
-    denom = np.where(np.abs(denom) < 1e-12, 1.0, denom)
-    return (
-        (src[..., 1] / denom).astype(np.float32),
-        (src[..., 0] / denom).astype(np.float32),
-    )
+    gx = np.arange(dst_w, dtype=np.float64)[None, :]
+    gy = np.arange(dst_h, dtype=np.float64)[:, None]
+    sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
+    sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
+    if np.abs(inv[2, :2]).max() > 1e-12:
+        w = inv[2, 0] * gx + inv[2, 1] * gy + inv[2, 2]
+        w = np.where(np.abs(w) < 1e-12, 1.0, w)
+        sx = sx / w
+        sy = sy / w
+    return sy.astype(np.float32), sx.astype(np.float32)
 
 
 def warp_affine_np(

@@ -48,6 +48,37 @@ class SynthBatchResult(NamedTuple):
 
 
 @jax.jit
+def _finish_program_const(stack, stretches, active):
+    """Finish variant for all-affine batches: the local vertical stretch
+    is a per-sample constant derived analytically from the matrices, so
+    no dense maps ever materialize."""
+    x = stack.astype(jnp.float32)
+    stretch = stretches[:, None, None]
+    x = x.at[..., 3 + TEXT_LINE_HEIGHT].multiply(stretch)
+    x = x.at[..., 3 + CHAR_HEIGHT].multiply(stretch)
+    gate = (active > 0.5).astype(jnp.float32)[..., None]
+    x = x * gate
+    images = jnp.clip(jnp.round(x[..., :3]), 0, 255).astype(jnp.uint8)
+    return images, x[..., 3:], (active > 0.5).astype(jnp.uint8)
+
+
+def _affine_stretches(plans) -> np.ndarray:
+    """Per-sample constant vertical stretch of affine/nop plans: the
+    inverse of how many source pixels one dst row step covers."""
+    out = np.ones(len(plans), dtype=np.float32)
+    for i, plan in enumerate(plans):
+        if plan.matrix is None:
+            continue
+        mat3 = np.eye(3, dtype=np.float64)
+        m = np.asarray(plan.matrix, dtype=np.float64)
+        mat3[:m.shape[0]] = m
+        inv = np.linalg.inv(mat3)
+        step = float(np.hypot(inv[0, 1], inv[1, 1]))
+        out[i] = 1.0 / max(step, 1e-3)
+    return np.clip(out, 0.05, 20.0)
+
+
+@jax.jit
 def _finish_program(stack, map_ys, map_xs, active):
     """Height-channel correction by the warp's local vertical stretch.
 
@@ -151,7 +182,7 @@ def synthesize_page_batch(
     warp_mode = (
         'gather' if any(p.is_lattice for p in plans) else 'auto'
     )
-    warped, shapes, _, (map_ys, map_xs) = batched_plan_warp(
+    warped, shapes, _, maps = batched_plan_warp(
         plans, stack, return_maps=True, mode=warp_mode
     )
     assert warped.shape[1:3] == out_shape
@@ -161,12 +192,20 @@ def synthesize_page_batch(
         active[idx] = warp_active_mask(plan).mat
 
     # 4. Height correction, one jitted program.
-    images, label_stack, active_u8 = _finish_program(
-        warped,
-        jnp.asarray(map_ys, dtype=jnp.float32),
-        jnp.asarray(map_xs, dtype=jnp.float32),
-        jnp.asarray(active),
-    )
+    if maps is None:
+        images, label_stack, active_u8 = _finish_program_const(
+            warped,
+            jnp.asarray(_affine_stretches(plans)),
+            jnp.asarray(active),
+        )
+    else:
+        map_ys, map_xs = maps
+        images, label_stack, active_u8 = _finish_program(
+            warped,
+            jnp.asarray(map_ys, dtype=jnp.float32),
+            jnp.asarray(map_xs, dtype=jnp.float32),
+            jnp.asarray(active),
+        )
 
     # Host: analytic polygon co-transform + content boxes (the reference's
     # corner-point trim folded into per-sample boxes; the rescaled plans

@@ -303,6 +303,8 @@ def batched_fog(
     masks = masks[..., None]
 
     fog_mat = jnp.asarray(fog_rgb, dtype=jnp.float32)
+    if fog_mat.ndim == 2:          # per-sample colors (N, 3)
+        fog_mat = fog_mat[:, None, None, :]
     out = (1.0 - masks) * images.astype(jnp.float32) + masks * fog_mat
     return _finish(out)
 

@@ -53,12 +53,18 @@ def batch_random_photometric_distort(
     rng: RandomGenerator,
     key=None,
     stage_config: Optional[RandomDistortionStageConfig] = None,
+    use_mega: bool = True,
 ):
     """Apply a randomized photometric policy draw to each batch sample.
 
     ``images``: (N, H, W, 3) uint8 on device.  Returns the distorted batch.
     Policy weights / conflict groups / counts default to the photometric
     stage of random_distortion_factory.
+
+    With ``use_mega`` (default) each round's draws covered by the
+    one-program catalog (photometric_program.py) apply as a SINGLE jitted
+    dispatch; only the excluded ops (blurs, scanned streaks, shape-changing
+    statics) go through the per-name compiled dispatch.
     """
     if stage_config is None:
         from .distortion_policy.random_distortion import (
@@ -92,6 +98,29 @@ def batch_random_photometric_distort(
             if round_idx < len(seq):
                 name, config = seq[round_idx]
                 name_to_members[name].append((sample_idx, config))
+
+        if use_mega:
+            from .photometric_program import (
+                apply_mega_round,
+                build_round_params,
+                mega_covers,
+            )
+
+            mega_members = {
+                name: members
+                for name, members in name_to_members.items()
+                if mega_covers(name)
+            }
+            if mega_members:
+                key = jax.random.fold_in(key, round_idx + 1)
+                sel, params = build_round_params(n, mega_members)
+                out = apply_mega_round(
+                    out, jnp.asarray(sel),
+                    {k: jnp.asarray(v) for k, v in params.items()},
+                    key,
+                )
+                for name in mega_members:
+                    del name_to_members[name]
 
         for name, members in sorted(name_to_members.items()):
             key = jax.random.fold_in(key, zlib.crc32(name.encode()))

@@ -19,6 +19,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_production_size_pipeline(tmp_path):
+    import attr
+
     from vkit_tpu.pipeline import (
         Pipeline,
         PipelinePostProcessor,
@@ -32,8 +34,16 @@ def test_production_size_pipeline(tmp_path):
 
     steps = pipeline_step_collection_factory.create(step_configs)
 
-    class NopPostProcessor(PipelinePostProcessor):
-        def generate_output(self, input, rng):
+    @attr.define
+    class NopConfig:
+        pass
+
+    @attr.define
+    class NopInput:
+        pass
+
+    class NopPostProcessor(PipelinePostProcessor[NopConfig, NopInput, dict]):
+        def generate_output(self, input: NopInput, rng):
             return {}
 
     pipeline = Pipeline(

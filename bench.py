@@ -362,7 +362,7 @@ def bench_synth_end_to_end() -> float:
     import sys as _sys
     from pathlib import Path as _Path
 
-    _sys.path.insert(0, str(REPO / 'tests'))
+    _sys.path.insert(0, str(REPO))  # `tests` package for asset builders
     from tests.pipeline.fixtures import build_assets
     from vkit_tpu.synth import SynthPlanner, SynthPlannerConfig, synthesize_stream
 

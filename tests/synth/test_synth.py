@@ -172,3 +172,36 @@ def test_synthesize_stream(planner):
     for result in results:
         assert result.images.shape == (2, 320, 320, 3)
         assert result.label_stack.shape == (2, 320, 320, 4)
+
+
+def test_synth_handles_textless_pages(planner):
+    """A page whose layout produced no text lines still synthesizes:
+    the compositor is skipped and label channels stay empty."""
+    from vkit_tpu.synth.prep import HostPage
+
+    rng = np.random.default_rng(30)
+    page = planner.prepare_page(rng)
+    empty = HostPage(
+        background=page.background,
+        label_stack=np.zeros_like(page.label_stack),
+        line_entries=[],
+        text_lines=[],
+        word_polygons=[],
+        char_polygons=[],
+    )
+    result = synthesize_page_batch(
+        [empty, empty], level=3, rng=rng,
+        enable_photometric=False, enable_geometric=False,
+    )
+    np.testing.assert_array_equal(result.images[0], page.background)
+    assert result.label_stack.sum() == 0
+
+
+def test_empty_placements_are_noop():
+    from vkit_tpu.ops.glyph import build_placements, composite_glyphs
+
+    canvas = np.full((1, 16, 16, 3), 9, dtype=np.uint8)
+    tiles = np.zeros((1, 4, 4), dtype=np.float32)
+    placements = build_placements([], bucket=8)
+    out = np.asarray(composite_glyphs(canvas, tiles, placements, out_tile=8))
+    np.testing.assert_array_equal(out, canvas)

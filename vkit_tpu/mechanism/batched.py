@@ -625,10 +625,36 @@ def _coarse_gather_remap(stack_f32, coarse_y, coarse_x, w_y, w_x, border):
     return warped, my, mx
 
 
+def _matrix_nodes(plan, ys, xs):
+    """Evaluate a matrix/nop plan's backward map at node coordinates."""
+    if plan.nop or plan.matrix is None:
+        gy, gx = np.meshgrid(ys.astype(np.float64),
+                             xs.astype(np.float64), indexing='ij')
+        return gy, gx
+    mat3 = np.eye(3, dtype=np.float64)
+    m = np.asarray(plan.matrix, dtype=np.float64)
+    mat3[:m.shape[0]] = m
+    inv = np.linalg.inv(mat3)
+    gx = xs.astype(np.float64)[None, :]
+    gy = ys.astype(np.float64)[:, None]
+    sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
+    sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
+    if np.abs(inv[2, :2]).max() > 1e-12:
+        w = inv[2, 0] * gx + inv[2, 1] * gy + inv[2, 2]
+        w = np.where(np.abs(w) < 1e-12, 1.0, w)
+        sx = sx / w
+        sy = sy / w
+    return sy, sx
+
+
 def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
                         node_step: int = 8):
     """Gather-warp a batch from per-sample backward maps sampled at coarse
-    nodes (linear extension beyond each sample's own canvas)."""
+    nodes (linear extension beyond each sample's own canvas).
+
+    ``map_list`` entries are either (map_y, map_x) full-res arrays
+    (lattice plans) or WarpPlan objects (matrix/nop — evaluated
+    analytically at the nodes, valid beyond the dst canvas too)."""
     h_max, w_max = canvas
     n = len(map_list)
     ys = np.unique(np.round(
@@ -640,7 +666,13 @@ def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
 
     coarse_y = np.empty((n, len(ys), len(xs)), dtype=np.float32)
     coarse_x = np.empty((n, len(ys), len(xs)), dtype=np.float32)
-    for idx, (my, mx) in enumerate(map_list):
+    for idx, entry in enumerate(map_list):
+        if not isinstance(entry, tuple):
+            cy, cx = _matrix_nodes(entry, ys, xs)
+            coarse_y[idx] = cy
+            coarse_x[idx] = cx
+            continue
+        my, mx = entry
         h, w = shapes[idx]
         if h == h_max and w == w_max:
             coarse_y[idx] = my[np.ix_(ys, xs)]
@@ -721,6 +753,14 @@ def batched_plan_warp(
     shapes = []
     coverages = []
     for plan in plans:
+        if mode == 'gather' and not plan.is_lattice:
+            # Lazy: matrix/nop maps are analytic — the coarse-node path
+            # evaluates them at ~1/64th of the pixels directly instead of
+            # materializing two full-res float planes per sample.
+            map_list.append(plan)
+            shapes.append(plan.dst_shape)
+            coverages.append(np.ones(plan.dst_shape, dtype=bool))
+            continue
         map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
         map_list.append((map_y, map_x))
         shapes.append(cov.shape)

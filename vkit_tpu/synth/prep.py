@@ -216,8 +216,8 @@ class SynthPlanner:
         shape = (height, width)
         tl_mask = ScoreMap.from_shape(shape)
         tl_height = ScoreMap.from_shape(shape, is_prob=False)
-        ch_mask = ScoreMap.from_shape(shape)
-        ch_height = ScoreMap.from_shape(shape, is_prob=False)
+        ch_mask_mat = np.zeros(shape, dtype=np.float32)
+        ch_height_mat = np.zeros(shape, dtype=np.float32)
 
         word_polygons: List[Polygon] = []
         char_polygons: List[Polygon] = []
@@ -234,14 +234,27 @@ class SynthPlanner:
                 ref_char_width_ratio=cfg.ref_char_width_ratio,
             )
             char_polygons.extend(chars)
+            # Char polygons are axis-aligned rectangles (ref-metric box
+            # expansion, TextLine.build_char_polygon): direct slice fills
+            # are ~50x the generic polygon rasterizer here (tens of
+            # thousands of tiny fills per page batch).
             for char_polygon, char_box in zip(chars, word.char_boxes):
-                char_polygon.fill_score_map(ch_mask, 1.0)
-                char_polygon.fill_score_map(
-                    ch_height, float(char_box.height), keep_max_value=True
+                xy = char_polygon.np_xy
+                left = max(int(round(xy[:, 0].min())), 0)
+                right = min(int(round(xy[:, 0].max())), width - 1)
+                up = max(int(round(xy[:, 1].min())), 0)
+                down = min(int(round(xy[:, 1].max())), height - 1)
+                if right < left or down < up:
+                    continue
+                window = (slice(up, down + 1), slice(left, right + 1))
+                ch_mask_mat[window] = 1.0
+                np.maximum(
+                    ch_height_mat[window], float(char_box.height),
+                    out=ch_height_mat[window],
                 )
 
         label_stack = np.stack(
-            [tl_mask.mat, tl_height.mat, ch_mask.mat, ch_height.mat], axis=-1
+            [tl_mask.mat, tl_height.mat, ch_mask_mat, ch_height_mat], axis=-1
         )
         return HostPage(
             background=background,

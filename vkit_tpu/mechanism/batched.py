@@ -749,44 +749,18 @@ def batched_plan_warp(
     n, h_in, w_in = images.shape[:3]
     assert len(plans) == n
 
-    map_list = []
-    shapes = []
-    coverages = []
-    for plan in plans:
-        if mode == 'gather' and not plan.is_lattice:
-            # Lazy: matrix/nop maps are analytic — the coarse-node path
-            # evaluates them at ~1/64th of the pixels directly instead of
-            # materializing two full-res float planes per sample.
-            map_list.append(plan)
-            shapes.append(plan.dst_shape)
-            coverages.append(np.ones(plan.dst_shape, dtype=bool))
-            continue
-        map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
-        map_list.append((map_y, map_x))
-        shapes.append(cov.shape)
-        coverages.append(cov)
-
+    shapes = [plan.dst_shape for plan in plans]
     h_max = max(s[0] for s in shapes)
     w_max = max(s[1] for s in shapes)
     if canvas_shape is not None:
         h_max = max(h_max, canvas_shape[0])
         w_max = max(w_max, canvas_shape[1])
 
-    if mode == 'gather':
-        # Coarse-node path: only ~1/64th of the backward field crosses the
-        # host->device link; the dense maps re-materialize ON DEVICE as
-        # two tap-weight matmuls fused with the gather remap (uploading
-        # full maps cost ~125MB/batch over the tunnel — the wall).
-        warped, dev_maps = _coarse_gather_warp(
-            images, map_list, shapes, (h_max, w_max), border_value
-        )
-        if return_maps:
-            return warped, shapes, coverages, dev_maps
-        return warped, shapes, coverages
-
-    # Affine fast path: every plan is an affine matrix (or nop) — no dense
-    # maps at all.  Host work is a handful of 3x3 inversions; the device
-    # program is the exact two-pass MXU warp (ops/warp_mxu.py affine form).
+    # Affine fast path FIRST — probed from the plan matrices alone, before
+    # any dense map materializes (an (N, H, W) float64 map pair per sample
+    # costs ~10 MB each on the host; building them just to discard on this
+    # branch dominated the affine benchmark).  Every plan must be an affine
+    # matrix (or nop); the device program is the exact two-pass MXU warp.
     if mode != 'gather':
         mats = []
         affine_ok = True
@@ -811,24 +785,62 @@ def batched_plan_warp(
             if np.abs(inv_aa).min() > 0.2:
                 from ..ops.warp_mxu import apply_affine_warp, plan_affine_warp
 
-                aplan, astatics = plan_affine_warp(
-                    np.stack(mats), (h_in, w_in), (h_max, w_max)
-                )
-                fn = _jax.jit(
-                    apply_affine_warp,
-                    static_argnames=('statics', 'border_value'),
-                )
-                warped = fn(
-                    images, aplan, statics=astatics,
-                    border_value=border_value,
-                )
-                if return_maps:
-                    # Affine maps are analytic; callers needing the local
-                    # stretch derive it from the matrices (see
-                    # synth.device).  Returning None skips materializing
-                    # two (N, H, W) float arrays on the host.
-                    return warped, shapes, coverages, None
-                return warped, shapes, coverages
+                try:
+                    aplan, astatics = plan_affine_warp(
+                        np.stack(mats), (h_in, w_in), (h_max, w_max)
+                    )
+                except AssertionError:
+                    # Span exceeds the roll window (strong rotations on a
+                    # large canvas) — fall through to the dense/gather
+                    # routing below instead of failing the batch.
+                    aplan = None
+                if aplan is not None:
+                    # Coverage of a matrix plan is full; hand out zero-copy
+                    # broadcast views instead of N dense bool planes.
+                    coverages = [
+                        np.broadcast_to(True, s) for s in shapes
+                    ]
+                    fn = _jax.jit(
+                        apply_affine_warp,
+                        static_argnames=('statics', 'border_value'),
+                    )
+                    warped = fn(
+                        images, aplan, statics=astatics,
+                        border_value=border_value,
+                    )
+                    if return_maps:
+                        # Affine maps are analytic; callers needing the
+                        # local stretch derive it from the matrices (see
+                        # synth.device).  Returning None skips
+                        # materializing two (N, H, W) float arrays.
+                        return warped, shapes, coverages, None
+                    return warped, shapes, coverages
+
+    map_list = []
+    coverages = []
+    for plan in plans:
+        if mode == 'gather' and not plan.is_lattice:
+            # Lazy: matrix/nop maps are analytic — the coarse-node path
+            # evaluates them at ~1/64th of the pixels directly instead of
+            # materializing two full-res float planes per sample.
+            map_list.append(plan)
+            coverages.append(np.broadcast_to(True, plan.dst_shape))
+            continue
+        map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
+        map_list.append((map_y, map_x))
+        coverages.append(cov)
+
+    if mode == 'gather':
+        # Coarse-node path: only ~1/64th of the backward field crosses the
+        # host->device link; the dense maps re-materialize ON DEVICE as
+        # two tap-weight matmuls fused with the gather remap (uploading
+        # full maps cost ~125MB/batch over the tunnel — the wall).
+        warped, dev_maps = _coarse_gather_warp(
+            images, map_list, shapes, (h_max, w_max), border_value
+        )
+        if return_maps:
+            return warped, shapes, coverages, dev_maps
+        return warped, shapes, coverages
 
     map_ys = np.zeros((n, h_max, w_max), dtype=np.float32)
     map_xs = np.zeros((n, h_max, w_max), dtype=np.float32)

@@ -111,6 +111,25 @@ class WarpPlan:
             )
         return self._cache[key]
 
+    def _fwd_mats_for_cells(self, flat_cells: np.ndarray) -> np.ndarray:
+        """(V, 3, 3) forward per-cell homographies for the given flat cell
+        indices, solving ONLY the cells actually touched (point transforms
+        hit a handful of the ~(R*C) cells; solving the full lattice per
+        plan dominated the label co-transform benchmark)."""
+        full = self._cache.get('fwd_mats')
+        if full is not None:
+            return full[flat_cells]
+        uniq, inv = np.unique(flat_cells, return_inverse=True)
+        cache = self._cache.setdefault('fwd_mats_partial', {})
+        missing = [int(i) for i in uniq if int(i) not in cache]
+        if missing:
+            src = self._quads('src')[missing]
+            dst = self._quads('dst')[missing]
+            mats = warp_ops.solve_perspective_batch(src, dst)
+            for cell, mat in zip(missing, mats):
+                cache[cell] = mat
+        return np.stack([cache[int(i)] for i in uniq])[inv]
+
     # ------------------------------------------------------------------
     # Forward point transform.
     # ------------------------------------------------------------------
@@ -133,9 +152,9 @@ class WarpPlan:
         cell_c = np.minimum(
             np.round(xy[:, 0]).astype(np.int64) // self.grid_size, cols_max
         )
-        mats = self._cell_mats(inverse=False)[
+        mats = self._fwd_mats_for_cells(
             cell_r * (self.src_lattice.shape[1] - 1) + cell_c
-        ]
+        )
         homo = np.concatenate([xy, np.ones((len(xy), 1))], axis=1)
         out = np.einsum('vij,vj->vi', mats, homo)
         return out[:, :2] / out[:, 2:3]
@@ -423,6 +442,41 @@ def warp_active_mask(plan: WarpPlan) -> Mask:
         active
     )
     return active
+
+
+def plan_content_box(plan: WarpPlan):
+    """Per-plan active-content bounding box, analytically.
+
+    The reference's corner trim (vkit/mechanism/distortion_policy/
+    random_distortion.py:267-348) crops to the bounding box of the
+    forward-mapped corner points.  For a matrix plan that is the bbox of
+    the mapped source corners; for a lattice plan the bbox of the dst
+    lattice perimeter.  Equivalent to
+    ``warp_active_mask(plan).to_external_box()`` (±1 px of rasterization
+    rounding) at none of its cost — no page-sized mask fill, no host scan.
+    """
+    from ...element import Box
+
+    h, w = plan.dst_shape
+    if plan.nop:
+        return Box(up=0, down=h - 1, left=0, right=w - 1)
+    if plan.is_lattice:
+        ring = plan.dst_lattice.reshape(-1, 2)
+    else:
+        sh, sw = plan.src_shape
+        corners = np.asarray(
+            [[0, 0], [sw - 1, 0], [sw - 1, sh - 1], [0, sh - 1]],
+            dtype=np.float64,
+        )
+        ring = plan.map_points(corners)
+    xs = np.round(ring[:, 0]).astype(np.int64)
+    ys = np.round(ring[:, 1]).astype(np.int64)
+    return Box(
+        up=int(np.clip(ys.min(), 0, h - 1)),
+        down=int(np.clip(ys.max(), 0, h - 1)),
+        left=int(np.clip(xs.min(), 0, w - 1)),
+        right=int(np.clip(xs.max(), 0, w - 1)),
+    )
 
 
 def visualize_lattice(

@@ -211,7 +211,7 @@ def bench_camera_labels() -> float:
             for _ in range(batch)
         ]
         out = batched_plan_warp(
-            plans, stack, canvas_shape=(704, 704), mode='gather'
+            plans, stack, canvas_shape=(704, 704), mode='auto'
         )[0]
         _transform_labels(plans, polygons, points)
         _force(out[:, ::64, ::64, 0])
@@ -282,7 +282,7 @@ def bench_mls_glyphs() -> float:
             for _ in range(batch)
         ]
         out = batched_plan_warp(
-            plans, stack, canvas_shape=(704, 704), mode='gather'
+            plans, stack, canvas_shape=(704, 704), mode='auto'
         )[0]
         _transform_labels(plans, polygons, points)
         _force(out[:, ::64, ::64, 0])
@@ -299,15 +299,14 @@ def bench_random_distortion() -> float:
     import jax
     import jax.numpy as jnp
 
-    from vkit_tpu.element import Mask
     from vkit_tpu.mechanism.batched import batched_plan_warp
     from vkit_tpu.mechanism.batched_random import (
         batch_random_photometric_distort,
         sample_geometric_plans,
     )
     from vkit_tpu.mechanism.distortion.warp_plan import (
+        plan_content_box,
         rescale_plan_to,
-        warp_active_mask,
     )
 
     batch = 32
@@ -333,16 +332,12 @@ def bench_random_distortion() -> float:
         stack = jnp.concatenate(
             [photo.astype(jnp.float32), labels], axis=-1
         )
-        mode = 'gather' if any(p.is_lattice for p in plans) else 'auto'
-        out = batched_plan_warp(plans, stack, mode=mode)[0]
+        out = batched_plan_warp(plans, stack, mode='auto')[0]
         _transform_labels(plans, polygons, points)
-        # Corner trim: per-sample active content boxes.
+        # Corner trim: per-sample active content boxes (analytic — the
+        # reference crops to the corner-point bbox, random_distortion.py:267).
         for plan in plans:
-            mask = warp_active_mask(plan)
-            try:
-                mask.to_external_box()
-            except RuntimeError:
-                pass
+            plan_content_box(plan)
         _force(out[:, ::64, ::64, 0])
 
     secs = _time_loop(step, warmups=3, iters=4)

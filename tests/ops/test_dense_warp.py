@@ -74,8 +74,10 @@ def test_batched_grid_warp_camera():
             grid_size=10,
         )
 
-    # Mild fields ride the device path; strong ones auto-fall back to the
-    # host remap — both must match the per-element host result.
+    # All fields ride the banded device path (ops/warp_banded.py), whose
+    # positions come from coarse-node bilinear interpolation — subpixel
+    # approximate (~0.5px) rather than per-cell exact.  The bound is a
+    # tight mean + loose max against the exact per-element host result.
     for configs in [
         [cam(2, -4, -4), cam(3, 3, 5)],
         [cam(10, -20, -20), cam(15, 15, 25)],
@@ -95,7 +97,8 @@ def test_batched_grid_warp_camera():
             diff = np.abs(
                 warped[i, :hh, :ww].astype(int) - ref.mat.astype(int)
             )
-            assert diff[core].max() <= 2
+            assert diff[core].mean() <= 1.0, diff[core].mean()
+            assert diff[core].max() <= 24, diff[core].max()
 
 
 def test_batched_grid_warp_mls():
@@ -141,4 +144,7 @@ def test_batched_grid_warp_mls():
         assert ref.shape == (hh, ww)
         core = binary_erosion(covs[i], iterations=4)
         diff = np.abs(warped[i, :hh, :ww].astype(int) - ref.mat.astype(int))
-        assert diff[core].max() <= 2
+        # Banded device path: coarse-node positions are subpixel
+        # approximate (see the camera test above).
+        assert diff[core].mean() <= 1.0, diff[core].mean()
+        assert diff[core].max() <= 24, diff[core].max()

@@ -500,6 +500,28 @@ def attr_evolve_streak(cfg, **kwargs):
 # ---------------------------------------------------------------------------
 
 
+def _native_repair(map_y, map_x, cov) -> bool:
+    """In-place C++ repair of uncovered backward-map pixels; False if the
+    native library is unavailable (callers run the numpy loop instead)."""
+    try:
+        from ..native import load_library
+        lib = load_library()
+    except Exception:  # noqa: BLE001
+        return False
+    if lib is None or not hasattr(lib, 'vg_repair_backward_maps'):
+        return False
+    import ctypes
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    cov_u8 = np.ascontiguousarray(cov, dtype=np.uint8)
+    assert map_y.flags.c_contiguous and map_x.flags.c_contiguous
+    lib.vg_repair_backward_maps(
+        map_y.ctypes.data_as(f64p), map_x.ctypes.data_as(f64p),
+        cov_u8.ctypes.data_as(u8p), map_y.shape[0], map_y.shape[1],
+    )
+    return True
+
+
 def plan_backward_maps(plan, src_shape):
     """(map_y, map_x, coverage) for ANY WarpPlan on its dst canvas.
 
@@ -526,6 +548,11 @@ def plan_backward_maps(plan, src_shape):
     map_y = np.asarray(map_y, dtype=np.float64).copy()
     map_x = np.asarray(map_x, dtype=np.float64).copy()
     rows, cols_n = map_x.shape
+
+    native = _native_repair(map_y, map_x, cov)
+    if native:
+        return map_y, map_x, cov
+
     cols = np.arange(cols_n, dtype=np.float64)
 
     # Repair uncovered dst pixels by LINEAR EXTENSION of the covered data.
@@ -549,42 +576,56 @@ def plan_backward_maps(plan, src_shape):
             fidx = idx.astype(np.float64)
             map_x[y] = np.interp(cols, fidx, map_x[y, idx])
             map_y[y] = np.interp(cols, fidx, map_y[y, idx])
-        # Edge slopes from the covered span (fall back to 1 / 0).
-        if last > first:
-            span = float(last - first)
-            sx = (map_x[y, last] - map_x[y, first]) / span
-            sy = (map_y[y, last] - map_y[y, first]) / span
+        # Extend with the LOCAL slope at each edge (an 8-px window), not
+        # the full-row average: a curved row extended at its tangent stays
+        # shape-consistent with its neighbours, keeping the two-pass tap
+        # budget small near canvas borders.
+        dl = min(last - first, 8)
+        if dl > 0:
+            sxl = (map_x[y, first + dl] - map_x[y, first]) / dl
+            syl = (map_y[y, first + dl] - map_y[y, first]) / dl
+            sxr = (map_x[y, last] - map_x[y, last - dl]) / dl
+            syr = (map_y[y, last] - map_y[y, last - dl]) / dl
         else:
-            sx, sy = 1.0, 0.0
+            sxl = sxr = 1.0
+            syl = syr = 0.0
         if first > 0:
             d = cols[:first] - first
-            map_x[y, :first] = map_x[y, first] + d * sx
-            map_y[y, :first] = map_y[y, first] + d * sy
+            map_x[y, :first] = map_x[y, first] + d * sxl
+            map_y[y, :first] = map_y[y, first] + d * syl
         if last < cols_n - 1:
             d = cols[last + 1:] - last
-            map_x[y, last + 1:] = map_x[y, last] + d * sx
-            map_y[y, last + 1:] = map_y[y, last] + d * sy
+            map_x[y, last + 1:] = map_x[y, last] + d * sxr
+            map_y[y, last + 1:] = map_y[y, last] + d * syr
     if len(covered_rows) and len(covered_rows) < rows:
         top, bottom = covered_rows[0], covered_rows[-1]
-        if bottom > top:
-            step_y = (map_y[bottom] - map_y[top]) / float(bottom - top)
-            step_x = (map_x[bottom] - map_x[top]) / float(bottom - top)
+        dv = min(bottom - top, 8)
+        if dv > 0:
+            step_y_t = (map_y[top + dv] - map_y[top]) / dv
+            step_x_t = (map_x[top + dv] - map_x[top]) / dv
+            step_y_b = (map_y[bottom] - map_y[bottom - dv]) / dv
+            step_x_b = (map_x[bottom] - map_x[bottom - dv]) / dv
         else:
-            step_y = np.ones(cols_n)
-            step_x = np.zeros(cols_n)
+            step_y_t = step_y_b = np.ones(cols_n)
+            step_x_t = step_x_b = np.zeros(cols_n)
         for y in range(0, top):
-            map_y[y] = map_y[top] + (y - top) * step_y
-            map_x[y] = map_x[top] + (y - top) * step_x
+            map_y[y] = map_y[top] + (y - top) * step_y_t
+            map_x[y] = map_x[top] + (y - top) * step_x_t
         for y in range(bottom + 1, rows):
-            map_y[y] = map_y[bottom] + (y - bottom) * step_y
-            map_x[y] = map_x[bottom] + (y - bottom) * step_x
+            map_y[y] = map_y[bottom] + (y - bottom) * step_y_b
+            map_x[y] = map_x[bottom] + (y - bottom) * step_x_b
         # Interior rows with no coverage (rare): nearest covered row.
         interior = np.flatnonzero(~row_any)
         interior = interior[(interior > top) & (interior < bottom)]
         for y in interior:
             y0 = covered_rows[np.argmin(np.abs(covered_rows - y))]
-            map_y[y] = map_y[y0] + (y - y0) * step_y
-            map_x[y] = map_x[y0] + (y - y0) * step_x
+            near_top = (y0 - top) <= (bottom - y0)
+            map_y[y] = map_y[y0] + (y - y0) * (
+                step_y_t if near_top else step_y_b
+            )
+            map_x[y] = map_x[y0] + (y - y0) * (
+                step_x_t if near_top else step_x_b
+            )
     return map_y, map_x, cov
 
 
@@ -647,22 +688,26 @@ def _matrix_nodes(plan, ys, xs):
     return sy, sx
 
 
-def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
-                        node_step: int = 8):
-    """Gather-warp a batch from per-sample backward maps sampled at coarse
-    nodes (linear extension beyond each sample's own canvas).
+def _build_coarse_nodes(map_list, shapes, canvas, node_step: int = 8):
+    """Sample every sample's backward field at shared coarse nodes.
 
     ``map_list`` entries are either (map_y, map_x) full-res arrays
     (lattice plans) or WarpPlan objects (matrix/nop — evaluated
-    analytically at the nodes, valid beyond the dst canvas too)."""
+    analytically at the nodes, valid beyond the dst canvas too).
+    Returns (coarse_y, coarse_x, ys, xs) with linear extension beyond
+    each sample's own canvas."""
     h_max, w_max = canvas
     n = len(map_list)
-    ys = np.unique(np.round(
+    ys = np.round(
         np.linspace(0, h_max - 1, max(2, (h_max - 1) // node_step + 1))
-    ).astype(np.int64))
-    xs = np.unique(np.round(
+    ).astype(np.int64)
+    xs = np.round(
         np.linspace(0, w_max - 1, max(2, (w_max - 1) // node_step + 1))
-    ).astype(np.int64))
+    ).astype(np.int64)
+    # Symmetric grids let per-sample axis flips reuse reversed node values
+    # (ops/warp_banded.py).
+    ys = np.unique(np.concatenate([ys, h_max - 1 - ys]))
+    xs = np.unique(np.concatenate([xs, w_max - 1 - xs]))
 
     coarse_y = np.empty((n, len(ys), len(xs)), dtype=np.float32)
     coarse_x = np.empty((n, len(ys), len(xs)), dtype=np.float32)
@@ -686,21 +731,38 @@ def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
         cx = mx[np.ix_(ys_in, xs_in)].astype(np.float64)
         over_x = xs > w - 1
         if over_x.any() and w > 1:
-            step_x = (mx[ys_in, w - 1] - mx[ys_in, 0]) / (w - 1)
-            step_y = (my[ys_in, w - 1] - my[ys_in, 0]) / (w - 1)
+            # Local edge slope (8-px window) — see plan_backward_maps.
+            dl = min(w - 1, 8)
+            step_x = (mx[ys_in, w - 1] - mx[ys_in, w - 1 - dl]) / dl
+            step_y = (my[ys_in, w - 1] - my[ys_in, w - 1 - dl]) / dl
             d = (xs[over_x] - (w - 1)).astype(np.float64)
             cx[:, over_x] = mx[ys_in, w - 1][:, None] + d[None, :] * step_x[:, None]
             cy[:, over_x] = my[ys_in, w - 1][:, None] + d[None, :] * step_y[:, None]
         over_y = ys > h - 1
         if over_y.any() and h > 1:
-            last = np.flatnonzero(~over_y)[-1]
-            step_cy = (cy[last] - cy[0]) / max(ys[last], 1)
-            step_cx = (cx[last] - cx[0]) / max(ys[last], 1)
+            inside = np.flatnonzero(~over_y)
+            last = inside[-1]
+            prev = inside[-2] if len(inside) > 1 else inside[-1]
+            gap = max(int(ys[last] - ys[prev]), 1)
+            step_cy = (cy[last] - cy[prev]) / gap
+            step_cx = (cx[last] - cx[prev]) / gap
             d = (ys[over_y] - ys[last]).astype(np.float64)
             cy[over_y] = cy[last][None, :] + d[:, None] * step_cy[None, :]
             cx[over_y] = cx[last][None, :] + d[:, None] * step_cx[None, :]
         coarse_y[idx] = cy
         coarse_x[idx] = cx
+
+    return coarse_y, coarse_x, ys, xs
+
+
+def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
+                        node_step: int = 8, nodes=None):
+    """Gather-warp a batch from node-sampled backward maps (the fallback
+    device program when the segmented two-pass rejects the field)."""
+    h_max, w_max = canvas
+    if nodes is None:
+        nodes = _build_coarse_nodes(map_list, shapes, canvas, node_step)
+    coarse_y, coarse_x, ys, xs = nodes
 
     w_y = _interp_weights(h_max, ys)
     w_x = _interp_weights(w_max, xs)
@@ -718,6 +780,83 @@ def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
     return warped, (my_full, mx_full)
 
 
+@jax.jit
+def _upsample_node_maps(coarse_y, coarse_x, w_y, w_x):
+    """Full-res (map_ys, map_xs) on device from node maps (tap matmuls)."""
+    my = jnp.einsum(
+        'hr,nrc,wc->nhw', w_y, coarse_y, w_x,
+        preferred_element_type=jnp.float32,
+    )
+    mx = jnp.einsum(
+        'hr,nrc,wc->nhw', w_y, coarse_x, w_x,
+        preferred_element_type=jnp.float32,
+    )
+    return my, mx
+
+
+@jax.jit
+def _scatter_samples(out, idx, values):
+    return out.at[idx].set(values)
+
+
+def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
+                     return_maps: bool, content_boxes=None):
+    """Banded two-pass warp from node maps (ops/warp_banded.py); samples
+    the decomposition rejects (fold-overs, extreme zooms) run the gather
+    program as a sub-batch and overwrite their rows.  Returns None only
+    when EVERY sample rejects (the caller then gathers the whole batch —
+    one program beats scatter assembly)."""
+    from ..ops.warp_banded import apply_banded_warp, plan_banded_warp
+
+    coarse_y, coarse_x, ys, xs = nodes
+    n = len(coarse_y)
+    planned = plan_banded_warp(
+        coarse_y, coarse_x, ys, xs, src_shape, canvas,
+        content_boxes=content_boxes,
+    )
+    if planned is None:
+        return None
+    plan, taps, rejects, flips = planned
+
+    images = jnp.asarray(images)
+    orig_dtype = images.dtype
+    x = images.astype(jnp.float32)
+
+    warped = apply_banded_warp(
+        x, plan, canvas, taps, flips=flips, border_value=border_value
+    )
+    if len(rejects):
+        bucket = 1 << max(0, (len(rejects) - 1).bit_length())
+        ridx = np.concatenate([
+            rejects, np.full(bucket - len(rejects), rejects[0],
+                             dtype=np.int64),
+        ])
+        idx_dev = jnp.asarray(ridx)
+        sub = jnp.take(x, idx_dev, axis=0)
+        sub_nodes = (coarse_y[ridx], coarse_x[ridx], ys, xs)
+        res, _ = _coarse_gather_warp(
+            sub, [None] * len(ridx), None, canvas, border_value,
+            nodes=sub_nodes,
+        )
+        warped = _scatter_samples(warped, idx_dev, res)
+
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        warped = jnp.clip(jnp.round(warped), 0, 255).astype(orig_dtype)
+    else:
+        warped = warped.astype(orig_dtype)
+
+    dev_maps = None
+    if return_maps:
+        h_max, w_max = canvas
+        dev_maps = _upsample_node_maps(
+            jnp.asarray(coarse_y.astype(np.float32)),
+            jnp.asarray(coarse_x.astype(np.float32)),
+            jnp.asarray(_interp_weights(h_max, ys)),
+            jnp.asarray(_interp_weights(w_max, xs)),
+        )
+    return warped, dev_maps
+
+
 def batched_plan_warp(
     plans: Sequence,
     images,
@@ -729,14 +868,22 @@ def batched_plan_warp(
 ):
     """Warp each batch sample by its own WarpPlan in ONE device program.
 
-    Host work per sample: dense backward maps from the plan (analytic for
-    matrix plans, per-cell homographies for lattice plans).  Device work:
-    one two-pass shifts+matmuls program over the whole batch
-    (ops/warp_mxu.py dense path).  Canvases pad to the batch max; returns
-    (warped (N, Hmax, Wmax, C) with the input dtype, result_shapes,
-    coverages); with ``return_maps`` also the padded (map_ys, map_xs) —
-    the synth pipeline differentiates them for local-stretch label
-    corrections.
+    Routing under ``mode='auto'`` (fastest first):
+      1. all-affine batches -> the exact two-shear MXU warp (3 taps);
+      2. everything else -> the coarse-node SEGMENTED two-pass (shifts +
+         tap matmuls planned at ~1/64th of the pixels,
+         ops/warp_mxu.py plan_coarse_twopass_warp);
+      3. fields the two-pass rejects (fold-overs, tap budget) -> the
+         fused bilinear-gather program.
+    ``mode='gather'`` forces 3; ``mode='dense'`` forces the legacy
+    full-resolution dense two-pass planning (host-heavy; kept for
+    comparison and for callers that need its exact tap scheme).
+
+    Canvases pad to the batch max; returns (warped (N, Hmax, Wmax, C)
+    with the input dtype, result_shapes, coverages); with
+    ``return_maps`` also device (map_ys, map_xs) — the synth pipeline
+    differentiates them for local-stretch label corrections (None when
+    the affine path ran; its maps are analytic).
 
     ``canvas_shape``: optional STATIC padded canvas.  Per-sample dst
     canvases pad to it instead of the batch max, so every batch compiles
@@ -819,9 +966,9 @@ def batched_plan_warp(
     map_list = []
     coverages = []
     for plan in plans:
-        if mode == 'gather' and not plan.is_lattice:
-            # Lazy: matrix/nop maps are analytic — the coarse-node path
-            # evaluates them at ~1/64th of the pixels directly instead of
+        if mode != 'dense' and not plan.is_lattice:
+            # Lazy: matrix/nop maps are analytic — the coarse-node paths
+            # evaluate them at ~1/64th of the pixels directly instead of
             # materializing two full-res float planes per sample.
             map_list.append(plan)
             coverages.append(np.broadcast_to(True, plan.dst_shape))
@@ -830,13 +977,32 @@ def batched_plan_warp(
         map_list.append((map_y, map_x))
         coverages.append(cov)
 
-    if mode == 'gather':
-        # Coarse-node path: only ~1/64th of the backward field crosses the
-        # host->device link; the dense maps re-materialize ON DEVICE as
-        # two tap-weight matmuls fused with the gather remap (uploading
-        # full maps cost ~125MB/batch over the tunnel — the wall).
+    if mode != 'dense':
+        # Coarse-node paths: only ~1/64th of the backward field crosses
+        # the host->device link (uploading full maps cost ~125MB/batch
+        # over the tunnel).  The segmented two-pass (shifts + tap matmuls
+        # on the MXU) serves smooth fields; batches it rejects (fold-over
+        # rows, tap budget) run the fused bilinear-gather program instead
+        # — well off roofline but a single compilation.
+        nodes = _build_coarse_nodes(map_list, shapes, (h_max, w_max))
+        if mode != 'gather':
+            from .distortion.warp_plan import plan_content_box
+            boxes = np.asarray([
+                (b.up, b.down, b.left, b.right)
+                for b in (plan_content_box(p) for p in plans)
+            ], dtype=np.int64)
+            result = _coarse_mxu_warp(
+                images, nodes, (h_in, w_in), (h_max, w_max), border_value,
+                return_maps, content_boxes=boxes,
+            )
+            if result is not None:
+                warped, dev_maps = result
+                if return_maps:
+                    return warped, shapes, coverages, dev_maps
+                return warped, shapes, coverages
         warped, dev_maps = _coarse_gather_warp(
-            images, map_list, shapes, (h_max, w_max), border_value
+            images, map_list, shapes, (h_max, w_max), border_value,
+            nodes=nodes,
         )
         if return_maps:
             return warped, shapes, coverages, dev_maps

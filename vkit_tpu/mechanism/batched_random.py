@@ -144,28 +144,49 @@ def batch_random_photometric_distort(
     return out
 
 
-def _apply_group(name, group, out, key):
-    """Apply one distortion to its member samples (full-batch apply +
-    masked select).
+_SUBBATCH_BUCKETS = (4, 8, 16, 32, 64, 128)
 
-    The apply runs over the whole batch and non-members keep their
-    pixels via a traced where-select.  Wasted element-wise compute is a
-    few ms on device; the alternative (gathering members into sub-batch
-    buckets) multiplies the compile space by the bucket count, and on a
-    tunneled backend each extra compilation costs minutes — measured
-    strictly worse end to end.
+
+def _apply_group(name, group, out, key):
+    """Apply one distortion to its member samples.
+
+    Majority draws (> half the batch) run as a full-batch apply with a
+    masked select.  Minority draws run on a GATHERED sub-batch (padded to
+    a bucketed size) and scatter back — the heavyweight ops
+    (histogram_equalization ~13ms/sample, jpeg, fog, poisson, blurs) then
+    cost proportionally to their members instead of the whole batch.
     """
     n = out.shape[0]
     idx = [sample_idx for sample_idx, _ in group]
-    configs = [group[0][1]] * n
-    for sample_idx, config in group:
-        configs[sample_idx] = config
-    distorted = batch_distort_images_compiled(name, configs, out, key)
     if len(idx) == n:
-        return distorted
-    selected = np.zeros(n, dtype=np.float32)
-    selected[idx] = 1.0
-    return _masked_select(out, distorted, jnp.asarray(selected))
+        configs = [config for _, config in group]
+        ordered = [None] * n
+        for sample_idx, config in group:
+            ordered[sample_idx] = config
+        return batch_distort_images_compiled(name, ordered, out, key)
+    if len(idx) > n // 2:
+        configs = [group[0][1]] * n
+        for sample_idx, config in group:
+            configs[sample_idx] = config
+        distorted = batch_distort_images_compiled(name, configs, out, key)
+        selected = np.zeros(n, dtype=np.float32)
+        selected[idx] = 1.0
+        return _masked_select(out, distorted, jnp.asarray(selected))
+
+    bucket = next(
+        (b for b in _SUBBATCH_BUCKETS if len(idx) <= b), len(idx)
+    )
+    bucket = min(bucket, n)
+    idx_pad = idx + [idx[0]] * (bucket - len(idx))
+    configs = [group[0][1]] * bucket
+    for slot, (sample_idx, config) in enumerate(group):
+        configs[slot] = config
+    idx_dev = jnp.asarray(np.asarray(idx_pad, dtype=np.int64))
+    sub = jnp.take(out, idx_dev, axis=0)
+    res = batch_distort_images_compiled(name, configs, sub, key)
+    # Padded slots repeat member 0's sample but with member 0's config,
+    # so duplicate scatter writes agree.
+    return out.at[idx_dev].set(res)
 
 
 @jax.jit

@@ -17,10 +17,13 @@ compiles once per batch shape.  Channel subsets become per-channel gates
 instead of static signatures.
 
 Ops excluded from the mega program (applied via the per-name compiled
-dispatch when drawn): the blurs (always-on convolutions would dominate the
-round), rectangle/ellipse streaks (scanned stencils), glass_blur
-(host-built permutation), pixelation and zoom_in_blur (shape-changing
-statics).  Exclusion preserves per-sample ordering: each round applies its
+dispatch on a gathered member SUB-BATCH when drawn): the blurs (always-on
+convolutions would dominate the round), rectangle/ellipse streaks (scanned
+stencils), glass_blur (host-built permutation), pixelation and zoom_in_blur
+(shape-changing statics), and the measured heavyweights —
+histogram_equalization (~400ms/round always-on), jpeg_quality, fog and
+poisson_noise — whose cost only makes sense on the few samples that drew
+them.  Exclusion preserves per-sample ordering: each round applies its
 mega ops first, then the round's excluded draws by name.
 """
 import functools
@@ -46,17 +49,13 @@ MEGA_NAMES: Tuple[str, ...] = (
     'brightness_shift',
     'std_shift',
     'boundary_equalization',
-    'histogram_equalization',
     'complement',
     'posterization',
     'color_balance',
     'channel_permutation',
     'gaussion_noise',
-    'poisson_noise',
     'impulse_noise',
     'speckle_noise',
-    'jpeg_quality',
-    'fog',
     'line_streak',
 )
 _MEGA_INDEX = {name: i for i, name in enumerate(MEGA_NAMES)}
@@ -71,19 +70,18 @@ def mega_covers(name: str) -> bool:
 # ---------------------------------------------------------------------------
 
 _SCALAR_FIELDS = (
-    'ms_delta', 'ms_thr', 'ms_thr_on', 'ms_cycle',
+    'ms_delta', 'ms_thr', 'ms_cycle',
     'cs_delta',
     'bs_delta', 'bs_use_hsv',
     'ss_scale',
-    'cp_thr', 'cp_thr_on', 'cp_lte',
+    'cp_thr', 'cp_lte',
     'cb_ratio',
     'gn_std', 'in_salt', 'in_pepper', 'sn_std',
-    'fog_rough', 'fog_rmax', 'fog_rmin',
     'lk_thickness', 'lk_gap', 'lk_dash_t', 'lk_dash_g',
     'lk_vert', 'lk_hori', 'lk_alpha',
 )
-_VEC3_FIELDS = ('ms_chan', 'ss_chan', 'be_chan', 'he_chan', 'cp_chan',
-                'po_chan', 'fog_rgb', 'lk_color')
+_VEC3_FIELDS = ('ms_chan', 'ss_chan', 'be_chan', 'cp_chan',
+                'po_chan', 'lk_color')
 
 
 def _chan_gate(channels) -> np.ndarray:
@@ -105,8 +103,6 @@ def build_round_params(n: int, members_by_name: Dict[str, list]):
     for f in _VEC3_FIELDS:
         p[f] = np.zeros((n, 3), dtype=np.float32)
     p['po_bits'] = np.zeros(n, dtype=np.int32)
-    p['jq_luma'] = np.ones((n, 8, 8), dtype=np.float32)
-    p['jq_chroma'] = np.ones((n, 8, 8), dtype=np.float32)
 
     for name, members in members_by_name.items():
         idx = _MEGA_INDEX[name]
@@ -116,8 +112,9 @@ def build_round_params(n: int, members_by_name: Dict[str, list]):
                 p['ms_delta'][i] = cfg.delta
                 if cfg.threshold is not None:
                     p['ms_thr'][i] = cfg.threshold
-                    p['ms_thr_on'][i] = 1.0
                 else:
+                    # Sentinel making the gate always-true for the delta's
+                    # sign (threshold-off emulation).
                     p['ms_thr'][i] = 255.0 if cfg.delta > 0 else 0.0
                 from .distortion.photometric.base import OutOfBoundBehavior
                 p['ms_cycle'][i] = float(
@@ -137,12 +134,9 @@ def build_round_params(n: int, members_by_name: Dict[str, list]):
                 p['ss_chan'][i] = _chan_gate(cfg.channels)
             elif name == 'boundary_equalization':
                 p['be_chan'][i] = _chan_gate(cfg.channels)
-            elif name == 'histogram_equalization':
-                p['he_chan'][i] = _chan_gate(cfg.channels)
             elif name == 'complement':
                 if cfg.threshold is not None:
                     p['cp_thr'][i] = cfg.threshold
-                    p['cp_thr_on'][i] = 1.0
                 else:
                     p['cp_thr'][i] = (
                         255.0 if cfg.enable_threshold_lte else 0.0
@@ -158,25 +152,11 @@ def build_round_params(n: int, members_by_name: Dict[str, list]):
                 pass  # permutation derives from the round key on device
             elif name == 'gaussion_noise':
                 p['gn_std'][i] = cfg.std
-            elif name == 'poisson_noise':
-                pass
             elif name == 'impulse_noise':
                 p['in_salt'][i] = cfg.prob_salt
                 p['in_pepper'][i] = cfg.prob_pepper
             elif name == 'speckle_noise':
                 p['sn_std'][i] = cfg.std
-            elif name == 'jpeg_quality':
-                p['jq_luma'][i] = _quality_scaled_table(
-                    _LUMA_QTABLE, int(cfg.quality)
-                )
-                p['jq_chroma'][i] = _quality_scaled_table(
-                    _CHROMA_QTABLE, int(cfg.quality)
-                )
-            elif name == 'fog':
-                p['fog_rough'][i] = cfg.roughness
-                p['fog_rmax'][i] = cfg.ratio_max
-                p['fog_rmin'][i] = cfg.ratio_min
-                p['fog_rgb'][i] = np.asarray(cfg.fog_rgb, dtype=np.float32)
             elif name == 'line_streak':
                 p['lk_thickness'][i] = cfg.thickness
                 p['lk_gap'][i] = cfg.gap
@@ -394,17 +374,13 @@ def apply_mega_round(images, sel, params, key):
     outs.append(_op_brightness(x, params))
     outs.append(_op_std_shift(x, params))
     outs.append(_op_boundary_eq(x, params))
-    outs.append(_op_hist_eq(x, params))
     outs.append(_op_complement(x, params))
     outs.append(_op_posterization(x, params))
     outs.append(_op_color_balance(x, params))
     outs.append(_op_channel_permutation(x, params, key_stream[0]))
     outs.append(_op_gauss_noise(x, params, key_stream[1]))
-    outs.append(_op_poisson_noise(x, params, key_stream[2]))
     outs.append(_op_impulse_noise(x, params, key_stream[3]))
     outs.append(_op_speckle_noise(x, params, key_stream[4]))
-    outs.append(_op_jpeg(x, params))
-    outs.append(_op_fog(x, params, key_stream[5]))
     outs.append(_op_line_streak(x, params))
     assert len(outs) == len(MEGA_NAMES)
 

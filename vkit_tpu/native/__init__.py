@@ -83,6 +83,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         f32p, f32p,
     ]
     lib.vg_resize_f32.restype = None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    if hasattr(lib, 'vg_repair_backward_maps'):
+        lib.vg_repair_backward_maps.argtypes = [
+            f64p, f64p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.vg_repair_backward_maps.restype = None
 
     _lib = lib
     return lib

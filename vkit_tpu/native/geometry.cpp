@@ -166,6 +166,150 @@ void vg_lattice_backward_maps(
     }
 }
 
+// Repair uncovered dst pixels of a lattice backward map by linear
+// extension of the covered data — the C++ form of the repair loop in
+// vkit_tpu/mechanism/batched.py plan_backward_maps (same arithmetic,
+// float64 in-place).  Smooth extensions keep the two-pass tap budget
+// small; extended pixels are gated by the active mask downstream.
+void vg_repair_backward_maps(
+    double* map_y, double* map_x, const uint8_t* cov,
+    int rows, int cols) {
+    if (rows <= 0 || cols <= 0) return;
+    std::vector<int> covered_rows;
+    covered_rows.reserve(rows);
+    std::vector<uint8_t> row_full(rows, 0);
+    for (int y = 0; y < rows; ++y) {
+        const uint8_t* c = cov + (size_t)y * cols;
+        int any = 0, all = 1;
+        for (int x = 0; x < cols; ++x) {
+            if (c[x]) any = 1; else all = 0;
+        }
+        if (any) covered_rows.push_back(y);
+        row_full[y] = (uint8_t)(any && all);
+    }
+
+    for (int y : covered_rows) {
+        if (row_full[y]) continue;
+        const uint8_t* c = cov + (size_t)y * cols;
+        double* mx = map_x + (size_t)y * cols;
+        double* my = map_y + (size_t)y * cols;
+        int first = -1, last = -1, count = 0;
+        for (int x = 0; x < cols; ++x) {
+            if (c[x]) {
+                if (first < 0) first = x;
+                last = x;
+                ++count;
+            }
+        }
+        if (first < 0) continue;
+        if (last - first + 1 != count) {
+            // Interior holes (rare): interpolate across each gap.
+            int prev = first;
+            for (int x = first + 1; x <= last; ++x) {
+                if (!c[x]) continue;
+                if (x > prev + 1) {
+                    double span = (double)(x - prev);
+                    for (int g = prev + 1; g < x; ++g) {
+                        double t = (double)(g - prev) / span;
+                        mx[g] = mx[prev] + t * (mx[x] - mx[prev]);
+                        my[g] = my[prev] + t * (my[x] - my[prev]);
+                    }
+                }
+                prev = x;
+            }
+        }
+        // Extend with the LOCAL slope at each edge (an 8-px window), not
+        // the full-row average: a curved row extended at its tangent stays
+        // shape-consistent with its neighbours, which keeps the two-pass
+        // tap budget small near canvas borders.
+        int dl = last - first;
+        if (dl > 8) dl = 8;
+        if (dl > 0) {
+            double sxl = (mx[first + dl] - mx[first]) / (double)dl;
+            double syl = (my[first + dl] - my[first]) / (double)dl;
+            double sxr = (mx[last] - mx[last - dl]) / (double)dl;
+            double syr = (my[last] - my[last - dl]) / (double)dl;
+            for (int x = 0; x < first; ++x) {
+                double d = (double)(x - first);
+                mx[x] = mx[first] + d * sxl;
+                my[x] = my[first] + d * syl;
+            }
+            for (int x = last + 1; x < cols; ++x) {
+                double d = (double)(x - last);
+                mx[x] = mx[last] + d * sxr;
+                my[x] = my[last] + d * syr;
+            }
+        } else {
+            for (int x = 0; x < first; ++x) {
+                double d = (double)(x - first);
+                mx[x] = mx[first] + d;
+                my[x] = my[first];
+            }
+            for (int x = last + 1; x < cols; ++x) {
+                double d = (double)(x - last);
+                mx[x] = mx[last] + d;
+                my[x] = my[last];
+            }
+        }
+    }
+
+    if (covered_rows.empty() || (int)covered_rows.size() == rows) return;
+    int top = covered_rows.front(), bottom = covered_rows.back();
+    // Vertical steps from LOCAL 8-row windows at each edge (see above).
+    int dv = bottom - top;
+    if (dv > 8) dv = 8;
+    std::vector<double> step_y_t(cols, 1.0), step_x_t(cols, 0.0);
+    std::vector<double> step_y_b(cols, 1.0), step_x_b(cols, 0.0);
+    if (dv > 0) {
+        double inv = 1.0 / (double)dv;
+        for (int x = 0; x < cols; ++x) {
+            step_y_t[x] = (map_y[(size_t)(top + dv) * cols + x]
+                           - map_y[(size_t)top * cols + x]) * inv;
+            step_x_t[x] = (map_x[(size_t)(top + dv) * cols + x]
+                           - map_x[(size_t)top * cols + x]) * inv;
+            step_y_b[x] = (map_y[(size_t)bottom * cols + x]
+                           - map_y[(size_t)(bottom - dv) * cols + x]) * inv;
+            step_x_b[x] = (map_x[(size_t)bottom * cols + x]
+                           - map_x[(size_t)(bottom - dv) * cols + x]) * inv;
+        }
+    }
+    auto extend_row = [&](int y, int y0, const std::vector<double>& sy,
+                          const std::vector<double>& sx) {
+        double d = (double)(y - y0);
+        double* my = map_y + (size_t)y * cols;
+        double* mx = map_x + (size_t)y * cols;
+        const double* ry = map_y + (size_t)y0 * cols;
+        const double* rx = map_x + (size_t)y0 * cols;
+        for (int x = 0; x < cols; ++x) {
+            my[x] = ry[x] + d * sy[x];
+            mx[x] = rx[x] + d * sx[x];
+        }
+    };
+    for (int y = 0; y < top; ++y) extend_row(y, top, step_y_t, step_x_t);
+    for (int y = bottom + 1; y < rows; ++y)
+        extend_row(y, bottom, step_y_b, step_x_b);
+    // Interior rows with no coverage (rare): nearest covered row
+    // (ties resolve to the earlier row, matching np.argmin).
+    size_t ci = 0;
+    for (int y = top + 1; y < bottom; ++y) {
+        const uint8_t* c = cov + (size_t)y * cols;
+        int any = 0;
+        for (int x = 0; x < cols; ++x) {
+            if (c[x]) { any = 1; break; }
+        }
+        if (any) continue;
+        while (ci + 1 < covered_rows.size() && covered_rows[ci + 1] < y) ++ci;
+        int y0 = covered_rows[ci];
+        if (ci + 1 < covered_rows.size()) {
+            int y1 = covered_rows[ci + 1];
+            if (std::abs(y1 - y) < std::abs(y - y0)) y0 = y1;
+        }
+        extend_row(y, y0,
+                   y0 - top <= bottom - y0 ? step_y_t : step_y_b,
+                   y0 - top <= bottom - y0 ? step_x_t : step_x_b);
+    }
+}
+
 // 8-connected component labeling, labels assigned in raster order of each
 // component's first pixel (1-based; 0 = background). Returns the number of
 // components. labels: caller-allocated int32 (height * width).

@@ -13,6 +13,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -176,6 +177,15 @@ def row_shift_window_slab(
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
 
+    # Keep the double-buffered in+out blocks inside the ~16MB VMEM budget
+    # (wide windows at C=5 overflow at 128 rows/block).  Mosaic pads the
+    # channel (sublane) dim to 8, so budget with the PADDED channel count.
+    itemsize = np.dtype(x.dtype).itemsize
+    c_pad = -(-C // 8) * 8
+    budget = 9 * 1024 * 1024
+    cap = budget // max(c_pad * (in_width + out_width) * itemsize * 2, 1)
+    rows_per_block = int(min(rows_per_block, max(16, (cap // 16) * 16)))
+
     pad_l = (-L) % rows_per_block
     if pad_l:
         x = jnp.pad(x, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
@@ -279,4 +289,146 @@ def row_shift_window(
     )(starts.astype(jnp.int32), x)
     if pad_l:
         out = out[:, :L]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Banded line resample: the general 1-D resampling primitive behind the
+# batched warp.  For each output line and each 128-lane block of output
+# positions, the sampling positions deviate from a unit-slope baseline by
+# only a few pixels (any smooth backward field at near-unit scale), so the
+# whole resample is: ONE in-VMEM roll per (row, block) to the block's
+# integer base, then TAPS static lane-slices blended by per-pixel hat
+# weights.  Replaces the one-hot tap matmuls (whose m_shift x J one-hot
+# operands cost ~0.5GB/tap of HBM traffic) and every gather.
+# ---------------------------------------------------------------------------
+
+
+def _banded_resample_kernel(
+    base_ref, in_ref, pos_ref, out_ref, scratch_ref, *,
+    rows_per_block, channels, in_width, j_blocks, taps, border_value, off,
+):
+    n = pl.program_id(0)
+    lb = pl.program_id(1)
+    row0 = lb * rows_per_block
+
+    def body(r, carry):
+        scratch_ref[:, :] = jnp.full(
+            (channels, _WINDOW2), border_value, dtype=scratch_ref.dtype
+        )
+        scratch_ref[:, off:off + in_width] = in_ref[0, r, :, :]
+        lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+        pos_row = pos_ref[0, pl.ds(r, 1), :]               # (1, JP)
+        for blk in range(j_blocks):
+            b = base_ref[n, ((row0 + r) // 8) * j_blocks + blk]
+            # rolled[p] = win[p + b] (win at scratch offset `off`).
+            # roll(x, s)[i] = x[i - s]; want rolled[p] = win[p + b], i.e.
+            # s = -(off + b) — expressed non-negatively mod the window.
+            rolled = pltpu.roll(
+                scratch_ref[:, :],
+                shift=jnp.remainder(_WINDOW2 - off - b, _WINDOW2),
+                axis=1,
+            )
+            # Aligned 256-lane window; per-tap values via STATIC rolls
+            # (Mosaic cannot lane-slice at unaligned offsets).
+            win = rolled[:, :256]
+            pos_blk = pos_row[:, blk * 128:(blk + 1) * 128]
+            u = pos_blk - (b.astype(jnp.float32) + lane)   # (1, 128)
+            acc = jnp.zeros((channels, 128), dtype=jnp.float32)
+            for t in range(taps):
+                w = jnp.maximum(1.0 - jnp.abs(u - t), 0.0)
+                sub = pltpu.roll(win, shift=(256 - t) % 256, axis=1)[:, :128]
+                acc = acc + sub * w
+            out_ref[0, r, :, blk * 128:(blk + 1) * 128] = acc
+        return carry
+
+    lax.fori_loop(0, rows_per_block, body, 0)
+
+
+def banded_line_resample(
+    x,
+    base,
+    pos,
+    taps: int,
+    border_value: float = 0.0,
+    rows_per_block: int = 32,
+    interpret: Optional[bool] = None,
+):
+    """``out[n, l, c, j] = interp(x[n, l, c, :], at=pos[n, l, j])``.
+
+    ``base``: (N, ceil(L/8), J/128) int32 — integer base per 8-LINE GROUP
+    and 128-lane block (grouped so the whole array fits the 1MB scalar
+    SMEM); the planner guarantees ``pos - (base + (j - j0)) in
+    [0, taps-2]`` wherever the output is consumed.  ``pos``: (N, L, J)
+    f32, J a multiple of 128.  Out-of-source positions read
+    ``border_value``.
+    """
+    n, l, c, in_width = x.shape
+    jp = pos.shape[-1]
+    assert jp % 128 == 0 and base.shape[-1] == jp // 128
+    assert base.shape[1] == -(-l // 8), (base.shape, l)
+    nblk = jp // 128
+    assert taps <= 128, taps
+    assert in_width + 128 + 256 <= _WINDOW2
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+
+    off = 512
+    itemsize = np.dtype(x.dtype).itemsize
+    c_pad = -(-c // 8) * 8
+    budget = 8 * 1024 * 1024
+    per_row = c_pad * (in_width + jp) * itemsize * 2 + jp * 8
+    rows_per_block = int(
+        min(rows_per_block, max(8, (budget // per_row) // 8 * 8))
+    )
+
+    pad_l = (-l) % rows_per_block
+    if pad_l:
+        x = jnp.pad(x, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
+        pos = jnp.pad(pos, ((0, 0), (0, pad_l), (0, 0)))
+    l_padded = l + pad_l
+    pad_g = -(-l_padded // 8) - base.shape[1]
+    if pad_g > 0:
+        base = jnp.pad(base, ((0, 0), (0, pad_g), (0, 0)), mode='edge')
+    # Scalar-prefetch arrays live lane-padded in 1MB SMEM: flatten the
+    # (groups, blocks) tail so padding stays negligible.
+    base = base.reshape(base.shape[0], -1)
+
+    kernel = functools.partial(
+        _banded_resample_kernel,
+        rows_per_block=rows_per_block,
+        channels=c,
+        in_width=in_width,
+        j_blocks=jp // 128,
+        taps=taps,
+        border_value=border_value,
+        off=off,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, l_padded // rows_per_block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_per_block, c, in_width),
+                lambda b, lb, base: (b, lb, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, rows_per_block, jp),
+                lambda b, lb, base: (b, lb, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_block, c, jp),
+            lambda b, lb, base: (b, lb, 0, 0),
+        ),
+        scratch_shapes=[pltpu.VMEM((c, _WINDOW2), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, l_padded, c, jp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(base.astype(jnp.int32), x.astype(jnp.float32), pos.astype(jnp.float32))
+    if pad_l:
+        out = out[:, :l]
     return out

@@ -176,14 +176,8 @@ def synthesize_page_batch(
     stack = jnp.concatenate(
         [assembled.astype(jnp.float32), jnp.asarray(labels)], axis=-1
     )
-    # Lattice draws (camera/MLS) at production levels have per-line slope
-    # variation far beyond the two-pass tap budget; route straight to the
-    # fused gather program and skip the feasibility probing (host numpy).
-    warp_mode = (
-        'gather' if any(p.is_lattice for p in plans) else 'auto'
-    )
     warped, shapes, _, maps = batched_plan_warp(
-        plans, stack, return_maps=True, mode=warp_mode
+        plans, stack, return_maps=True, mode='auto'
     )
     assert warped.shape[1:3] == out_shape
 

@@ -205,3 +205,25 @@ class TestNoise:
         frac_pepper = np.mean(np.all(out == 0, axis=-1))
         assert 0.02 < frac_salt < 0.09
         assert 0.02 < frac_pepper < 0.09
+
+
+def test_jpeg_roundtrip_bit_exact_vs_libjpeg():
+    """ops/jpeg_exact.py must reproduce cv2's (libjpeg) roundtrip bit for
+    bit across sizes and qualities — including non-MCU-aligned shapes."""
+    import cv2
+
+    from vkit_tpu.ops.jpeg_exact import jpeg_roundtrip_exact
+
+    rng = np.random.default_rng(7)
+    cases = [(64, 64, 95), (120, 168, 60), (89, 92, 56), (48, 40, 84),
+             (33, 57, 10), (160, 200, 30)]
+    for h, w, q in cases:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        enc = cv2.imencode('.jpg', img, [cv2.IMWRITE_JPEG_QUALITY, q])[1]
+        ref = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        got = jpeg_roundtrip_exact(img[..., ::-1], q)[..., ::-1]
+        assert np.array_equal(ref, got), (h, w, q)
+    gray = rng.integers(0, 256, (70, 90), dtype=np.uint8)
+    enc = cv2.imencode('.jpg', gray, [cv2.IMWRITE_JPEG_QUALITY, 40])[1]
+    ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
+    assert np.array_equal(ref, jpeg_roundtrip_exact(gray, 40))

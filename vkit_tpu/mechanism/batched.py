@@ -826,11 +826,18 @@ def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
         x, plan, canvas, taps, flips=flips, border_value=border_value
     )
     if len(rejects):
-        bucket = 1 << max(0, (len(rejects) - 1).bit_length())
+        # Fixed bucket ladder {8, 32}: each size is a separate compile of
+        # the gather program.
+        bucket = 8 if len(rejects) <= 8 else 32
+        bucket = min(bucket, n)
         ridx = np.concatenate([
-            rejects, np.full(bucket - len(rejects), rejects[0],
-                             dtype=np.int64),
+            rejects[:bucket],
+            np.full(max(bucket - len(rejects), 0), rejects[0],
+                    dtype=np.int64),
         ])
+        if len(rejects) > bucket:  # overflow: huge reject sets (rare)
+            ridx = rejects
+        
         idx_dev = jnp.asarray(ridx)
         sub = jnp.take(x, idx_dev, axis=0)
         sub_nodes = (coarse_y[ridx], coarse_x[ridx], ys, xs)

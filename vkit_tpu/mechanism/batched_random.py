@@ -144,7 +144,10 @@ def batch_random_photometric_distort(
     return out
 
 
-_SUBBATCH_BUCKETS = (4, 8, 16, 32, 64, 128)
+# One bucket size: every distinct (name, bucket, static-signature) tuple
+# is a separate compiled program, and compiles cost minutes on a tunneled
+# chip.  Minority draws pad to 8; bigger groups use the full-batch path.
+_SUBBATCH_BUCKETS = (8,)
 
 
 def _apply_group(name, group, out, key):
@@ -164,7 +167,7 @@ def _apply_group(name, group, out, key):
         for sample_idx, config in group:
             ordered[sample_idx] = config
         return batch_distort_images_compiled(name, ordered, out, key)
-    if len(idx) > n // 2:
+    if len(idx) > _SUBBATCH_BUCKETS[-1]:
         configs = [group[0][1]] * n
         for sample_idx, config in group:
             configs[sample_idx] = config

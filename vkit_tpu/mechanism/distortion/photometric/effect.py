@@ -28,11 +28,13 @@ def jpeg_quality(config: JpegQualityConfig, image: Image, rng) -> Image:
     assert 0 <= config.quality <= 100
 
     def codec(im: Image) -> Image:
-        # The reference hands its RGB mat to cv.imencode, which reads it as
-        # BGR — so luma/chroma derive from swapped channels.  Reproduce by
-        # running the codec sim on the reversed channel order.
+        # The reference hands its RGB mat to cv.imencode, which reads it
+        # as BGR — so luma/chroma derive from swapped channels.  Reproduce
+        # by running the (bit-exact libjpeg) codec on the reversed order.
+        from ....ops.jpeg_exact import jpeg_roundtrip_exact
+
         mat = im.mat[..., ::-1] if im.mat.ndim == 3 else im.mat
-        out = effect_ops.jpeg_quality_np(np.ascontiguousarray(mat), config.quality)
+        out = jpeg_roundtrip_exact(np.ascontiguousarray(mat), config.quality)
         out = out[..., ::-1] if out.ndim == 3 else out
         return im.replace(mat=np.ascontiguousarray(out))
 

@@ -43,10 +43,10 @@ _CHROMA_QTABLE = np.array([
 def _quality_scaled_table(base: np.ndarray, quality: int) -> np.ndarray:
     quality = int(np.clip(quality, 1, 100))
     if quality < 50:
-        scale = 5000 / quality
+        scale = 5000 // quality    # INTEGER division (jcparam.c)
     else:
         scale = 200 - quality * 2
-    table = np.floor((base * scale + 50) / 100)
+    table = (base.astype(np.int64) * scale + 50) // 100
     return np.clip(table, 1, 255)
 
 

@@ -249,29 +249,22 @@ def batched_speckle_noise(images, stds, key):
 
 
 def batched_jpeg_quality(images, qualities):
-    """Per-sample qualities -> per-sample quant tables (host) -> DCT sim."""
-    from ..parallel.batch import _jpeg_single
+    """Per-sample qualities -> per-sample quant tables (host) -> the
+    BIT-EXACT integer libjpeg pipeline (ops/jpeg_exact.py, int32)."""
+    from ..ops.jpeg_exact import jpeg_roundtrip_exact_jnp
 
     luma = jnp.asarray(np.stack([
         _quality_scaled_table(_LUMA_QTABLE, int(q)) for q in np.asarray(qualities)
-    ]).astype(np.float32))
+    ]).astype(np.int32))
     chroma = jnp.asarray(np.stack([
         _quality_scaled_table(_CHROMA_QTABLE, int(q)) for q in np.asarray(qualities)
-    ]).astype(np.float32))
+    ]).astype(np.int32))
     # BGR-compat: the reference encodes its RGB mats through cv.imencode,
     # which reads them as BGR; run the codec on reversed channels.
-    out = jax.vmap(_jpeg_single)(
-        images[..., ::-1].astype(jnp.float32), luma, chroma
+    out = jax.vmap(jpeg_roundtrip_exact_jnp)(
+        images[..., ::-1], luma, chroma
     )
-    return _finish(out)[..., ::-1]
-
-
-def batched_pixelation(images, ratio: float):
-    """Shared ratio across the batch (static shapes under jit)."""
-    n, h, w = images.shape[:3]
-    rh, rw = round(h * ratio), round(w * ratio)
-    down = jax.vmap(lambda im: resize(im, (rh, rw), Interpolation.LINEAR))(images)
-    return jax.vmap(lambda im: resize(im, (h, w), Interpolation.NEAREST))(down)
+    return out[..., ::-1]
 
 
 def batched_fog(
@@ -389,28 +382,6 @@ def batched_glass_blur(images, sigmas, deltas, loops, rng):
         return img.reshape(h * w, -1)[idx].reshape(h, w, -1)
 
     return jax.vmap(permute_one)(blurred, flat_idx)
-
-
-def batched_zoom_in_blur(images, ratio: float = 0.1, step: float = 0.01,
-                         alpha: float = 0.5):
-    """Shared (ratio, step, alpha): zoom sizes must be static under jit."""
-    n, h, w = images.shape[:3]
-    x = images.astype(jnp.float32)
-    acc = x
-    count = 1
-    for r in np.arange(1 + step, 1 + ratio + step, step):
-        rh, rw = round(h * r), round(w * r)
-        up = (rh - h) // 2
-        left = (rw - w) // 2
-        zoomed = jax.vmap(
-            lambda im: resize(im, (rh, rw), Interpolation.CUBIC)[
-                up:up + h, left:left + w
-            ]
-        )(x)
-        acc = acc + zoomed
-        count += 1
-    out = (1.0 - alpha) * x + alpha * jnp.round(acc / count)
-    return _finish(out)
 
 
 # ---------------------------------------------------------------------------
@@ -688,6 +659,118 @@ def _matrix_nodes(plan, ys, xs):
     return sy, sx
 
 
+
+def _repair_node_maps(cy, cx, cov, ys, xs):
+    """Node-level twin of the full-resolution repair: fill uncovered node
+    positions by interpolation / LOCAL-slope extension (float64 in
+    place).  Extended values are shape-consistent with their rows, which
+    keeps the banded tap budget small near canvas borders."""
+    rows, cols = cov.shape
+    xs_f = xs.astype(np.float64)
+    ys_f = ys.astype(np.float64)
+    row_any = cov.any(axis=1)
+    covered_rows = np.flatnonzero(row_any)
+    for r in covered_rows:
+        rc = cov[r]
+        if rc.all():
+            continue
+        idx = np.flatnonzero(rc)
+        first, last = idx[0], idx[-1]
+        if last - first + 1 != len(idx):
+            fx = xs_f[idx]
+            cx[r] = np.interp(xs_f, fx, cx[r, idx])
+            cy[r] = np.interp(xs_f, fx, cy[r, idx])
+        if last > first:
+            gl = max(xs_f[min(first + 1, last)] - xs_f[first], 1.0)
+            gr = max(xs_f[last] - xs_f[max(last - 1, first)], 1.0)
+            sxl = (cx[r, min(first + 1, last)] - cx[r, first]) / gl
+            syl = (cy[r, min(first + 1, last)] - cy[r, first]) / gl
+            sxr = (cx[r, last] - cx[r, max(last - 1, first)]) / gr
+            syr = (cy[r, last] - cy[r, max(last - 1, first)]) / gr
+        else:
+            sxl = sxr = 1.0
+            syl = syr = 0.0
+        if first > 0:
+            d = xs_f[:first] - xs_f[first]
+            cx[r, :first] = cx[r, first] + d * sxl
+            cy[r, :first] = cy[r, first] + d * syl
+        if last < cols - 1:
+            d = xs_f[last + 1:] - xs_f[last]
+            cx[r, last + 1:] = cx[r, last] + d * sxr
+            cy[r, last + 1:] = cy[r, last] + d * syr
+    if len(covered_rows) == 0 or len(covered_rows) == rows:
+        return
+    top, bottom = covered_rows[0], covered_rows[-1]
+    t1 = min(top + 1, bottom)
+    b1 = max(bottom - 1, top)
+    gt = max(ys_f[t1] - ys_f[top], 1.0)
+    gb = max(ys_f[bottom] - ys_f[b1], 1.0)
+    sy_t = (cy[t1] - cy[top]) / gt
+    sx_t = (cx[t1] - cx[top]) / gt
+    sy_b = (cy[bottom] - cy[b1]) / gb
+    sx_b = (cx[bottom] - cx[b1]) / gb
+    if bottom == top:
+        sy_t = sy_b = np.ones(cols)
+        sx_t = sx_b = np.zeros(cols)
+    for r in range(0, top):
+        d = ys_f[r] - ys_f[top]
+        cy[r] = cy[top] + d * sy_t
+        cx[r] = cx[top] + d * sx_t
+    for r in range(bottom + 1, rows):
+        d = ys_f[r] - ys_f[bottom]
+        cy[r] = cy[bottom] + d * sy_b
+        cx[r] = cx[bottom] + d * sx_b
+    interior = np.flatnonzero(~row_any)
+    interior = interior[(interior > top) & (interior < bottom)]
+    for r in interior:
+        r0 = covered_rows[np.argmin(np.abs(covered_rows - r))]
+        near_top = (r0 - top) <= (bottom - r0)
+        d = ys_f[r] - ys_f[r0]
+        cy[r] = cy[r0] + d * (sy_t if near_top else sy_b)
+        cx[r] = cx[r0] + d * (sx_t if near_top else sx_b)
+
+
+def lattice_node_maps(plan, ys, xs):
+    """(cy, cx) float64 node-sampled backward maps for a lattice plan,
+    repaired at node level; None when the native kernel is unavailable
+    (callers fall back to full-resolution maps + subsampling)."""
+    try:
+        from ..native import load_library
+        lib = load_library()
+    except Exception:  # noqa: BLE001
+        return None
+    if lib is None or not hasattr(lib, 'vg_lattice_node_maps'):
+        return None
+    import ctypes
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    inv_mats = np.ascontiguousarray(
+        plan._cell_mats(inverse=True), dtype=np.float64
+    )
+    quads = np.ascontiguousarray(plan._quads('dst'), dtype=np.float64)
+    dst_h, dst_w = plan.dst_shape
+    ys32 = np.ascontiguousarray(ys, dtype=np.int32)
+    xs32 = np.ascontiguousarray(xs, dtype=np.int32)
+    cy = np.zeros((len(ys), len(xs)), dtype=np.float32)
+    cx = np.zeros((len(ys), len(xs)), dtype=np.float32)
+    cov = np.zeros((len(ys), len(xs)), dtype=np.uint8)
+    lib.vg_lattice_node_maps(
+        quads.ctypes.data_as(f64p), inv_mats.ctypes.data_as(f64p),
+        len(quads), dst_h, dst_w,
+        ys32.ctypes.data_as(i32p), len(ys32),
+        xs32.ctypes.data_as(i32p), len(xs32),
+        cy.ctypes.data_as(f32p), cx.ctypes.data_as(f32p),
+        cov.ctypes.data_as(u8p),
+    )
+    cy = cy.astype(np.float64)
+    cx = cx.astype(np.float64)
+    _repair_node_maps(cy, cx, cov.astype(bool), ys, xs)
+    return cy, cx
+
+
 def _build_coarse_nodes(map_list, shapes, canvas, node_step: int = 8):
     """Sample every sample's backward field at shared coarse nodes.
 
@@ -713,10 +796,17 @@ def _build_coarse_nodes(map_list, shapes, canvas, node_step: int = 8):
     coarse_x = np.empty((n, len(ys), len(xs)), dtype=np.float32)
     for idx, entry in enumerate(map_list):
         if not isinstance(entry, tuple):
-            cy, cx = _matrix_nodes(entry, ys, xs)
-            coarse_y[idx] = cy
-            coarse_x[idx] = cx
-            continue
+            if getattr(entry, 'is_lattice', False):
+                res = lattice_node_maps(entry, ys, xs)
+                if res is not None:
+                    coarse_y[idx], coarse_x[idx] = res
+                    continue
+                entry = plan_backward_maps(entry, entry.src_shape)[:2]
+            else:
+                cy, cx = _matrix_nodes(entry, ys, xs)
+                coarse_y[idx] = cy
+                coarse_x[idx] = cx
+                continue
         my, mx = entry
         h, w = shapes[idx]
         if h == h_max and w == w_max:
@@ -973,12 +1063,18 @@ def batched_plan_warp(
     map_list = []
     coverages = []
     for plan in plans:
-        if mode != 'dense' and not plan.is_lattice:
-            # Lazy: matrix/nop maps are analytic — the coarse-node paths
-            # evaluate them at ~1/64th of the pixels directly instead of
-            # materializing two full-res float planes per sample.
+        if mode != 'dense':
+            # Lazy: matrix/nop maps are analytic, and lattice maps are
+            # evaluated at the coarse NODES only (native kernel) — no
+            # full-res float planes per sample.  Lattice coverage is the
+            # active border-polygon fill (same region as the per-cell
+            # rasterization up to boundary rounding).
             map_list.append(plan)
-            coverages.append(np.broadcast_to(True, plan.dst_shape))
+            if plan.is_lattice:
+                from .distortion.warp_plan import warp_active_mask
+                coverages.append(warp_active_mask(plan).mat.astype(bool))
+            else:
+                coverages.append(np.broadcast_to(True, plan.dst_shape))
             continue
         map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
         map_list.append((map_y, map_x))
@@ -1235,7 +1331,10 @@ def batch_distort_images(name: str, configs: Sequence, images, key=None):
     if name == 'jpeg_quality':
         return batched_jpeg_quality(images, _field(configs, 'quality'))
     if name == 'pixelation':
-        return batched_pixelation(images, _uniform(configs, 'ratio'))
+        arrays, _static = _prep_pixelation(configs, images.shape, key)
+        return _apply_pixelation_traced(
+            images, key, {k: jnp.asarray(v) for k, v in arrays.items()}, ()
+        )
     if name == 'fog':
         return batched_fog(
             images,
@@ -1255,11 +1354,9 @@ def batch_distort_images(name: str, configs: Sequence, images, key=None):
             images, _field(configs, 'radius'), _field(configs, 'angle')
         )
     if name == 'zoom_in_blur':
-        return batched_zoom_in_blur(
-            images,
-            ratio=_uniform(configs, 'ratio'),
-            step=_uniform(configs, 'step'),
-            alpha=_uniform(configs, 'alpha'),
+        arrays, _static = _prep_zoom(configs, images.shape, key)
+        return _apply_zoom_traced(
+            images, key, {k: jnp.asarray(v) for k, v in arrays.items()}, ()
         )
 
     if name == 'glass_blur':
@@ -1366,21 +1463,20 @@ def _prep_jpeg(configs, shape, key):
     qualities = _field(configs, 'quality')
     luma = np.stack([
         _quality_scaled_table(_LUMA_QTABLE, int(q)) for q in qualities
-    ]).astype(np.float32)
+    ]).astype(np.int32)
     chroma = np.stack([
         _quality_scaled_table(_CHROMA_QTABLE, int(q)) for q in qualities
-    ]).astype(np.float32)
+    ]).astype(np.int32)
     return {'luma': luma, 'chroma': chroma}, ()
 
 
 def _apply_jpeg(images, key, arrays, static):
-    from ..parallel.batch import _jpeg_single
+    from ..ops.jpeg_exact import jpeg_roundtrip_exact_jnp
 
-    out = jax.vmap(_jpeg_single)(
-        images[..., ::-1].astype(jnp.float32),
-        arrays['luma'], arrays['chroma'],
+    out = jax.vmap(jpeg_roundtrip_exact_jnp)(
+        images[..., ::-1], arrays['luma'], arrays['chroma'],
     )
-    return _finish(out)[..., ::-1]
+    return out[..., ::-1]
 
 
 def _prep_fog(configs, shape, key):
@@ -1665,6 +1761,140 @@ def _field_prep(field_names, *statics_fields):
     return prep
 
 
+
+# ---------------------------------------------------------------------------
+# Shape-changing photometric ops with TRACED per-sample parameters.
+#
+# pixelation / zoom_in_blur change an intermediate canvas per draw; naive
+# batching compiles a fresh program per (ratio, step) draw — a perpetual
+# compile leak on a tunneled backend.  Both ops are separable resampling
+# chains, so the per-sample resize matrices build ON DEVICE from traced
+# integer sizes and the compiled program is one per image shape.
+# ---------------------------------------------------------------------------
+
+
+def _nearest_up_linear_down_weights(n: int, rn, dtype=jnp.float32):
+    """(n, n) weights of LINEAR-downsample-to-rn composed with NEAREST-
+    upsample-back (the pixelation map), traced ``rn``.
+
+    Tap definitions mirror ops/resize_taps.py: NEAREST src = floor(i *
+    rn / n); LINEAR centers (a + 0.5) * (n / rn) - 0.5 with edge clipping.
+    """
+    i = jnp.arange(n)
+    a = jnp.clip((i * rn) // n, 0, rn - 1)          # NEAREST up indices
+    scale = n / rn.astype(dtype)
+    c = (a.astype(dtype) + 0.5) * scale - 0.5       # LINEAR down centers
+    base = jnp.floor(c)
+    w1 = (c - base)[:, None]
+    idx0 = jnp.clip(base.astype(jnp.int32), 0, n - 1)[:, None]
+    idx1 = jnp.clip(base.astype(jnp.int32) + 1, 0, n - 1)[:, None]
+    iota = jnp.arange(n)[None, :]
+    return (
+        (iota == idx0).astype(dtype) * (1.0 - w1)
+        + (iota == idx1).astype(dtype) * w1
+    )
+
+
+def _apply_pixelation_traced(images, key, arrays, static):
+    n, h, w = images.shape[:3]
+    r_rows = jax.vmap(
+        lambda rh: _nearest_up_linear_down_weights(h, rh)
+    )(arrays['rh'])                                   # (N, H, H)
+    r_cols = jax.vmap(
+        lambda rw: _nearest_up_linear_down_weights(w, rw)
+    )(arrays['rw'])                                   # (N, W, W)
+    x = images.astype(jnp.float32)
+    x = jnp.einsum('nis,nswc->niwc', r_rows, x,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum('njs,nisc->nijc', r_cols, x,
+                   preferred_element_type=jnp.float32)
+    return _finish(x)
+
+
+def _prep_pixelation(configs, shape, key):
+    n, h, w = shape[:3]
+    rh = np.asarray([
+        max(1, round(h * cfg.ratio)) for cfg in configs
+    ], dtype=np.int32)
+    rw = np.asarray([
+        max(1, round(w * cfg.ratio)) for cfg in configs
+    ], dtype=np.int32)
+    return {'rh': rh, 'rw': rw}, ()
+
+
+_ZOOM_MAX_STEPS = 24
+
+
+def _cubic_crop_weights(n: int, rn, dtype=jnp.float32):
+    """(n, n) weights of CUBIC-upsample-to-rn composed with the center
+    crop back to n (one zoom_in_blur step), traced ``rn``."""
+    up = (rn - n) // 2
+    i = jnp.arange(n) + up                           # rows of the zoomed canvas
+    scale = n / rn.astype(dtype)
+    c = (i.astype(dtype) + 0.5) * scale - 0.5
+    base = jnp.floor(c)
+    iota = jnp.arange(n)[None, :]
+    acc = jnp.zeros((n, n), dtype)
+    a = -0.75
+    for tap in (-1, 0, 1, 2):
+        idx = base.astype(jnp.int32) + tap
+        dist = jnp.abs(c - idx.astype(dtype))
+        d2 = dist * dist
+        d3 = d2 * dist
+        wt = jnp.where(
+            dist <= 1.0,
+            (a + 2.0) * d3 - (a + 3.0) * d2 + 1.0,
+            jnp.where(
+                dist < 2.0,
+                a * d3 - 5.0 * a * d2 + 8.0 * a * dist - 4.0 * a,
+                0.0,
+            ),
+        )
+        clipped = jnp.clip(idx, 0, n - 1)[:, None]
+        acc = acc + (iota == clipped).astype(dtype) * wt[:, None]
+    return acc / acc.sum(axis=1, keepdims=True)      # cv2 row normalization
+
+
+def _apply_zoom_traced(images, key, arrays, static):
+    n, h, w = images.shape[:3]
+    x = images.astype(jnp.float32)
+    acc = x
+    for k in range(_ZOOM_MAX_STEPS):
+        rh = arrays['rhs'][:, k]
+        rw = arrays['rws'][:, k]
+        rows = jax.vmap(lambda r: _cubic_crop_weights(h, r))(rh)
+        cols = jax.vmap(lambda r: _cubic_crop_weights(w, r))(rw)
+        z = jnp.einsum('nis,nswc->niwc', rows, x,
+                       preferred_element_type=jnp.float32)
+        z = jnp.einsum('njs,nisc->nijc', cols, z,
+                       preferred_element_type=jnp.float32)
+        live = (k < arrays['count'])[:, None, None, None]
+        acc = acc + jnp.where(live, z, 0.0)
+    total = (arrays['count'] + 1).astype(jnp.float32)[:, None, None, None]
+    alpha = arrays['alpha'][:, None, None, None]
+    mixed = (1.0 - alpha) * x + alpha * jnp.round(acc / total)
+    return _finish(mixed)
+
+
+def _prep_zoom(configs, shape, key):
+    n, h, w = shape[:3]
+    rhs = np.full((len(configs), _ZOOM_MAX_STEPS), h, dtype=np.int32)
+    rws = np.full((len(configs), _ZOOM_MAX_STEPS), w, dtype=np.int32)
+    counts = np.zeros(len(configs), dtype=np.int32)
+    for idx, cfg in enumerate(configs):
+        zooms = np.arange(
+            1 + cfg.step, 1 + cfg.ratio + cfg.step, cfg.step
+        )[:_ZOOM_MAX_STEPS]
+        counts[idx] = len(zooms)
+        for k, z in enumerate(zooms):
+            rhs[idx, k] = round(h * z)
+            rws[idx, k] = round(w * z)
+    return {
+        'rhs': rhs, 'rws': rws, 'count': counts,
+        'alpha': _f32(_field(configs, 'alpha')),
+    }, ()
+
+
 _COMPILED_CATALOG = {
     'mean_shift': (_prep_mean_shift, _apply_mean_shift),
     'color_shift': (
@@ -1733,22 +1963,13 @@ _COMPILED_CATALOG = {
             batched_speckle_noise(images, arrays['std'], key),
     ),
     'jpeg_quality': (_prep_jpeg, _apply_jpeg),
-    'pixelation': (
-        _field_prep((), 'ratio'),
-        lambda images, key, arrays, static:
-            batched_pixelation(images, static[0]),
-    ),
+    'pixelation': (_prep_pixelation, _apply_pixelation_traced),
     'fog': (_prep_fog, _apply_fog),
     'gaussian_blur': (_prep_gaussian_blur, _apply_filter2d),
     'defocus_blur': (_prep_defocus_blur, _apply_filter2d),
     'motion_blur': (_prep_motion_blur, _apply_filter2d),
     'glass_blur': (_prep_glass_blur, _apply_glass_blur),
-    'zoom_in_blur': (
-        _field_prep((), 'ratio', 'step', 'alpha'),
-        lambda images, key, arrays, static:
-            batched_zoom_in_blur(images, ratio=static[0], step=static[1],
-                                 alpha=static[2]),
-    ),
+    'zoom_in_blur': (_prep_zoom, _apply_zoom_traced),
     'line_streak': (_prep_line_streak, _apply_line_streak),
     'rectangle_streak': (_prep_rectangle_streak, _apply_rectangle_streak),
     'ellipse_streak': (_prep_ellipse_streak, _apply_ellipse_streak),

@@ -29,9 +29,11 @@ from .distortion_policy.random_distortion import (
     RandomDistortionStageConfig,
 )
 
-# Shape-changing params must be shared across a batched apply; for these
-# names each selected sample gets its own gated full-batch apply.
-_PER_SAMPLE_ONLY = ('pixelation', 'zoom_in_blur')
+# Shape-changing params used to force per-sample applies; pixelation and
+# zoom_in_blur now build their resize matrices from TRACED sizes
+# (batched.py _apply_pixelation_traced / _apply_zoom_traced), so nothing
+# needs the per-sample path anymore.
+_PER_SAMPLE_ONLY = ()
 
 # Config fields that select the traced program's STRUCTURE (channel subset,
 # clip-vs-cycle, gate direction) rather than feeding it numerically; a
@@ -106,11 +108,19 @@ def batch_random_photometric_distort(
                 mega_covers,
             )
 
-            mega_members = {
-                name: members
-                for name, members in name_to_members.items()
-                if mega_covers(name)
-            }
+            mega_members = {}
+            for name, members in list(name_to_members.items()):
+                covered = [
+                    m for m in members if mega_covers(name, m[1])
+                ]
+                if not covered:
+                    continue
+                mega_members[name] = covered
+                rest = [m for m in members if not mega_covers(name, m[1])]
+                if rest:
+                    name_to_members[name] = rest
+                else:
+                    del name_to_members[name]
             if mega_members:
                 key = jax.random.fold_in(key, round_idx + 1)
                 sel, params = build_round_params(n, mega_members)
@@ -119,8 +129,6 @@ def batch_random_photometric_distort(
                     {k: jnp.asarray(v) for k, v in params.items()},
                     key,
                 )
-                for name in mega_members:
-                    del name_to_members[name]
 
         for name, members in sorted(name_to_members.items()):
             key = jax.random.fold_in(key, zlib.crc32(name.encode()))

@@ -104,11 +104,53 @@ class WarpPlan:
     def _cell_mats(self, inverse: bool) -> np.ndarray:
         key = 'inv_mats' if inverse else 'fwd_mats'
         if key not in self._cache:
-            src, dst = self._quads('src'), self._quads('dst')
-            self._cache[key] = (
-                warp_ops.solve_perspective_batch(dst, src) if inverse
-                else warp_ops.solve_perspective_batch(src, dst)
-            )
+            if 'fwd_mats' not in self._cache:
+                # The SOURCE lattice cells are axis-aligned rectangles by
+                # construction: the closed-form rect->quad homography
+                # replaces ~6k 8x8 linear solves per plan (~15ms -> ~1ms).
+                # Degenerate cells (rounding collapses a quad) fall back
+                # to the linear solver, which pins their semantics.
+                src, dst = self._quads('src'), self._quads('dst')
+                rects = np.stack([
+                    src[:, 0, 0], src[:, 0, 1], src[:, 2, 0], src[:, 2, 1]
+                ], axis=1)
+                with np.errstate(all='ignore'):
+                    fwd = warp_ops.rect_to_quad_mats(rects, dst)
+                    # Functional validation: the homography must carry the
+                    # source corners onto the quad (the closed form loses
+                    # precision on near-degenerate rounded cells).
+                    homo = np.concatenate(
+                        [src, np.ones((len(src), 4, 1))], axis=2
+                    )
+                    mapped = np.einsum('nij,nkj->nki', fwd, homo)
+                    xy = mapped[:, :, :2] / mapped[:, :, 2:3]
+                    err = np.abs(xy - dst).max(axis=(1, 2))
+                bad = ~np.isfinite(fwd).all(axis=(1, 2))
+                bad |= ~np.isfinite(err) | (err > 1e-6)
+                if bad.any():
+                    fwd[bad] = warp_ops.solve_perspective_batch(
+                        src[bad], dst[bad]
+                    )
+                self._cache['fwd_mats'] = fwd
+            if inverse and 'inv_mats' not in self._cache:
+                # Consumers apply these projectively (divide by w), so the
+                # matrix inverse needs NO normalization — normalizing by a
+                # near-zero [2,2] entry is exactly what blows up on
+                # ill-conditioned cells.
+                fwd = self._cache['fwd_mats']
+                with np.errstate(all='ignore'):
+                    det = np.linalg.det(fwd)
+                    safe = np.isfinite(det) & (np.abs(det) > 1e-12)
+                    inv = np.linalg.inv(
+                        np.where(safe[:, None, None], fwd, np.eye(3)[None])
+                    )
+                bad = ~(safe & np.isfinite(inv).all(axis=(1, 2)))
+                if bad.any():
+                    src, dst = self._quads('src'), self._quads('dst')
+                    inv[bad] = warp_ops.solve_perspective_batch(
+                        dst[bad], src[bad]
+                    )
+                self._cache['inv_mats'] = inv
         return self._cache[key]
 
     def _fwd_mats_for_cells(self, flat_cells: np.ndarray) -> np.ndarray:

@@ -34,12 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import color as color_ops
-from ..ops.effect import (
-    _CHROMA_QTABLE,
-    _LUMA_QTABLE,
-    _quality_scaled_table,
-    diamond_square_mask,
-)
 from .batched import _blend_streak_masks, _dash_gate
 
 # Order defines each op's selection index; append-only.
@@ -57,12 +51,33 @@ MEGA_NAMES: Tuple[str, ...] = (
     'impulse_noise',
     'speckle_noise',
     'line_streak',
+    'gaussian_blur',
+    'defocus_blur',
+    'motion_blur',
 )
+
+# Filter blurs ride the mega round as ONE per-sample KxK convolution
+# (identity kernels for non-members).  Draws whose kernel exceeds the
+# static width fall back to the per-name dispatch.
+_BLUR_K = 7
 _MEGA_INDEX = {name: i for i, name in enumerate(MEGA_NAMES)}
 
 
-def mega_covers(name: str) -> bool:
-    return name in _MEGA_INDEX
+def mega_covers(name: str, config=None) -> bool:
+    if name not in _MEGA_INDEX:
+        return False
+    if config is None:
+        return True
+    if name == 'gaussian_blur':
+        from .distortion.photometric.blur import (
+            estimate_gaussian_kernel_size,
+        )
+        return estimate_gaussian_kernel_size(float(config.sigma)) <= _BLUR_K
+    if name == 'defocus_blur':
+        return 2 * int(config.radius) + 1 <= _BLUR_K
+    if name == 'motion_blur':
+        return 2 * int(config.radius) + 1 <= _BLUR_K
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -103,6 +118,8 @@ def build_round_params(n: int, members_by_name: Dict[str, list]):
     for f in _VEC3_FIELDS:
         p[f] = np.zeros((n, 3), dtype=np.float32)
     p['po_bits'] = np.zeros(n, dtype=np.int32)
+    p['bl_kernel'] = np.zeros((n, _BLUR_K, _BLUR_K), dtype=np.float32)
+    p['bl_kernel'][:, _BLUR_K // 2, _BLUR_K // 2] = 1.0
 
     for name, members in members_by_name.items():
         idx = _MEGA_INDEX[name]
@@ -157,6 +174,34 @@ def build_round_params(n: int, members_by_name: Dict[str, list]):
                 p['in_pepper'][i] = cfg.prob_pepper
             elif name == 'speckle_noise':
                 p['sn_std'][i] = cfg.std
+            elif name in ('gaussian_blur', 'defocus_blur', 'motion_blur'):
+                from ..ops import blur as blur_ops
+                from .distortion.photometric.blur import (
+                    estimate_gaussian_kernel_size,
+                )
+                if name == 'gaussian_blur':
+                    ksize = estimate_gaussian_kernel_size(float(cfg.sigma))
+                    k1 = blur_ops.gaussian_kernel1d(float(cfg.sigma), ksize)
+                    kern = np.outer(k1, k1)
+                elif name == 'defocus_blur':
+                    radius = int(cfg.radius)
+                    size = 2 * radius + 1
+                    coords = np.arange(size) - radius
+                    xs_, ys_ = np.meshgrid(coords, coords)
+                    kern = (
+                        (xs_**2 + ys_**2) <= radius**2
+                    ).astype(np.float32)
+                    kern = kern / kern.sum()
+                else:
+                    ksize = 2 * int(cfg.radius) + 1
+                    kern = blur_ops.motion_line_kernel(
+                        ksize, -(float(cfg.angle) % 360)
+                    )
+                    kern = kern / max(kern.sum(), 1e-6)
+                off = (_BLUR_K - kern.shape[0]) // 2
+                k_pad = np.zeros((_BLUR_K, _BLUR_K), dtype=np.float32)
+                k_pad[off:off + kern.shape[0], off:off + kern.shape[1]] = kern
+                p['bl_kernel'][i] = k_pad
             elif name == 'line_streak':
                 p['lk_thickness'][i] = cfg.thickness
                 p['lk_gap'][i] = cfg.gap
@@ -246,15 +291,6 @@ def _op_boundary_eq(x, p):
     return _chan_mix(out, x, p['be_chan'])
 
 
-def _op_hist_eq(x, p):
-    from .batched import batched_histogram_equalization
-
-    out = batched_histogram_equalization(
-        x.astype(jnp.uint8)
-    ).astype(jnp.float32)
-    return _chan_mix(out, x, p['he_chan'])
-
-
 def _op_complement(x, p):
     from .batched import batched_complement
 
@@ -302,12 +338,6 @@ def _op_gauss_noise(x, p, key):
     ).astype(jnp.float32)
 
 
-def _op_poisson_noise(x, p, key):
-    from .batched import batched_poisson_noise
-
-    return batched_poisson_noise(x.astype(jnp.uint8), key).astype(jnp.float32)
-
-
 def _op_impulse_noise(x, p, key):
     from .batched import batched_impulse_noise
 
@@ -324,23 +354,11 @@ def _op_speckle_noise(x, p, key):
     ).astype(jnp.float32)
 
 
-def _op_jpeg(x, p):
-    from ..parallel.batch import _jpeg_single
+def _op_blur(x, p):
+    from .batched import _batched_filter2d
 
-    out = jax.vmap(_jpeg_single)(
-        x[..., ::-1], p['jq_luma'], p['jq_chroma']
-    )
-    out = jnp.clip(jnp.round(out), 0, 255)[..., ::-1]
-    return out
-
-
-def _op_fog(x, p, key):
-    from .batched import batched_fog
-
-    return batched_fog(
-        x.astype(jnp.uint8), p['fog_rough'], key,
-        fog_rgb=p['fog_rgb'], ratio_maxs=p['fog_rmax'],
-        ratio_mins=p['fog_rmin'],
+    return _batched_filter2d(
+        x.astype(jnp.uint8), p['bl_kernel']
     ).astype(jnp.float32)
 
 
@@ -382,6 +400,10 @@ def apply_mega_round(images, sel, params, key):
     outs.append(_op_impulse_noise(x, params, key_stream[3]))
     outs.append(_op_speckle_noise(x, params, key_stream[4]))
     outs.append(_op_line_streak(x, params))
+    blur_out = _op_blur(x, params)
+    outs.append(blur_out)     # gaussian_blur
+    outs.append(blur_out)     # defocus_blur (same conv, per-sample kernel)
+    outs.append(blur_out)     # motion_blur
     assert len(outs) == len(MEGA_NAMES)
 
     acc = x

@@ -84,6 +84,13 @@ def load_library() -> Optional[ctypes.CDLL]:
     ]
     lib.vg_resize_f32.restype = None
     f64p = ctypes.POINTER(ctypes.c_double)
+    if hasattr(lib, 'vg_lattice_node_maps'):
+        lib.vg_lattice_node_maps.argtypes = [
+            f64p, f64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, i32p, ctypes.c_int,
+            f32p, f32p, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.vg_lattice_node_maps.restype = None
     if hasattr(lib, 'vg_repair_backward_maps'):
         lib.vg_repair_backward_maps.argtypes = [
             f64p, f64p, ctypes.POINTER(ctypes.c_uint8),

@@ -166,6 +166,77 @@ void vg_lattice_backward_maps(
     }
 }
 
+// Backward-map values at NODE coordinates only: like
+// vg_lattice_backward_maps but the inverse homography runs just at the
+// covered node pixels (the coarse warp planner needs ~1/64th of the
+// pixels; the full-resolution divide per covered pixel dominated its
+// host cost).  node_ys / node_xs: sorted int32 coordinate arrays.
+// out_y/out_x/covered: (n_ys, n_xs) row-major, caller-zeroed.
+void vg_lattice_node_maps(
+    const double* quads_xy,   // K * 4 * 2 (x, y), clockwise from up-left
+    const double* inv_mats,   // K * 9 row-major 3x3
+    int n_cells,
+    int height, int width,
+    const int32_t* node_ys, int n_ys,
+    const int32_t* node_xs, int n_xs,
+    float* out_y, float* out_x, uint8_t* covered) {
+    std::vector<uint8_t> local;
+    for (int c = 0; c < n_cells; ++c) {
+        const double* quad = quads_xy + c * 8;
+        double x_min = 1e300, x_max = -1e300, y_min = 1e300, y_max = -1e300;
+        for (int i = 0; i < 4; ++i) {
+            double x = quad[2 * i], y = quad[2 * i + 1];
+            if (x < x_min) x_min = x;
+            if (x > x_max) x_max = x;
+            if (y < y_min) y_min = y;
+            if (y > y_max) y_max = y;
+        }
+        long long x0 = (long long)std::floor(x_min); if (x0 < 0) x0 = 0;
+        long long y0 = (long long)std::floor(y_min); if (y0 < 0) y0 = 0;
+        long long x1 = (long long)std::ceil(x_max);
+        if (x1 > width - 1) x1 = width - 1;
+        long long y1 = (long long)std::ceil(y_max);
+        if (y1 > height - 1) y1 = height - 1;
+        if (x1 < x0 || y1 < y0) continue;
+
+        // Node index ranges intersecting the cell bbox (lower bounds).
+        int iy0 = (int)(std::lower_bound(node_ys, node_ys + n_ys, (int32_t)y0)
+                        - node_ys);
+        int ix0 = (int)(std::lower_bound(node_xs, node_xs + n_xs, (int32_t)x0)
+                        - node_xs);
+        if (iy0 >= n_ys || ix0 >= n_xs) continue;
+        if (node_ys[iy0] > y1 || node_xs[ix0] > x1) continue;
+
+        int lh = (int)(y1 - y0 + 1);
+        int lw = (int)(x1 - x0 + 1);
+        local.assign((size_t)lh * lw, 0);
+        double shifted[8];
+        for (int i = 0; i < 4; ++i) {
+            shifted[2 * i] = quad[2 * i] - (double)x0;
+            shifted[2 * i + 1] = quad[2 * i + 1] - (double)y0;
+        }
+        vg_fill_poly(shifted, 4, lh, lw, local.data());
+
+        const double* m = inv_mats + c * 9;
+        for (int iy = iy0; iy < n_ys && node_ys[iy] <= y1; ++iy) {
+            long long dy = node_ys[iy];
+            const uint8_t* row = local.data() + (size_t)(dy - y0) * lw;
+            for (int ix = ix0; ix < n_xs && node_xs[ix] <= x1; ++ix) {
+                long long dx = node_xs[ix];
+                if (!row[dx - x0]) continue;
+                double w = m[6] * (double)dx + m[7] * (double)dy + m[8];
+                if (w == 0.0) continue;
+                double sx = (m[0] * (double)dx + m[1] * (double)dy + m[2]) / w;
+                double sy = (m[3] * (double)dx + m[4] * (double)dy + m[5]) / w;
+                size_t off = (size_t)iy * n_xs + ix;
+                out_x[off] = (float)sx;
+                out_y[off] = (float)sy;
+                covered[off] = 1;
+            }
+        }
+    }
+}
+
 // Repair uncovered dst pixels of a lattice backward map by linear
 // extension of the covered data — the C++ form of the repair loop in
 // vkit_tpu/mechanism/batched.py plan_backward_maps (same arithmetic,

@@ -40,217 +40,150 @@ def _descale(x, n):
     return (x + (1 << (n - 1))) >> n
 
 
+def _fdct_islow_xp(blocks, xp):
+    """jfdctint.c forward DCT on (N, 8, 8) int blocks (level-shifted).
+    Functional form shared by the numpy (int64) and jnp (int32) backends;
+    the operation ORDER mirrors the C code, whose intermediates are
+    proven to fit 32 bits."""
+    b = blocks
+
+    def pass_core(d, axis_last, shift):
+        # d indexed as rows of 8 along the chosen axis via helper lambdas.
+        if axis_last:
+            el = lambda i: d[:, :, i]
+        else:
+            el = lambda i: d[:, i, :]
+        tmp0 = el(0) + el(7)
+        tmp7 = el(0) - el(7)
+        tmp1 = el(1) + el(6)
+        tmp6 = el(1) - el(6)
+        tmp2 = el(2) + el(5)
+        tmp5 = el(2) - el(5)
+        tmp3 = el(3) + el(4)
+        tmp4 = el(3) - el(4)
+
+        tmp10 = tmp0 + tmp3
+        tmp13 = tmp0 - tmp3
+        tmp11 = tmp1 + tmp2
+        tmp12 = tmp1 - tmp2
+
+        if shift is None:    # pass 1: << PASS1_BITS
+            o0 = (tmp10 + tmp11) << _PASS1_BITS
+            o4 = (tmp10 - tmp11) << _PASS1_BITS
+            desc = _CONST_BITS - _PASS1_BITS
+        else:                # pass 2: DESCALE(.., PASS1_BITS)
+            half = 1 << (_PASS1_BITS - 1)
+            o0 = (tmp10 + tmp11 + half) >> _PASS1_BITS
+            o4 = (tmp10 - tmp11 + half) >> _PASS1_BITS
+            desc = _CONST_BITS + _PASS1_BITS
+
+        dhalf = 1 << (desc - 1)
+        z1 = (tmp12 + tmp13) * _F_0_541196100
+        o2 = (z1 + tmp13 * _F_0_765366865 + dhalf) >> desc
+        o6 = (z1 - tmp12 * _F_1_847759065 + dhalf) >> desc
+
+        z1 = tmp4 + tmp7
+        z2 = tmp5 + tmp6
+        z3 = tmp4 + tmp6
+        z4 = tmp5 + tmp7
+        z5 = (z3 + z4) * _F_1_175875602
+
+        t4 = tmp4 * _F_0_298631336
+        t5 = tmp5 * _F_2_053119869
+        t6 = tmp6 * _F_3_072711026
+        t7 = tmp7 * _F_1_501321110
+        z1 = -z1 * _F_0_899976223
+        z2 = -z2 * _F_2_562915447
+        z3 = -z3 * _F_1_961570560 + z5
+        z4 = -z4 * _F_0_390180644 + z5
+
+        o7 = (t4 + z1 + z3 + dhalf) >> desc
+        o5 = (t5 + z2 + z4 + dhalf) >> desc
+        o3 = (t6 + z2 + z3 + dhalf) >> desc
+        o1 = (t7 + z1 + z4 + dhalf) >> desc
+        outs = [o0, o1, o2, o3, o4, o5, o6, o7]
+        return xp.stack(outs, axis=2 if axis_last else 1)
+
+    rows_done = pass_core(b, axis_last=True, shift=None)
+    return pass_core(rows_done, axis_last=False, shift='p2')
+
+
 def fdct_islow(blocks):
-    """jfdctint.c forward DCT on (N, 8, 8) int32/int64 sample blocks
-    (level-shifted by -128 already).  Output scaled by 8 (as libjpeg's)."""
-    b = blocks.astype(np.int64)
+    return _fdct_islow_xp(blocks.astype(np.int64), np)
 
-    # Pass 1: process rows; results scaled up by sqrt(8) ~ x8 overall.
-    d = b
-    tmp0 = d[:, :, 0] + d[:, :, 7]
-    tmp7 = d[:, :, 0] - d[:, :, 7]
-    tmp1 = d[:, :, 1] + d[:, :, 6]
-    tmp6 = d[:, :, 1] - d[:, :, 6]
-    tmp2 = d[:, :, 2] + d[:, :, 5]
-    tmp5 = d[:, :, 2] - d[:, :, 5]
-    tmp3 = d[:, :, 3] + d[:, :, 4]
-    tmp4 = d[:, :, 3] - d[:, :, 4]
 
-    tmp10 = tmp0 + tmp3
-    tmp13 = tmp0 - tmp3
-    tmp11 = tmp1 + tmp2
-    tmp12 = tmp1 - tmp2
+def _idct_islow_xp(coeffs, xp):
+    """jidctint.c inverse DCT on (N, 8, 8) dequantized coefficients;
+    returns spatial values centered at 0 (add 128 + clamp)."""
+    c = coeffs
 
-    out = np.empty_like(b)
-    out[:, :, 0] = (tmp10 + tmp11) << _PASS1_BITS
-    out[:, :, 4] = (tmp10 - tmp11) << _PASS1_BITS
+    def pass_core(d, axis_last, final):
+        if axis_last:
+            el = lambda i: d[:, :, i]
+        else:
+            el = lambda i: d[:, i, :]
+        z2 = el(2)
+        z3 = el(6)
+        z1 = (z2 + z3) * _F_0_541196100
+        tmp2 = z1 + z3 * (-_F_1_847759065)
+        tmp3 = z1 + z2 * _F_0_765366865
 
-    z1 = (tmp12 + tmp13) * _F_0_541196100
-    out[:, :, 2] = _descale(
-        z1 + tmp13 * _F_0_765366865, _CONST_BITS - _PASS1_BITS
-    )
-    out[:, :, 6] = _descale(
-        z1 - tmp12 * _F_1_847759065, _CONST_BITS - _PASS1_BITS
-    )
+        z2 = el(0)
+        z3 = el(4)
+        tmp0 = (z2 + z3) << _CONST_BITS
+        tmp1 = (z2 - z3) << _CONST_BITS
 
-    z1 = tmp4 + tmp7
-    z2 = tmp5 + tmp6
-    z3 = tmp4 + tmp6
-    z4 = tmp5 + tmp7
-    z5 = (z3 + z4) * _F_1_175875602
+        tmp10 = tmp0 + tmp3
+        tmp13 = tmp0 - tmp3
+        tmp11 = tmp1 + tmp2
+        tmp12 = tmp1 - tmp2
 
-    t4 = tmp4 * _F_0_298631336
-    t5 = tmp5 * _F_2_053119869
-    t6 = tmp6 * _F_3_072711026
-    t7 = tmp7 * _F_1_501321110
-    z1 = -z1 * _F_0_899976223
-    z2 = -z2 * _F_2_562915447
-    z3 = -z3 * _F_1_961570560 + z5
-    z4 = -z4 * _F_0_390180644 + z5
+        t0 = el(7)
+        t1 = el(5)
+        t2 = el(3)
+        t3 = el(1)
+        z1 = t0 + t3
+        z2 = t1 + t2
+        z3 = t0 + t2
+        z4 = t1 + t3
+        z5 = (z3 + z4) * _F_1_175875602
 
-    out[:, :, 7] = _descale(t4 + z1 + z3, _CONST_BITS - _PASS1_BITS)
-    out[:, :, 5] = _descale(t5 + z2 + z4, _CONST_BITS - _PASS1_BITS)
-    out[:, :, 3] = _descale(t6 + z2 + z3, _CONST_BITS - _PASS1_BITS)
-    out[:, :, 1] = _descale(t7 + z1 + z4, _CONST_BITS - _PASS1_BITS)
+        t0 = t0 * _F_0_298631336
+        t1 = t1 * _F_2_053119869
+        t2 = t2 * _F_3_072711026
+        t3 = t3 * _F_1_501321110
+        z1 = -z1 * _F_0_899976223
+        z2 = -z2 * _F_2_562915447
+        z3 = -z3 * _F_1_961570560 + z5
+        z4 = -z4 * _F_0_390180644 + z5
 
-    # Pass 2: process columns; descale by PASS1_BITS+3 (the /8 of DCT).
-    d = out
-    tmp0 = d[:, 0, :] + d[:, 7, :]
-    tmp7 = d[:, 0, :] - d[:, 7, :]
-    tmp1 = d[:, 1, :] + d[:, 6, :]
-    tmp6 = d[:, 1, :] - d[:, 6, :]
-    tmp2 = d[:, 2, :] + d[:, 5, :]
-    tmp5 = d[:, 2, :] - d[:, 5, :]
-    tmp3 = d[:, 3, :] + d[:, 4, :]
-    tmp4 = d[:, 3, :] - d[:, 4, :]
+        t0 = t0 + z1 + z3
+        t1 = t1 + z2 + z4
+        t2 = t2 + z2 + z3
+        t3 = t3 + z1 + z4
 
-    tmp10 = tmp0 + tmp3
-    tmp13 = tmp0 - tmp3
-    tmp11 = tmp1 + tmp2
-    tmp12 = tmp1 - tmp2
+        shift = (
+            _CONST_BITS + _PASS1_BITS + 3 if final
+            else _CONST_BITS - _PASS1_BITS
+        )
+        half = 1 << (shift - 1)
+        o0 = (tmp10 + t3 + half) >> shift
+        o7 = (tmp10 - t3 + half) >> shift
+        o1 = (tmp11 + t2 + half) >> shift
+        o6 = (tmp11 - t2 + half) >> shift
+        o2 = (tmp12 + t1 + half) >> shift
+        o5 = (tmp12 - t1 + half) >> shift
+        o3 = (tmp13 + t0 + half) >> shift
+        o4 = (tmp13 - t0 + half) >> shift
+        outs = [o0, o1, o2, o3, o4, o5, o6, o7]
+        return xp.stack(outs, axis=1 if not axis_last else 2)
 
-    res = np.empty_like(b)
-    res[:, 0, :] = _descale(tmp10 + tmp11, _PASS1_BITS)
-    res[:, 4, :] = _descale(tmp10 - tmp11, _PASS1_BITS)
-
-    z1 = (tmp12 + tmp13) * _F_0_541196100
-    res[:, 2, :] = _descale(
-        z1 + tmp13 * _F_0_765366865, _CONST_BITS + _PASS1_BITS
-    )
-    res[:, 6, :] = _descale(
-        z1 - tmp12 * _F_1_847759065, _CONST_BITS + _PASS1_BITS
-    )
-
-    z1 = tmp4 + tmp7
-    z2 = tmp5 + tmp6
-    z3 = tmp4 + tmp6
-    z4 = tmp5 + tmp7
-    z5 = (z3 + z4) * _F_1_175875602
-
-    t4 = tmp4 * _F_0_298631336
-    t5 = tmp5 * _F_2_053119869
-    t6 = tmp6 * _F_3_072711026
-    t7 = tmp7 * _F_1_501321110
-    z1 = -z1 * _F_0_899976223
-    z2 = -z2 * _F_2_562915447
-    z3 = -z3 * _F_1_961570560 + z5
-    z4 = -z4 * _F_0_390180644 + z5
-
-    res[:, 7, :] = _descale(t4 + z1 + z3, _CONST_BITS + _PASS1_BITS)
-    res[:, 5, :] = _descale(t5 + z2 + z4, _CONST_BITS + _PASS1_BITS)
-    res[:, 3, :] = _descale(t6 + z2 + z3, _CONST_BITS + _PASS1_BITS)
-    res[:, 1, :] = _descale(t7 + z1 + z4, _CONST_BITS + _PASS1_BITS)
-    return res
+    cols_done = pass_core(c, axis_last=False, final=False)
+    return pass_core(cols_done, axis_last=True, final=True)
 
 
 def idct_islow(coeffs):
-    """jidctint.c inverse DCT on (N, 8, 8) int dequantized coefficients.
-    Returns unclamped sample values centered at 0 (add 128 + clamp)."""
-    c = coeffs.astype(np.int64)
-
-    # Pass 1: columns.
-    z2 = c[:, 2, :]
-    z3 = c[:, 6, :]
-    z1 = (z2 + z3) * _F_0_541196100
-    tmp2 = z1 + z3 * (-_F_1_847759065)
-    tmp3 = z1 + z2 * _F_0_765366865
-
-    z2 = c[:, 0, :]
-    z3 = c[:, 4, :]
-    tmp0 = (z2 + z3) << _CONST_BITS
-    tmp1 = (z2 - z3) << _CONST_BITS
-
-    tmp10 = tmp0 + tmp3
-    tmp13 = tmp0 - tmp3
-    tmp11 = tmp1 + tmp2
-    tmp12 = tmp1 - tmp2
-
-    t0 = c[:, 7, :]
-    t1 = c[:, 5, :]
-    t2 = c[:, 3, :]
-    t3 = c[:, 1, :]
-    z1 = t0 + t3
-    z2 = t1 + t2
-    z3 = t0 + t2
-    z4 = t1 + t3
-    z5 = (z3 + z4) * _F_1_175875602
-
-    t0 = t0 * _F_0_298631336
-    t1 = t1 * _F_2_053119869
-    t2 = t2 * _F_3_072711026
-    t3 = t3 * _F_1_501321110
-    z1 = -z1 * _F_0_899976223
-    z2 = -z2 * _F_2_562915447
-    z3 = -z3 * _F_1_961570560 + z5
-    z4 = -z4 * _F_0_390180644 + z5
-
-    t0 = t0 + z1 + z3
-    t1 = t1 + z2 + z4
-    t2 = t2 + z2 + z3
-    t3 = t3 + z1 + z4
-
-    ws = np.empty_like(c)
-    ws[:, 0, :] = _descale(tmp10 + t3, _CONST_BITS - _PASS1_BITS)
-    ws[:, 7, :] = _descale(tmp10 - t3, _CONST_BITS - _PASS1_BITS)
-    ws[:, 1, :] = _descale(tmp11 + t2, _CONST_BITS - _PASS1_BITS)
-    ws[:, 6, :] = _descale(tmp11 - t2, _CONST_BITS - _PASS1_BITS)
-    ws[:, 2, :] = _descale(tmp12 + t1, _CONST_BITS - _PASS1_BITS)
-    ws[:, 5, :] = _descale(tmp12 - t1, _CONST_BITS - _PASS1_BITS)
-    ws[:, 3, :] = _descale(tmp13 + t0, _CONST_BITS - _PASS1_BITS)
-    ws[:, 4, :] = _descale(tmp13 - t0, _CONST_BITS - _PASS1_BITS)
-
-    # Pass 2: rows; final descale by CONST_BITS + PASS1_BITS + 3.
-    z2 = ws[:, :, 2]
-    z3 = ws[:, :, 6]
-    z1 = (z2 + z3) * _F_0_541196100
-    tmp2 = z1 + z3 * (-_F_1_847759065)
-    tmp3 = z1 + z2 * _F_0_765366865
-
-    z2 = ws[:, :, 0]
-    z3 = ws[:, :, 4]
-    tmp0 = (z2 + z3) << _CONST_BITS
-    tmp1 = (z2 - z3) << _CONST_BITS
-
-    tmp10 = tmp0 + tmp3
-    tmp13 = tmp0 - tmp3
-    tmp11 = tmp1 + tmp2
-    tmp12 = tmp1 - tmp2
-
-    t0 = ws[:, :, 7]
-    t1 = ws[:, :, 5]
-    t2 = ws[:, :, 3]
-    t3 = ws[:, :, 1]
-    z1 = t0 + t3
-    z2 = t1 + t2
-    z3 = t0 + t2
-    z4 = t1 + t3
-    z5 = (z3 + z4) * _F_1_175875602
-
-    t0 = t0 * _F_0_298631336
-    t1 = t1 * _F_2_053119869
-    t2 = t2 * _F_3_072711026
-    t3 = t3 * _F_1_501321110
-    z1 = -z1 * _F_0_899976223
-    z2 = -z2 * _F_2_562915447
-    z3 = -z3 * _F_1_961570560 + z5
-    z4 = -z4 * _F_0_390180644 + z5
-
-    t0 = t0 + z1 + z3
-    t1 = t1 + z2 + z4
-    t2 = t2 + z2 + z3
-    t3 = t3 + z1 + z4
-
-    shift = _CONST_BITS + _PASS1_BITS + 3
-    out = np.empty_like(c)
-    out[:, :, 0] = _descale(tmp10 + t3, shift)
-    out[:, :, 7] = _descale(tmp10 - t3, shift)
-    out[:, :, 1] = _descale(tmp11 + t2, shift)
-    out[:, :, 6] = _descale(tmp11 - t2, shift)
-    out[:, :, 2] = _descale(tmp12 + t1, shift)
-    out[:, :, 5] = _descale(tmp12 - t1, shift)
-    out[:, :, 3] = _descale(tmp13 + t0, shift)
-    out[:, :, 4] = _descale(tmp13 - t0, shift)
-    return out
+    return _idct_islow_xp(coeffs.astype(np.int64), np)
 
 
 # ---------------------------------------------------------------------------
@@ -469,3 +402,99 @@ def jpeg_roundtrip_exact(image: np.ndarray, quality: int) -> np.ndarray:
     )
     out = np.stack([r2, g2, b2], axis=-1)
     return out.astype(np.uint8)
+
+# ---------------------------------------------------------------------------
+# Device (jnp int32) twin for the batched path.
+# ---------------------------------------------------------------------------
+
+
+def jpeg_roundtrip_exact_jnp(image, luma_q, chroma_q):
+    """Bit-exact libjpeg roundtrip on device, int32 arithmetic.
+
+    ``image``: (H, W, 3) uint8 RGB with H, W multiples of 16 (the batched
+    canvases are); ``luma_q``/``chroma_q``: (8, 8) int32 tables.  The
+    intermediate ranges fit int32 because the operation order mirrors the
+    C code (verified bit-equal to the int64 numpy path in tests).
+    """
+    import jax.numpy as jnp
+
+    h, w = image.shape[:2]
+    assert h % 16 == 0 and w % 16 == 0, (h, w)
+    rgb = image.astype(jnp.int32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+
+    cbcr_offset = 128 << _SCALEBITS
+    y = (
+        _fix(0.29900) * r + _fix(0.58700) * g + _fix(0.11400) * b + _ONE_HALF
+    ) >> _SCALEBITS
+    cb = (
+        -_fix(0.16874) * r - _fix(0.33126) * g + _fix(0.50000) * b
+        + cbcr_offset + _ONE_HALF - 1
+    ) >> _SCALEBITS
+    cr = (
+        _fix(0.50000) * r - _fix(0.41869) * g - _fix(0.08131) * b
+        + cbcr_offset + _ONE_HALF - 1
+    ) >> _SCALEBITS
+
+    def down(c):
+        v = c.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+        bias = jnp.where((jnp.arange(w // 2) % 2) == 0, 1, 2)[None, :]
+        return (v + bias) >> 2
+
+    def blockify(c):
+        hh, ww = c.shape
+        return (
+            c.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+
+    def unblockify(blocks, hh, ww):
+        return (
+            blocks.reshape(hh // 8, ww // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(hh, ww)
+        )
+
+    def roundtrip(c, q):
+        hh, ww = c.shape
+        blocks = blockify(c - 128)
+        coeffs = _fdct_islow_xp(blocks, jnp)
+        qdiv = (q << 3)[None]
+        mag = (jnp.abs(coeffs) + (qdiv >> 1)) // qdiv
+        quant = jnp.where(coeffs < 0, -mag, mag)
+        spatial = _idct_islow_xp(quant * q[None], jnp) + 128
+        return unblockify(jnp.clip(spatial, 0, 255), hh, ww)
+
+    y_rt = roundtrip(y, luma_q)
+    cb_rt = roundtrip(down(cb), chroma_q)
+    cr_rt = roundtrip(down(cr), chroma_q)
+
+    def fancy_up(sub):
+        sh, sw = sub.shape
+        up = jnp.concatenate([sub[:1], sub[:-1]], axis=0)
+        dn = jnp.concatenate([sub[1:], sub[-1:]], axis=0)
+        near = sub * 3
+        rows = jnp.stack([near + up, near + dn], axis=1).reshape(sh * 2, sw)
+        left = jnp.concatenate([rows[:, :1], rows[:, :-1]], axis=1)
+        right = jnp.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
+        even = (rows * 3 + left + 8) >> 4
+        odd = (rows * 3 + right + 7) >> 4
+        out = jnp.stack([even, odd], axis=2).reshape(sh * 2, sw * 2)
+        out = out.at[:, 0].set((rows[:, 0] * 4 + 8) >> 4)
+        out = out.at[:, -1].set((rows[:, -1] * 4 + 7) >> 4)
+        return out
+
+    cb_up = fancy_up(cb_rt)
+    cr_up = fancy_up(cr_rt)
+
+    cbd = cb_up - 128
+    crd = cr_up - 128
+    r2 = y_rt + ((_fix(1.40200) * crd + _ONE_HALF) >> _SCALEBITS)
+    b2 = y_rt + ((_fix(1.77200) * cbd + _ONE_HALF) >> _SCALEBITS)
+    g2 = y_rt + (
+        (-_fix(0.34414) * cbd - _fix(0.71414) * crd + _ONE_HALF)
+        >> _SCALEBITS
+    )
+    out = jnp.stack([r2, g2, b2], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)

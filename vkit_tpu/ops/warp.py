@@ -386,3 +386,57 @@ def solve_perspective_batch(src_quads: np.ndarray, dst_quads: np.ndarray) -> np.
 
 def invert_homography(mat: np.ndarray) -> np.ndarray:
     return np.linalg.inv(mat)
+
+
+def rect_to_quad_mats(rects: np.ndarray, quads: np.ndarray) -> np.ndarray:
+    """Closed-form homographies mapping axis-aligned rectangles onto
+    quads: (N, 4) rects (x_left, y_top, x_right, y_bottom) and (N, 4, 2)
+    quads (clockwise from up-left) -> (N, 3, 3).
+
+    The 8x8 linear solve in solve_perspective_batch costs ~2us per cell;
+    a warp lattice has ~6k cells per plan, and its SOURCE cells are
+    axis-aligned by construction — the unit-square-to-quad projective map
+    has a 30-flop closed form, fully vectorized here.
+    """
+    rects = np.asarray(rects, dtype=np.float64)
+    quads = np.asarray(quads, dtype=np.float64)
+    x0, y0 = quads[:, 0, 0], quads[:, 0, 1]
+    x1, y1 = quads[:, 1, 0], quads[:, 1, 1]
+    x2, y2 = quads[:, 2, 0], quads[:, 2, 1]
+    x3, y3 = quads[:, 3, 0], quads[:, 3, 1]
+
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1 = x1 - x2
+    dy1 = y1 - y2
+    dx2 = x3 - x2
+    dy2 = y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - dx2 * sy) / den
+    h = (dx1 * sy - sx * dy1) / den
+
+    n = len(quads)
+    hu = np.empty((n, 3, 3), dtype=np.float64)
+    hu[:, 0, 0] = x1 - x0 + g * x1
+    hu[:, 0, 1] = x3 - x0 + h * x3
+    hu[:, 0, 2] = x0
+    hu[:, 1, 0] = y1 - y0 + g * y1
+    hu[:, 1, 1] = y3 - y0 + h * y3
+    hu[:, 1, 2] = y0
+    hu[:, 2, 0] = g
+    hu[:, 2, 1] = h
+    hu[:, 2, 2] = 1.0
+
+    # Pre-compose with rect -> unit square (scale + translate).
+    w = np.maximum(rects[:, 2] - rects[:, 0], 1e-12)
+    hgt = np.maximum(rects[:, 3] - rects[:, 1], 1e-12)
+    s = np.zeros((n, 3, 3), dtype=np.float64)
+    s[:, 0, 0] = 1.0 / w
+    s[:, 0, 2] = -rects[:, 0] / w
+    s[:, 1, 1] = 1.0 / hgt
+    s[:, 1, 2] = -rects[:, 1] / hgt
+    s[:, 2, 2] = 1.0
+    out = np.einsum('nij,njk->nik', hu, s)
+    # Normalize like the linear solver (H[2,2] = 1).
+    return out / out[:, 2:3, 2:3]

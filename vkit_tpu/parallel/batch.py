@@ -96,10 +96,10 @@ def sample_synthesis_params(
     qualities = rng.integers(max(30, 95 - round(65 * ratio)), 96, size=n)
     luma = np.stack([
         _quality_scaled_table(_LUMA_QTABLE, q) for q in qualities
-    ]).astype(np.float32)
+    ]).astype(np.int32)
     chroma = np.stack([
         _quality_scaled_table(_CHROMA_QTABLE, q) for q in qualities
-    ]).astype(np.float32)
+    ]).astype(np.int32)
     jpeg_enables = (rng.random(n) < 0.7).astype(np.float32)
 
     warp_plan, warp_statics = plan_affine_warp(mats, (height, width))
@@ -114,37 +114,6 @@ def sample_synthesis_params(
         chroma_qtables=jnp.asarray(chroma),
         jpeg_enables=jnp.asarray(jpeg_enables),
     ), warp_statics
-
-
-def _jpeg_single(rgb_f32, luma_q, chroma_q):
-    """JPEG encode/decode sim on one (H, W, 3) f32 image, traced tables."""
-    r, g, b = rgb_f32[..., 0], rgb_f32[..., 1], rgb_f32[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-
-    y_p, height, width = _pad_to_multiple(y, 16)
-    cb_p, _, _ = _pad_to_multiple(cb, 16)
-    cr_p, _, _ = _pad_to_multiple(cr, 16)
-
-    y_q = _quantize_channel(y_p, luma_q)
-
-    def chroma_roundtrip(c):
-        # 2x box subsample, quantize, tap-matmul upsample (an explicit
-        # lerp/interleave formulation measured 15% slower end to end).
-        ph, pw = c.shape
-        sub = c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        sub_q = _quantize_channel(sub, chroma_q)
-        return resize(sub_q, (ph, pw), Interpolation.LINEAR)
-
-    cb_q = chroma_roundtrip(cb_p)[:height, :width] - 128.0
-    cr_q = chroma_roundtrip(cr_p)[:height, :width] - 128.0
-    y_q = y_q[:height, :width]
-
-    r2 = y_q + 1.402 * cr_q
-    g2 = y_q - 0.344136 * cb_q - 0.714136 * cr_q
-    b2 = y_q + 1.772 * cb_q
-    return jnp.stack([r2, g2, b2], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=('warp_statics', 'out_shape'))
@@ -174,13 +143,17 @@ def synthesize_batch(
     x = x + noise * params.noise_stds[:, None, None, None]
     x = jnp.clip(x, 0.0, 255.0)
 
-    # JPEG roundtrip sim, per-sample quality tables, lerp-gated.
-    x_jpeg = jax.vmap(_jpeg_single)(
-        x, params.luma_qtables, params.chroma_qtables
+    # JPEG roundtrip, per-sample quality tables, gated per sample —
+    # the BIT-EXACT integer libjpeg pipeline (the reference's jpeg op
+    # consumes a uint8 image, so round first; ops/jpeg_exact.py).
+    from ..ops.jpeg_exact import jpeg_roundtrip_exact_jnp
+
+    x_u8 = round_u8(jnp.clip(x, 0.0, 255.0))
+    x_jpeg = jax.vmap(jpeg_roundtrip_exact_jnp)(
+        x_u8, params.luma_qtables, params.chroma_qtables
     )
-    gate = params.jpeg_enables[:, None, None, None]
-    x = x_jpeg * gate + x * (1.0 - gate)
-    x = jnp.clip(x, 0.0, 255.0)
+    gate = params.jpeg_enables[:, None, None, None] > 0.5
+    x = jnp.where(gate, x_jpeg, x_u8).astype(jnp.float32)
 
     if out_shape is not None and out_shape != (height, width):
         x = jax.vmap(lambda im: resize(im, out_shape, Interpolation.LINEAR))(x)

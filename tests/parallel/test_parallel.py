@@ -134,10 +134,10 @@ def test_synth_device_programs_shard_over_dp():
     sel_np[:] = 8  # color_balance for every sample
     params['cb_ratio'][:] = 0.5
     params_dev = {k: jnp.asarray(v) for k, v in params.items()}
-    key = jax.random.PRNGKey(0)
+    seed = np.uint32(0)
 
     want = np.asarray(
-        apply_mega_round(images, jnp.asarray(sel_np), params_dev, key)
+        apply_mega_round(images, jnp.asarray(sel_np), params_dev, seed)
     )
 
     dp = NamedSharding(mesh, PartitionSpec('dp'))
@@ -150,6 +150,6 @@ def test_synth_device_programs_shard_over_dp():
         for k, v in params_dev.items()
     }
     got = np.asarray(apply_mega_round(
-        images_sharded, sel_sharded, params_sharded, key
+        images_sharded, sel_sharded, params_sharded, seed
     ))
     np.testing.assert_array_equal(got, want)

@@ -22,6 +22,7 @@ must erase pixels of a trimmed char that bled into the kept span
 trimmed chars, which yields the same result by construction.
 """
 import functools
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import attr
@@ -63,22 +64,38 @@ class GlyphAtlas:
         self._glyphs: List[CharGlyph] = []
         self._tiles: Optional[np.ndarray] = None
         self._tile_size = 0
+        # synthesize_stream's producer thread grows the atlas while the
+        # consumer packs tiles; all growth and tile builds serialize on
+        # this lock so packs see a consistent (num_glyphs, tiles) state.
+        self._lock = threading.RLock()
 
     def glyph_id(self, char: str) -> int:
         existing = self._char_to_id.get(char)
         if existing is not None:
             return existing
-        glyph = self._render_char_glyph(self._template, self._font, char)
-        assert glyph.score_map is not None, (
-            'device compositing needs scalar-alpha glyphs '
-            '(default/monochrome engines); LCD glyphs are 3-channel'
-        )
-        idx = len(self._glyphs)
-        self._char_to_id[char] = idx
-        self._glyphs.append(glyph)
-        self._tile_size = max(self._tile_size, glyph.height, glyph.width)
-        self._tiles = None
+        with self._lock:
+            existing = self._char_to_id.get(char)
+            if existing is not None:
+                return existing
+            glyph = self._render_char_glyph(self._template, self._font, char)
+            assert glyph.score_map is not None, (
+                'device compositing needs scalar-alpha glyphs '
+                '(default/monochrome engines); LCD glyphs are 3-channel'
+            )
+            idx = len(self._glyphs)
+            self._glyphs.append(glyph)
+            self._tile_size = max(self._tile_size, glyph.height, glyph.width)
+            self._tiles = None
+            # Publish the id LAST: a concurrent reader that sees the id in
+            # _char_to_id also sees the glyph appended.
+            self._char_to_id[char] = idx
         return idx
+
+    def snapshot(self) -> Tuple[int, int, np.ndarray]:
+        """(num_glyphs, tile_size, tiles) captured atomically w.r.t.
+        concurrent glyph_id growth."""
+        with self._lock:
+            return len(self._glyphs), self._tile_size, self.tiles
 
     def glyph(self, char: str) -> CharGlyph:
         return self._glyphs[self.glyph_id(char)]
@@ -98,13 +115,16 @@ class GlyphAtlas:
     def tiles(self) -> np.ndarray:
         """(V, T, T) float32; rebuilt lazily after new chars arrive."""
         if self._tiles is None:
-            t = self._tile_size
-            tiles = np.zeros((len(self._glyphs), t, t), dtype=np.float32)
-            for idx, glyph in enumerate(self._glyphs):
-                assert glyph.score_map is not None
-                alpha = glyph.score_map.mat
-                tiles[idx, :alpha.shape[0], :alpha.shape[1]] = alpha
-            self._tiles = tiles
+            with self._lock:
+                t = self._tile_size
+                tiles = np.zeros(
+                    (len(self._glyphs), t, t), dtype=np.float32
+                )
+                for idx, glyph in enumerate(self._glyphs):
+                    assert glyph.score_map is not None
+                    alpha = glyph.score_map.mat
+                    tiles[idx, :alpha.shape[0], :alpha.shape[1]] = alpha
+                self._tiles = tiles
         return self._tiles
 
 
@@ -376,19 +396,22 @@ class AtlasPack:
         resolver mapping (slot, local_id) -> flat tile index."""
         if not self._atlases:
             return np.zeros((1, 1, 1), dtype=np.float32), lambda key: 0
+        # Per-atlas ATOMIC snapshots: synthesize_stream's producer thread
+        # may grow an atlas concurrently; offsets and tile copies must see
+        # one consistent (num_glyphs, tiles) pair per atlas.
+        snaps = [a.snapshot() for a in self._atlases]
         # Quantize the array dims (tile count to 64, tile size to 8) so the
         # compositor program recompiles only on real growth, not on every
         # newly observed char.
-        tile = -(-max(a.tile_size for a in self._atlases) // 8) * 8
+        tile = -(-max(s[1] for s in snaps) // 8) * 8
         offsets = []
         total = 0
-        for a in self._atlases:
+        for num_glyphs, _, _ in snaps:
             offsets.append(total)
-            total += a.num_glyphs
+            total += num_glyphs
         total = -(-total // 64) * 64
         tiles = np.zeros((total, tile, tile), dtype=np.float32)
-        for a, off in zip(self._atlases, offsets):
-            src = a.tiles
+        for (_, _, src), off in zip(snaps, offsets):
             tiles[off:off + src.shape[0], :src.shape[1], :src.shape[2]] = src
         return tiles, (lambda key: offsets[key[0]] + key[1])
 

@@ -986,6 +986,13 @@ def batched_plan_warp(
     canvases pad to it instead of the batch max, so every batch compiles
     the same device program (dst shapes vary per random draw otherwise).
     Grown automatically if a sample's dst exceeds it.
+
+    Contract: warped pixels OUTSIDE a sample's coverage are undefined —
+    the two-pass paths extend the backward field linearly past each
+    sample's canvas (keeping tap budgets small), so uncovered regions may
+    carry bled source content rather than ``border_value``.  Callers must
+    gate by the returned coverages / the plan's active mask (the synth
+    pipeline and batch_random_geometric_distort do).
     """
     from ..ops.warp_mxu import plan_dense_warp, apply_dense_warp
     import jax as _jax
@@ -1535,11 +1542,11 @@ def _apply_filter2d(images, key, arrays, static):
     return _batched_filter2d(images, arrays['kernels'])
 
 
-def _prep_glass_blur(configs, shape, key):
+def _prep_glass_blur(configs, shape, seed):
     from .distortion.photometric.blur import build_glass_blur_permutation
 
     n, h, w = shape[:3]
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    rng = np.random.default_rng(int(seed) & 0x7FFFFFFF)
     kernels = _gaussian_kernels(_field(configs, 'sigma'))
     flat_idx = np.empty((n, h, w), dtype=np.int32)
     for i, cfg in enumerate(configs):
@@ -1978,22 +1985,94 @@ _COMPILED_CATALOG = {
 _COMPILED_FNS = {}
 
 
-def _compiled_fn(name: str, static: tuple):
-    cache_key = (name, static)
+def _compiled_fn(name: str, static: tuple, mode: str = 'full'):
+    """One jitted program per (name, static, mode).
+
+    ``mode`` folds the member-selection plumbing INTO the program — every
+    separate eager op costs a ~20ms tunnel round trip on this backend:
+      'full'   — apply to the whole batch;
+      'masked' — apply to the whole batch, where-select members;
+      'sub'    — gather a member sub-batch, apply, scatter back.
+    The rng key derives from a traced uint32 seed inside the program (no
+    eager fold_in chain).
+    """
+    cache_key = (name, static, mode)
     fn = _COMPILED_FNS.get(cache_key)
     if fn is None:
         apply = _COMPILED_CATALOG[name][1]
 
-        def wrapped(images, key, arrays, _apply=apply, _static=static):
-            return _apply(images, key, arrays, _static)
+        if mode == 'full':
+            def wrapped(images, seed, arrays, _apply=apply, _static=static):
+                key = jax.random.PRNGKey(seed)
+                return _apply(images, key, arrays, _static)
+        elif mode == 'masked':
+            def wrapped(images, seed, arrays, selected,
+                        _apply=apply, _static=static):
+                key = jax.random.PRNGKey(seed)
+                distorted = _apply(images, key, arrays, _static)
+                gate = selected.astype(jnp.bool_)[:, None, None, None]
+                return jnp.where(gate, distorted, images)
+        else:
+            def wrapped(images, seed, arrays, idx,
+                        _apply=apply, _static=static):
+                key = jax.random.PRNGKey(seed)
+                sub = jnp.take(images, idx, axis=0)
+                res = _apply(sub, key, arrays, _static)
+                return images.at[idx].set(res)
 
         fn = jax.jit(wrapped)
         _COMPILED_FNS[cache_key] = fn
     return fn
 
 
+_SUB_BUCKET = 8
+
+
+def batch_distort_members(name: str, group, images, seed: int):
+    """Apply one distortion to member (sample_idx, config) pairs in ONE
+    jitted dispatch (selection plumbing fused into the program).
+
+    Majority draws apply full-batch with a where-select; minority draws
+    gather an 8-slot sub-batch and scatter back.
+    """
+    n = images.shape[0]
+    idx = [sample_idx for sample_idx, _ in group]
+    prep, _ = _COMPILED_CATALOG[name]
+    seed_u32 = np.uint32(int(seed) & 0xFFFFFFFF)
+
+    if len(idx) == n:
+        ordered = [None] * n
+        for sample_idx, config in group:
+            ordered[sample_idx] = config
+        arrays, static = prep(ordered, images.shape, seed)
+        return _compiled_fn(name, static, 'full')(images, seed_u32, arrays)
+
+    if len(idx) > _SUB_BUCKET:
+        configs = [group[0][1]] * n
+        for sample_idx, config in group:
+            configs[sample_idx] = config
+        arrays, static = prep(configs, images.shape, seed)
+        selected = np.zeros(n, dtype=np.float32)
+        selected[idx] = 1.0
+        return _compiled_fn(name, static, 'masked')(
+            images, seed_u32, arrays, selected
+        )
+
+    bucket = min(_SUB_BUCKET, n)
+    idx_pad = idx + [idx[0]] * (bucket - len(idx))
+    configs = [group[0][1]] * bucket
+    for slot, (sample_idx, config) in enumerate(group):
+        configs[slot] = config
+    arrays, static = prep(
+        configs, (bucket,) + tuple(images.shape[1:]), seed
+    )
+    return _compiled_fn(name, static, 'sub')(
+        images, seed_u32, arrays, np.asarray(idx_pad, dtype=np.int32)
+    )
+
+
 def batch_distort_images_compiled(name: str, configs: Sequence, images,
-                                  key=None):
+                                  key=None, seed=None):
     """batch_distort_images, but ONE jitted dispatch per apply.
 
     Numeric per-sample params travel as jit arguments (no retrace across
@@ -2001,9 +2080,13 @@ def batch_distort_images_compiled(name: str, configs: Sequence, images,
     """
     n = images.shape[0]
     assert len(configs) == n
+    if seed is None:
+        seed = 0 if key is None else int(
+            np.asarray(jax.random.key_data(key)).ravel()[-1]
+        )
     if key is None:
         key = jax.random.PRNGKey(0)
     prep, _ = _COMPILED_CATALOG[name]
-    arrays, static = prep(configs, images.shape, key)
-    fn = _compiled_fn(name, static)
-    return fn(images, key, {k: jnp.asarray(v) for k, v in arrays.items()})
+    arrays, static = prep(configs, images.shape, seed)
+    fn = _compiled_fn(name, static, 'full')
+    return fn(images, np.uint32(seed), arrays)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.random import Generator as RandomGenerator
 
-from .batched import batch_distort_images_compiled
+from .batched import batch_distort_members
 from .distortion_policy.random_distortion import (
     RandomDistortionStage,
     RandomDistortionStageConfig,
@@ -76,8 +76,13 @@ def batch_random_photometric_distort(
     stage = RandomDistortionStage(stage_config)
 
     n, height, width = images.shape[:3]
+    # Host-side seed schedule: every eager fold_in was a ~20ms tunnel
+    # round trip; the per-(round, name) keys now derive from traced
+    # uint32 seeds INSIDE the compiled programs.
     if key is None:
-        key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+        base_seed = int(rng.integers(0, 2**31 - 1))
+    else:
+        base_seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
 
     # Host: per-sample policy sequences + configs (same rng discipline as
     # the per-element path).
@@ -122,16 +127,18 @@ def batch_random_photometric_distort(
                 else:
                     del name_to_members[name]
             if mega_members:
-                key = jax.random.fold_in(key, round_idx + 1)
                 sel, params = build_round_params(n, mega_members)
                 out = apply_mega_round(
-                    out, jnp.asarray(sel),
-                    {k: jnp.asarray(v) for k, v in params.items()},
-                    key,
+                    out, sel, params,
+                    np.uint32((base_seed + 0x9E3779B1 * (round_idx + 1))
+                              & 0xFFFFFFFF),
                 )
 
         for name, members in sorted(name_to_members.items()):
-            key = jax.random.fold_in(key, zlib.crc32(name.encode()))
+            seed = (
+                base_seed + 0x85EBCA77 * (round_idx + 1)
+                + zlib.crc32(name.encode())
+            ) & 0xFFFFFFFF
             if name in _PER_SAMPLE_ONLY:
                 groups = [[m] for m in members]
             else:
@@ -141,69 +148,15 @@ def batch_random_photometric_distort(
                 groups = [by_sig[sig] for sig in sorted(by_sig)]
             for group in groups:
                 try:
-                    out = _apply_group(name, group, out, key)
+                    out = batch_distort_members(name, group, out, seed)
                 except AssertionError:
                     if len(group) == 1:
                         raise
                     # A shape-static param not covered by _STATIC_FIELDS
                     # differs within the group: apply member-by-member.
                     for member in group:
-                        out = _apply_group(name, [member], out, key)
+                        out = batch_distort_members(name, [member], out, seed)
     return out
-
-
-# One bucket size: every distinct (name, bucket, static-signature) tuple
-# is a separate compiled program, and compiles cost minutes on a tunneled
-# chip.  Minority draws pad to 8; bigger groups use the full-batch path.
-_SUBBATCH_BUCKETS = (8,)
-
-
-def _apply_group(name, group, out, key):
-    """Apply one distortion to its member samples.
-
-    Majority draws (> half the batch) run as a full-batch apply with a
-    masked select.  Minority draws run on a GATHERED sub-batch (padded to
-    a bucketed size) and scatter back — the heavyweight ops
-    (histogram_equalization ~13ms/sample, jpeg, fog, poisson, blurs) then
-    cost proportionally to their members instead of the whole batch.
-    """
-    n = out.shape[0]
-    idx = [sample_idx for sample_idx, _ in group]
-    if len(idx) == n:
-        configs = [config for _, config in group]
-        ordered = [None] * n
-        for sample_idx, config in group:
-            ordered[sample_idx] = config
-        return batch_distort_images_compiled(name, ordered, out, key)
-    if len(idx) > _SUBBATCH_BUCKETS[-1]:
-        configs = [group[0][1]] * n
-        for sample_idx, config in group:
-            configs[sample_idx] = config
-        distorted = batch_distort_images_compiled(name, configs, out, key)
-        selected = np.zeros(n, dtype=np.float32)
-        selected[idx] = 1.0
-        return _masked_select(out, distorted, jnp.asarray(selected))
-
-    bucket = next(
-        (b for b in _SUBBATCH_BUCKETS if len(idx) <= b), len(idx)
-    )
-    bucket = min(bucket, n)
-    idx_pad = idx + [idx[0]] * (bucket - len(idx))
-    configs = [group[0][1]] * bucket
-    for slot, (sample_idx, config) in enumerate(group):
-        configs[slot] = config
-    idx_dev = jnp.asarray(np.asarray(idx_pad, dtype=np.int64))
-    sub = jnp.take(out, idx_dev, axis=0)
-    res = batch_distort_images_compiled(name, configs, sub, key)
-    # Padded slots repeat member 0's sample but with member 0's config,
-    # so duplicate scatter writes agree.
-    return out.at[idx_dev].set(res)
-
-
-@jax.jit
-def _masked_select(original, distorted, selected):
-    gate = selected.astype(jnp.bool_)[:, None, None, None]
-    return jnp.where(gate, distorted, original)
 
 
 def sample_geometric_plans(

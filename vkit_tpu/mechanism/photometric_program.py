@@ -381,11 +381,14 @@ def _op_line_streak(x, p):
 
 
 @jax.jit
-def apply_mega_round(images, sel, params, key):
-    """One photometric round over a uint8 batch; returns uint8."""
+def apply_mega_round(images, sel, params, seed):
+    """One photometric round over a uint8 batch; returns uint8.
+
+    ``seed``: uint32 scalar — the rng key derives INSIDE the program (an
+    eager fold_in chain cost a tunnel round trip per link)."""
     x = images.astype(jnp.float32)
     outs: List = []
-    key_stream = jax.random.split(key, 8)
+    key_stream = jax.random.split(jax.random.PRNGKey(seed), 8)
 
     outs.append(_op_mean_shift(x, params))
     outs.append(_op_color_shift(x, params))

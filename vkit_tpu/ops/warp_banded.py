@@ -15,6 +15,7 @@ rather than translated).  The per-element host path (ops/warp.py
 remap_np) keeps exact cv2 semantics; this path trades the bilinear
 square footprint for two 1-D linear stages (visually equivalent).
 """
+import warnings
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -128,7 +129,8 @@ def plan_banded_pass(
         if valid is not None:
             v = valid[:, :, sel]
             masked = np.where(v, dev, np.nan)
-            with np.errstate(all='ignore'):
+            with np.errstate(all='ignore'), warnings.catch_warnings():
+                warnings.simplefilter('ignore', RuntimeWarning)
                 lo = np.nanmin(masked, axis=2)
                 hi = np.nanmax(masked, axis=2)
             dead = np.isnan(lo)
@@ -305,33 +307,26 @@ def plan_banded_warp(
         base_v[rejects] = bv
         base_h[rejects] = bh
 
+    # Plain numpy in the plan: each eager jnp.asarray is its own tunnel
+    # round trip; jit call arguments transfer in one batch instead.
     plan = BandedWarpPlan(
         pass_v=BandedPassPlan(
-            base=jnp.asarray(base_v.astype(np.int32)),
-            nodes=jnp.asarray(pos_v_eff.astype(np.float32)),
-            w_l=jnp.asarray(
-                interp_node_weights(w_in, u_nodes.astype(np.float64))
-            ),
-            w_j=jnp.asarray(
-                interp_node_weights(jp_v, node_ys.astype(np.float64))
-            ),
+            base=base_v.astype(np.int32),
+            nodes=pos_v_eff.astype(np.float32),
+            w_l=interp_node_weights(w_in, u_nodes.astype(np.float64)),
+            w_j=interp_node_weights(jp_v, node_ys.astype(np.float64)),
         ),
         pass_h=BandedPassPlan(
-            base=jnp.asarray(base_h.astype(np.int32)),
-            nodes=jnp.asarray(ch_eff.astype(np.float32)),
+            base=base_h.astype(np.int32),
+            nodes=ch_eff.astype(np.float32),
             # Pass-H lines are pass V's PADDED output rows.
-            w_l=jnp.asarray(
-                interp_node_weights(jp_v, node_ys.astype(np.float64))
-            ),
-            w_j=jnp.asarray(
-                interp_node_weights(
-                    _round_up(w_out, 128), node_xs.astype(np.float64)
-                )
+            w_l=interp_node_weights(jp_v, node_ys.astype(np.float64)),
+            w_j=interp_node_weights(
+                _round_up(w_out, 128), node_xs.astype(np.float64)
             ),
         ),
     )
-    flips = (jnp.asarray(flip_v), jnp.asarray(flip_h))
-    return plan, taps, rejects, flips
+    return plan, taps, rejects, (flip_v, flip_h)
 
 
 @partial(jax.jit, static_argnames=('taps', 'border_value', 'pre', 'post'))

@@ -700,9 +700,14 @@ class PageLayoutStep(
                 run = lines[begin:end]
                 bounding = Box.from_boxes(ltl.box for ltl in run)
                 step = min(min(ltl.box.shape) for ltl in run)
-                out.append(DisconnectedTextRegion(
-                    polygon=bounding.to_polygon(step=step)
-                ))
+                # Tiny pages can yield 1-px-thin runs whose bounding box is
+                # degenerate (no polygon); a zero-area region carries no
+                # information, so skip it (the reference never hits this —
+                # its fixed 2522^2 page area keeps lines >= 2 px tall).
+                if bounding.up < bounding.down and bounding.left < bounding.right:
+                    out.append(DisconnectedTextRegion(
+                        polygon=bounding.to_polygon(step=step)
+                    ))
                 begin = end
         return out
 
@@ -739,6 +744,9 @@ class PageLayoutStep(
                 found.append(candidate)
                 break
 
+        # 1-px-thin mirrors (tiny pages) have no polygon form; drop them.
+        found = [box for box in found
+                 if box.up < box.down and box.left < box.right]
         if not found:
             return []
         step = max(1, min(min(box.shape) for box in found))

@@ -270,9 +270,16 @@ def synthesize_stream(
     level_rngs = [np.random.default_rng(seed) for seed in seeds]
 
     def producer():
-        for batch_rng in level_rngs:
-            prep_queue.put(planner.prepare_batch(batch_size, batch_rng))
-        prep_queue.put(None)
+        # A producer crash must SURFACE in the consumer, not strand it on
+        # queue.get() forever (the reference's pool propagates worker
+        # failures the same way, vkit/utility/pool.py:176-184).
+        try:
+            for batch_rng in level_rngs:
+                prep_queue.put(planner.prepare_batch(batch_size, batch_rng))
+        except BaseException as exc:  # noqa: BLE001 - relayed to consumer
+            prep_queue.put(exc)
+        else:
+            prep_queue.put(None)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -282,6 +289,8 @@ def synthesize_stream(
             pages = prep_queue.get()
             if pages is None:
                 break
+            if isinstance(pages, BaseException):
+                raise pages
             yield synthesize_page_batch(
                 pages, level=level, rng=level_rngs[idx],
                 out_shape=out_shape,

@@ -889,14 +889,65 @@ def _scatter_samples(out, idx, values):
     return out.at[idx].set(values)
 
 
+class LazyCoverages:
+    """Per-sample coverage planes, materialized on ACCESS: the lattice
+    coverage is a host polygon rasterization per plan per batch, and no
+    hot caller consumes it (bench/synth gate by their own active masks).
+    Matrix/nop coverage is a zero-copy broadcast view."""
+
+    def __init__(self, plans):
+        self._plans = list(plans)
+        self._cache = {}
+
+    def __len__(self):
+        return len(self._plans)
+
+    def __getitem__(self, i):
+        if i not in self._cache:
+            plan = self._plans[i]
+            if getattr(plan, 'is_lattice', False):
+                from .distortion.warp_plan import warp_active_mask
+                self._cache[i] = warp_active_mask(plan).mat.astype(bool)
+            else:
+                self._cache[i] = np.broadcast_to(True, plan.dst_shape)
+        return self._cache[i]
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
+def _bucket_pad(idx: np.ndarray, n: int,
+                ladder=(8, 16, 24, 32, 48, 64)) -> np.ndarray:
+    """Pad an index subset to a fixed bucket-size ladder (each sub-batch
+    size is a distinct compiled program; padding repeats the first index,
+    whose duplicate scatter writes are identical values)."""
+    for b in ladder:
+        if len(idx) <= b <= n:
+            return np.concatenate([
+                idx, np.full(b - len(idx), idx[0], dtype=idx.dtype)
+            ])
+    return idx
+
+
 def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
                      return_maps: bool, content_boxes=None):
     """Banded two-pass warp from node maps (ops/warp_banded.py); samples
     the decomposition rejects (fold-overs, extreme zooms) run the gather
     program as a sub-batch and overwrite their rows.  Returns None only
     when EVERY sample rejects (the caller then gathers the whole batch —
-    one program beats scatter assembly)."""
-    from ..ops.warp_banded import apply_banded_warp, plan_banded_warp
+    one program beats scatter assembly).
+
+    The banded cost scales with taps x samples, and per-sample tap needs
+    spread widely (perspective ~33, lattice median ~75, tail > 128), so
+    accepted samples split into tap-homogeneous GROUPS (<= 48 / <= 128),
+    each running at its own quantized tap count on a bucket-padded
+    sub-batch — a mixed batch no longer pays the max everywhere."""
+    from ..ops.warp_banded import (
+        _quantize_taps,
+        apply_banded_warp,
+        plan_banded_warp,
+        slice_banded_plan,
+    )
 
     coarse_y, coarse_x, ys, xs = nodes
     n = len(coarse_y)
@@ -906,15 +957,43 @@ def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
     )
     if planned is None:
         return None
-    plan, taps, rejects, flips = planned
+    plan, taps, rejects, flips, needs = planned
 
     images = jnp.asarray(images)
     orig_dtype = images.dtype
     x = images.astype(jnp.float32)
 
-    warped = apply_banded_warp(
-        x, plan, canvas, taps, flips=flips, border_value=border_value
+    reject_set = set(int(r) for r in rejects)
+    acc = np.asarray(
+        [i for i in range(n) if i not in reject_set], dtype=np.int64
     )
+    low = acc[needs[acc] <= 48]
+    high = acc[needs[acc] > 48]
+    if len(high) == 0 or len(low) < 6:
+        groups = [(acc, _quantize_taps(int(needs[acc].max())))] \
+            if len(acc) else []
+    else:
+        groups = [(low, 48), (high, _quantize_taps(int(needs[high].max())))]
+
+    if len(groups) == 1 and len(groups[0][0]) == n:
+        warped = apply_banded_warp(
+            x, plan, canvas, groups[0][1], flips=flips,
+            border_value=border_value,
+        )
+    else:
+        h_max, w_max = canvas
+        warped = jnp.zeros(
+            (n, h_max, w_max) + x.shape[3:], dtype=jnp.float32
+        )
+        for gidx, gtaps in groups:
+            gpad = _bucket_pad(gidx, n)
+            sub = jnp.take(x, jnp.asarray(gpad), axis=0)
+            res = apply_banded_warp(
+                sub, slice_banded_plan(plan, gpad), canvas, gtaps,
+                flips=(flips[0][gpad], flips[1][gpad]),
+                border_value=border_value,
+            )
+            warped = _scatter_samples(warped, jnp.asarray(gpad), res)
     if len(rejects):
         # Fixed bucket ladder {8, 32}: each size is a separate compile of
         # the gather program.
@@ -1007,85 +1086,168 @@ def batched_plan_warp(
         h_max = max(h_max, canvas_shape[0])
         w_max = max(w_max, canvas_shape[1])
 
-    # Affine fast path FIRST — probed from the plan matrices alone, before
-    # any dense map materializes (an (N, H, W) float64 map pair per sample
-    # costs ~10 MB each on the host; building them just to discard on this
-    # branch dominated the affine benchmark).  Every plan must be an affine
-    # matrix (or nop); the device program is the exact two-pass MXU warp.
-    if mode != 'gather':
-        mats = []
-        affine_ok = True
-        for plan in plans:
+    # Per-sample partition: affine plans (nop included) run the EXACT
+    # two-shear MXU program (3 taps; quadrant rot90 reduction conditions
+    # any rotation angle), non-affine plans (lattice fields, perspective
+    # skews) run the banded two-pass program.  Mixed batches run both
+    # sub-programs on index-bucketed sub-batches and scatter-merge —
+    # without the split, one rotated sample drags the whole batch onto
+    # the 128-tap banded ladder.  Probed from plan matrices alone: no
+    # dense map materializes for affine samples.
+    aff_sel = np.zeros(n, dtype=bool)
+    aff_mats = np.tile(np.eye(3, dtype=np.float64), (n, 1, 1))
+    aff_quads = np.zeros(n, dtype=np.int8)
+    if mode == 'auto':
+        from ..ops.warp_mxu import quadrant_reduce_mats
+
+        for i, plan in enumerate(plans):
             if plan.is_lattice:
-                affine_ok = False
-                break
+                continue
             mat3 = np.eye(3, dtype=np.float64)
             if plan.matrix is not None:
                 m = np.asarray(plan.matrix, dtype=np.float64)
                 mat3[:m.shape[0]] = m
             if np.abs(mat3[2, :2]).max() > 1e-9:
-                affine_ok = False  # perspective (skew_hori/vert)
-                break
-            mats.append(mat3)
-        if affine_ok:
-            inv_aa = np.asarray([
-                np.linalg.inv(m)[0, 0] for m in mats
-            ])
-            # The two-shear decomposition degenerates near 90-degree
-            # rotations; those (rare) batches take the dense path below.
-            if np.abs(inv_aa).min() > 0.2:
-                from ..ops.warp_mxu import apply_affine_warp, plan_affine_warp
+                continue  # perspective (skew_hori/vert) -> banded
+            aff_sel[i] = True
+            aff_mats[i] = mat3
+        if aff_sel.any():
+            quads, reduced = quadrant_reduce_mats(
+                aff_mats[aff_sel], (h_in, w_in)
+            )
+            # Residual conditioning check: extreme anisotropic zoom-in
+            # can defeat the decomposition even post-reduction (rare).
+            cond = np.abs(np.linalg.inv(reduced)[:, 0, 0]) > 0.18
+            sel_idx = np.flatnonzero(aff_sel)
+            aff_sel[sel_idx[~cond]] = False
+            keep = np.flatnonzero(cond)
+            aff_quads[sel_idx[keep]] = quads[keep]
+            aff_mats[sel_idx[keep]] = reduced[keep]
 
-                try:
-                    aplan, astatics = plan_affine_warp(
-                        np.stack(mats), (h_in, w_in), (h_max, w_max)
-                    )
-                except AssertionError:
-                    # Span exceeds the roll window (strong rotations on a
-                    # large canvas) — fall through to the dense/gather
-                    # routing below instead of failing the batch.
-                    aplan = None
-                if aplan is not None:
-                    # Coverage of a matrix plan is full; hand out zero-copy
-                    # broadcast views instead of N dense bool planes.
-                    coverages = [
-                        np.broadcast_to(True, s) for s in shapes
-                    ]
-                    fn = _jax.jit(
-                        apply_affine_warp,
-                        static_argnames=('statics', 'border_value'),
-                    )
-                    warped = fn(
-                        images, aplan, statics=astatics,
-                        border_value=border_value,
-                    )
-                    if return_maps:
-                        # Affine maps are analytic; callers needing the
-                        # local stretch derive it from the matrices (see
-                        # synth.device).  Returning None skips
-                        # materializing two (N, H, W) float arrays.
-                        return warped, shapes, coverages, None
-                    return warped, shapes, coverages
+    if mode == 'auto' and aff_sel.any():
+        from ..ops.warp_mxu import (
+            apply_affine_warp,
+            apply_affine_warp_quad,
+            plan_affine_warp,
+        )
+
+        aff_idx = np.flatnonzero(aff_sel)
+        # The 3-tap program is cheap: pad to the FULL batch always (one
+        # compiled size) unless a small bucket fits.
+        aff_idx_p = _bucket_pad(aff_idx, n, ladder=(8, n))
+        try:
+            aplan, astatics = plan_affine_warp(
+                aff_mats[aff_idx_p], (h_in, w_in), (h_max, w_max),
+                canonical=True,
+            )
+        except AssertionError:
+            # Span exceeds every shift kernel (huge canvases) — fall
+            # through to the banded/gather routing for the whole batch.
+            aplan = None
+            aff_sel[:] = False
+    if mode == 'auto' and aff_sel.any() and aplan is not None:
+        coverages = LazyCoverages(plans)
+        quads_p = aff_quads[aff_idx_p]
+        if len(aff_idx_p) == n and aff_sel.all() \
+                and np.array_equal(aff_idx_p, np.arange(n)):
+            sub = images
+        else:
+            sub = jnp.take(jnp.asarray(images), jnp.asarray(aff_idx_p),
+                           axis=0)
+        if (quads_p == 0).all():
+            fn = _jax.jit(
+                apply_affine_warp,
+                static_argnames=('statics', 'border_value'),
+            )
+            wa = fn(sub, aplan, statics=astatics,
+                    border_value=border_value)
+        else:
+            wa = apply_affine_warp_quad(
+                sub, jnp.asarray(quads_p), aplan, statics=astatics,
+                border_value=border_value,
+            )
+
+        if aff_sel.all():
+            if return_maps:
+                # Affine maps are analytic; callers needing the local
+                # stretch derive it from the matrices (see synth.device).
+                return wa, shapes, coverages, None
+            return wa, shapes, coverages
+
+        # Mixed batch: banded sub-program on the rest, scatter-merge.
+        rest_idx = np.flatnonzero(~aff_sel)
+        rest_idx_p = _bucket_pad(rest_idx, n)
+        # Node maps build once per UNIQUE plan; bucket-padding duplicates
+        # only index into the built arrays.
+        pad_map = np.concatenate([
+            np.arange(len(rest_idx)),
+            np.zeros(len(rest_idx_p) - len(rest_idx), dtype=np.int64),
+        ])
+        nodes_all = None
+        if return_maps:
+            nodes_all = _build_coarse_nodes(
+                list(plans), shapes, (h_max, w_max)
+            )
+            cy, cx, nys, nxs = nodes_all
+            rest_nodes = (cy[rest_idx_p], cx[rest_idx_p], nys, nxs)
+        else:
+            rest_plans_u = [plans[i] for i in rest_idx]
+            cy, cx, nys, nxs = _build_coarse_nodes(
+                rest_plans_u, [p.dst_shape for p in rest_plans_u],
+                (h_max, w_max),
+            )
+            rest_nodes = (cy[pad_map], cx[pad_map], nys, nxs)
+        from .distortion.warp_plan import plan_content_box
+        boxes_u = np.asarray([
+            (b.up, b.down, b.left, b.right)
+            for b in (plan_content_box(plans[i]) for i in rest_idx)
+        ], dtype=np.int64)
+        boxes = boxes_u[pad_map]
+        sub_r = jnp.take(jnp.asarray(images), jnp.asarray(rest_idx_p),
+                         axis=0)
+        result = _coarse_mxu_warp(
+            sub_r, rest_nodes, (h_in, w_in), (h_max, w_max),
+            border_value, return_maps=False, content_boxes=boxes,
+        )
+        if result is not None:
+            wr = result[0]
+        else:
+            wr, _ = _coarse_gather_warp(
+                sub_r, [None] * len(rest_idx_p), None, (h_max, w_max),
+                border_value, nodes=rest_nodes,
+            )
+        out = jnp.zeros(
+            (n,) + tuple(wa.shape[1:]), dtype=wa.dtype
+        )
+        out = _scatter_samples(out, jnp.asarray(aff_idx_p), wa)
+        out = _scatter_samples(out, jnp.asarray(rest_idx_p), wr)
+        if return_maps:
+            cy, cx, nys, nxs = nodes_all
+            dev_maps = _upsample_node_maps(
+                jnp.asarray(cy.astype(np.float32)),
+                jnp.asarray(cx.astype(np.float32)),
+                jnp.asarray(_interp_weights(h_max, nys)),
+                jnp.asarray(_interp_weights(w_max, nxs)),
+            )
+            return out, shapes, coverages, dev_maps
+        return out, shapes, coverages
 
     map_list = []
     coverages = []
-    for plan in plans:
-        if mode != 'dense':
-            # Lazy: matrix/nop maps are analytic, and lattice maps are
-            # evaluated at the coarse NODES only (native kernel) — no
-            # full-res float planes per sample.  Lattice coverage is the
-            # active border-polygon fill (same region as the per-cell
-            # rasterization up to boundary rounding).
-            map_list.append(plan)
-            if plan.is_lattice:
-                from .distortion.warp_plan import warp_active_mask
-                coverages.append(warp_active_mask(plan).mat.astype(bool))
-            else:
-                coverages.append(np.broadcast_to(True, plan.dst_shape))
-            continue
-        map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
-        map_list.append((map_y, map_x))
-        coverages.append(cov)
+    if mode != 'dense':
+        # Lazy: matrix/nop maps are analytic, and lattice maps are
+        # evaluated at the coarse NODES only (native kernel) — no
+        # full-res float planes per sample.  Lattice coverage is the
+        # active border-polygon fill (same region as the per-cell
+        # rasterization up to boundary rounding), materialized only if a
+        # caller reads it.
+        map_list = list(plans)
+        coverages = LazyCoverages(plans)
+    else:
+        for plan in plans:
+            map_y, map_x, cov = plan_backward_maps(plan, (h_in, w_in))
+            map_list.append((map_y, map_x))
+            coverages.append(cov)
 
     if mode != 'dense':
         # Coarse-node paths: only ~1/64th of the backward field crosses

@@ -168,7 +168,7 @@ def _quantize_taps(taps: int) -> int:
     are nearly free in the kernel (~0.14ms per tap per 32-batch pass), so
     the ladder runs high: the band must cover |slope - 1| * 128 for the
     pass's local axis scale, which reaches ~100 for strong rotations."""
-    for q in (16, 32, 64, 96, 128):
+    for q in (16, 32, 48, 64, 96, 128):
         if taps <= q:
             return q
     return taps
@@ -183,14 +183,18 @@ def plan_banded_warp(
     dst_shape: Tuple[int, int],
     taps_max: int = 128,
     content_boxes: Optional[np.ndarray] = None,
+    fold_policy: str = 'reject',
 ):
     """Plan the banded two-pass warp from NODE backward maps.
 
-    Returns (BandedWarpPlan, taps, rejects): ``rejects`` lists sample
-    indices the decomposition cannot serve (fold-over rows, or per-block
-    deviation beyond ``taps_max`` — extreme zooms); their plan rows hold
-    identity placeholders and callers overwrite their outputs with the
-    gather fallback.  Returns None when every sample rejects.
+    Returns (BandedWarpPlan, taps, rejects, flips, needs): ``rejects``
+    lists sample indices the decomposition cannot serve (fold-over rows,
+    or per-block deviation beyond ``taps_max`` — extreme zooms); their
+    plan rows hold identity placeholders and callers overwrite their
+    outputs with the gather fallback.  ``needs`` (N,) are the per-sample
+    tap requirements — callers may slice the plan (slice_banded_plan)
+    into tap-homogeneous groups and run each at its own quantized tap
+    count.  Returns None when every sample rejects.
 
     ``content_boxes`` ((N, 4) int: up, down, left, right in dst coords):
     active-content boxes.  Rows/cols outside carry border-extension
@@ -225,16 +229,23 @@ def plan_banded_warp(
         row_content[thin] = True
         col_content[thin] = True
 
-    # Direction sign per sample; fold-over check in the signed direction.
+    # Direction sign per sample.  Fold-overs (non-monotone map_x rows)
+    # break the two-pass decomposition; under ``fold_policy='reject'``
+    # significant folds reject the sample, under ``'monotonize'`` the rows
+    # clamp to their running max (a flat smear across the folded patch —
+    # the fold region's output is geometrically ill-defined for a
+    # separable decomposition either way, and the active mask usually
+    # excludes it).
     sign = np.where(
         coarse_x[:, :, -1].mean(axis=1) >= coarse_x[:, :, 0].mean(axis=1),
         1.0, -1.0,
     )
     node_gap = float(np.diff(node_xs).max())
-    dxn = np.diff(coarse_x * sign[:, None, None], axis=2) / np.maximum(
-        np.diff(node_xs), 1.0
-    )
-    ok &= dxn.min(axis=(1, 2)) > -0.5 / max(node_gap, 1.0)
+    if fold_policy == 'reject':
+        dxn = np.diff(coarse_x * sign[:, None, None], axis=2) / np.maximum(
+            np.diff(node_xs), 1.0
+        )
+        ok &= dxn.min(axis=(1, 2)) > -0.5 / max(node_gap, 1.0)
     cxs = np.maximum.accumulate(coarse_x * sign[:, None, None], axis=2)
 
     # Pass V positions: invert each (signed) map_x node row at the
@@ -281,6 +292,8 @@ def plan_banded_warp(
         ch_eff, node_ys_i, node_xs_i, w_out, jp_v, valid=valid_h
     )
     needs = np.maximum(needs_v, needs_h)
+    global _LAST_NEEDS
+    _LAST_NEEDS = needs.copy()  # diagnostic (profiling probes)
     ok &= needs <= taps_max
     rejects = np.flatnonzero(~ok)
     if not ok.any():
@@ -326,7 +339,20 @@ def plan_banded_warp(
             ),
         ),
     )
-    return plan, taps, rejects, (flip_v, flip_h)
+    return plan, taps, rejects, (flip_v, flip_h), needs
+
+
+def slice_banded_plan(plan: BandedWarpPlan, idx: np.ndarray):
+    """Row-slice a banded plan to a sample subset (host numpy views; the
+    upsample weight matrices are sample-independent and shared)."""
+    return BandedWarpPlan(
+        pass_v=plan.pass_v._replace(
+            base=plan.pass_v.base[idx], nodes=plan.pass_v.nodes[idx]
+        ),
+        pass_h=plan.pass_h._replace(
+            base=plan.pass_h.base[idx], nodes=plan.pass_h.nodes[idx]
+        ),
+    )
 
 
 @partial(jax.jit, static_argnames=('taps', 'border_value', 'pre', 'post'))

@@ -23,6 +23,7 @@ cv2 semantics; this path is the batched throughput engine
 affine.py:40, re-designed for the MXU rather than translated).
 """
 import math
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -61,11 +62,18 @@ def plan_line_resample(
     offsets: np.ndarray,
     in_len: int,
     out_len: int,
+    canonical: bool = False,
 ) -> Tuple[LineResamplePlan, LineResampleStatics]:
     """Host-side planning: all integer index math in float64 numpy.
 
     ``slopes``: (N,); ``offsets``: (N, L) — sampling position for line l,
     output index j is ``slopes[n] * j + offsets[n, l]`` in source coords.
+
+    ``canonical``: round the statics (which select the compiled program)
+    up to a sparse ladder sized for the whole quadrant-reduced affine
+    family, so every randomized batch of a given (in_len, out_len) config
+    reuses ONE compilation instead of compiling per draw.  Costs some
+    wasted tap-matmul width; wins whenever params are random per batch.
     """
     slopes = np.asarray(slopes, dtype=np.float64)
     offsets = np.asarray(offsets, dtype=np.float64)
@@ -75,31 +83,62 @@ def plan_line_resample(
     pos_j = slopes[:, None] * j[None, :]
     i0_abs = np.floor(pos_j).astype(np.int64)          # (N, J)
     frac_j = (pos_j - i0_abs).astype(np.float32)
-    i0_min = int(i0_abs.min())
-    m_shift = int(i0_abs.max()) - i0_min + 3
-    assert m_shift <= _ROLL_WINDOW - 128, (
-        f'resample span {m_shift} exceeds the roll window; '
-        'split the axis or reduce the scale factor'
-    )
+    # Per-SAMPLE i0 origin: mixed slope signs across a batch must not add
+    # their index spans (a +1 and a -1 slope would double m_shift).
+    i0_min = i0_abs.min(axis=1)                        # (N,)
+    m_shift = int((i0_abs.max(axis=1) - i0_min).max()) + 3
 
     k = np.floor(offsets).astype(np.int64)             # (N, L)
     phi = (offsets - k).astype(np.float32)
 
-    starts_src = k + i0_min                            # absolute src index of tap m=0
-    # Bucket statics (multiples of 128) so minor param changes don't recompile.
-    pad_lo = _round_up(max(0, -int(starts_src.min())), 128)
-    # The kernel reads a full 1024-lane roll window from each start.
-    m_padded = _round_up(
-        max(in_len + pad_lo, int(starts_src.max()) + pad_lo + _ROLL_WINDOW),
-        128,
-    )
+    starts_src = k + i0_min[:, None]                   # absolute src index of tap m=0
+
+    def _statics_for(quant: int, shift_quant: int):
+        ms = _round_up(m_shift, shift_quant)
+        lo = _round_up(max(0, -int(starts_src.min())), quant)
+        # The kernel reads a full 1024-lane roll window from each start.
+        mp = _round_up(
+            max(in_len + lo, int(starts_src.max()) + lo + _ROLL_WINDOW),
+            quant,
+        )
+        return lo, mp, ms
+
+    def _feasible(lo: int, mp: int, ms: int) -> bool:
+        # Feasible iff SOME shift kernel covers the window: the padded
+        # roll-window path, or the borderless 2048-lane slab path (the
+        # same window_ok test apply_line_resample uses).  Strong rotations
+        # after quadrant reduction need m_shift up to ~|tan 45| * J + 3.
+        rel_min = -lo
+        rel_max = mp - _ROLL_WINDOW - lo
+        slab_ok = (
+            in_len + ms <= 2048
+            and rel_min >= -(2048 - in_len - ms)
+            and rel_max <= 2048 - ms
+        )
+        return slab_ok or ms <= _ROLL_WINDOW - 128
+
+    # Bucket statics (multiples of 128) so minor param changes don't
+    # recompile; canonical mode rounds harder (384) unless the rounding
+    # itself breaks kernel feasibility.
+    pad_lo, m_padded, m_shift = _statics_for(128, 1)
+    if canonical:
+        cand = _statics_for(384, 384)
+        if _feasible(*cand):
+            pad_lo, m_padded, m_shift = cand
     starts = (starts_src + pad_lo).astype(np.int32)
 
+    assert _feasible(pad_lo, m_padded, m_shift), (
+        f'resample span {m_shift} (in_len {in_len}) exceeds both shift '
+        'kernels; split the axis or reduce the scale factor'
+    )
+
+    # Plain numpy in the plan: eager jnp.asarray would be one tunnel round
+    # trip per array; as jit-call arguments they transfer in one batch.
     plan = LineResamplePlan(
-        i0=jnp.asarray((i0_abs - i0_min).astype(np.int32)),
-        frac_j=jnp.asarray(frac_j),
-        starts=jnp.asarray(starts),
-        phi=jnp.asarray(phi),
+        i0=(i0_abs - i0_min[:, None]).astype(np.int32),
+        frac_j=frac_j,
+        starts=starts,
+        phi=phi,
     )
     statics = LineResampleStatics(
         pad_lo=pad_lo, m_padded=m_padded, m_shift=m_shift, out_len=out_len
@@ -193,6 +232,7 @@ def plan_affine_warp(
     trans_mats: np.ndarray,
     src_shape: Tuple[int, int],
     dst_shape: Optional[Tuple[int, int]] = None,
+    canonical: bool = False,
 ) -> Tuple[AffineWarpPlan, AffineWarpStatics]:
     """Plan the two passes from host-known FORWARD 2x3/3x3 matrices."""
     trans_mats = np.asarray(trans_mats, dtype=np.float64)
@@ -223,12 +263,16 @@ def plan_affine_warp(
     gamma = f - d * c / a
     u = np.arange(w_in, dtype=np.float64)
     offsets_v = alpha[:, None] * u[None, :] + gamma[:, None]   # (N, W_in)
-    plan_v, statics_v = plan_line_resample(beta, offsets_v, h_in, h_out)
+    plan_v, statics_v = plan_line_resample(
+        beta, offsets_v, h_in, h_out, canonical=canonical
+    )
 
     # Pass H: for output row y, sample tmp columns at a * x + (b * y + c).
     y = np.arange(h_out, dtype=np.float64)
     offsets_h = b[:, None] * y[None, :] + c[:, None]           # (N, H_out)
-    plan_h, statics_h = plan_line_resample(a, offsets_h, w_in, w_out)
+    plan_h, statics_h = plan_line_resample(
+        a, offsets_h, w_in, w_out, canonical=canonical
+    )
 
     return (
         AffineWarpPlan(pass_v=plan_v, pass_h=plan_h),
@@ -282,6 +326,98 @@ def warp_affine_batch_mxu(
         apply_affine_warp, static_argnames=('statics', 'border_value')
     )
     return fn(images, plan, statics=statics, border_value=border_value)
+
+
+# ---------------------------------------------------------------------------
+# Quadrant reduction: ANY affine matrix (rotations past 45 degrees included)
+# through the two-shear program.  Factor F = F' o Q with Q a rot90^k pixel
+# map; the device rotates each sample by its k (flips/transposes — layout
+# moves, no arithmetic) and the exact 3-tap program applies F', whose
+# two-shear decomposition is well-conditioned (|inv a| >= cos 45).
+# ---------------------------------------------------------------------------
+
+
+def _rot90_coord_mats(h: int, w: int) -> np.ndarray:
+    """Q_k^{-1} as 3x3 mats on (x, y, 1): source coord of a pixel in the
+    k-times-CCW-rotated image (np.rot90 on (H, W) axes).  k in {1, 3}
+    assume a square image (the reducer only picks them when h == w)."""
+    s = float(h - 1)
+    return np.asarray([
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        # rot90(img, 1)[y, x] = img[x, s - y]
+        [[0, -1, s], [1, 0, 0], [0, 0, 1]],
+        [[-1, 0, w - 1.0], [0, -1, h - 1.0], [0, 0, 1]],
+        [[0, 1, 0], [-1, 0, s], [0, 0, 1]],
+    ], dtype=np.float64)
+
+
+def quadrant_reduce_mats(
+    trans_mats: np.ndarray,
+    src_shape: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(k (N,) int8, reduced forward mats (N, 3, 3)).
+
+    Picks per-sample k maximizing the two-shear conditioning of
+    F' = F @ Qinv_k.  Non-square sources only consider k in {0, 2}."""
+    trans_mats = np.asarray(trans_mats, dtype=np.float64)
+    if trans_mats.shape[1:] == (2, 3):
+        bottom = np.tile([[0.0, 0.0, 1.0]], (len(trans_mats), 1, 1))
+        trans_mats = np.concatenate([trans_mats, bottom], axis=1)
+    h, w = src_shape
+    qinv = _rot90_coord_mats(h, w)
+    ks = (0, 1, 2, 3) if h == w else (0, 2)
+    n = len(trans_mats)
+    best_k = np.zeros(n, dtype=np.int8)
+    best_score = np.full(n, -1.0)
+    reduced = trans_mats.copy()
+    for k in ks:
+        cand = trans_mats @ qinv[k][None]
+        inv = np.linalg.inv(cand)
+        # Conditioning of the decomposition: normalized SIGNED inv[0, 0]
+        # (the pass-H slope is a; beta etc. stay bounded when a dominates
+        # its row).  Positive wins: for orientation-preserving mats a > 0
+        # implies beta > 0 too, so all samples resample forward and their
+        # per-pass index spans align instead of adding.
+        a = inv[:, 0, 0]
+        norm = np.sqrt(inv[:, 0, 0] ** 2 + inv[:, 0, 1] ** 2)
+        score = a / np.maximum(norm, 1e-12)
+        take = score > best_score
+        best_score = np.where(take, score, best_score)
+        best_k = np.where(take, k, best_k).astype(np.int8)
+        reduced[take] = cand[take]
+    return best_k, reduced
+
+
+@partial(jax.jit, static_argnames=('statics', 'border_value'))
+def apply_affine_warp_quad(
+    images,
+    quadrants,
+    plan: AffineWarpPlan,
+    statics: AffineWarpStatics,
+    border_value: float = 0.0,
+):
+    """Per-sample rot90 by ``quadrants`` (N,) int, then the exact two-shear
+    warp.  Square sources only for quadrants 1/3 (the reducer guarantees
+    this)."""
+    had_c = images.ndim == 4
+    if not had_c:
+        images = images[..., None]
+    h, w = images.shape[1], images.shape[2]
+    q = quadrants[:, None, None, None]
+    flipped = images[:, ::-1, ::-1]                    # rot180
+    if h == w:
+        r1 = jnp.rot90(images, 1, (1, 2))
+        r3 = jnp.rot90(images, 3, (1, 2))
+        images = jnp.where(
+            (q == 0), images,
+            jnp.where(q == 1, r1, jnp.where(q == 2, flipped, r3)),
+        )
+    else:
+        images = jnp.where(q == 2, flipped, images)
+    out = apply_affine_warp(
+        images, plan, statics, border_value=border_value
+    )
+    return out if had_c else out[..., 0]
 
 
 # ---------------------------------------------------------------------------

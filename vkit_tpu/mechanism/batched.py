@@ -664,41 +664,65 @@ def _repair_node_maps(cy, cx, cov, ys, xs):
     """Node-level twin of the full-resolution repair: fill uncovered node
     positions by interpolation / LOCAL-slope extension (float64 in
     place).  Extended values are shape-consistent with their rows, which
-    keeps the banded tap budget small near canvas borders."""
+    keeps the banded tap budget small near canvas borders.  Vectorized
+    across rows (the per-row python loop was the node-building hot spot);
+    only rows with interior coverage gaps (rare: boundary rounding) take
+    a per-row np.interp pass."""
     rows, cols = cov.shape
     xs_f = xs.astype(np.float64)
     ys_f = ys.astype(np.float64)
     row_any = cov.any(axis=1)
     covered_rows = np.flatnonzero(row_any)
-    for r in covered_rows:
-        rc = cov[r]
-        if rc.all():
-            continue
-        idx = np.flatnonzero(rc)
-        first, last = idx[0], idx[-1]
-        if last - first + 1 != len(idx):
-            fx = xs_f[idx]
-            cx[r] = np.interp(xs_f, fx, cx[r, idx])
-            cy[r] = np.interp(xs_f, fx, cy[r, idx])
-        if last > first:
-            gl = max(xs_f[min(first + 1, last)] - xs_f[first], 1.0)
-            gr = max(xs_f[last] - xs_f[max(last - 1, first)], 1.0)
-            sxl = (cx[r, min(first + 1, last)] - cx[r, first]) / gl
-            syl = (cy[r, min(first + 1, last)] - cy[r, first]) / gl
-            sxr = (cx[r, last] - cx[r, max(last - 1, first)]) / gr
-            syr = (cy[r, last] - cy[r, max(last - 1, first)]) / gr
-        else:
-            sxl = sxr = 1.0
-            syl = syr = 0.0
-        if first > 0:
-            d = xs_f[:first] - xs_f[first]
-            cx[r, :first] = cx[r, first] + d * sxl
-            cy[r, :first] = cy[r, first] + d * syl
-        if last < cols - 1:
-            d = xs_f[last + 1:] - xs_f[last]
-            cx[r, last + 1:] = cx[r, last] + d * sxr
-            cy[r, last + 1:] = cy[r, last] + d * syr
-    if len(covered_rows) == 0 or len(covered_rows) == rows:
+    if len(covered_rows) == 0:
+        return
+    cr = covered_rows
+    first = cov[cr].argmax(axis=1)
+    last = cols - 1 - cov[cr][:, ::-1].argmax(axis=1)
+    counts = cov[cr].sum(axis=1)
+    for i in np.flatnonzero(counts != (last - first + 1)):
+        r = cr[i]
+        idx = np.flatnonzero(cov[r])
+        fx = xs_f[idx]
+        cx[r] = np.interp(xs_f, fx, cx[r, idx])
+        cy[r] = np.interp(xs_f, fx, cy[r, idx])
+
+    partial = np.flatnonzero((first > 0) | (last < cols - 1))
+    if len(partial):
+        pr = cr[partial]
+        pf = first[partial]
+        pl = last[partial]
+        ar = np.arange(len(pr))
+        cxr = cx[pr]
+        cyr = cy[pr]
+        f1 = np.minimum(pf + 1, pl)
+        l1 = np.maximum(pl - 1, pf)
+        gl = np.maximum(xs_f[f1] - xs_f[pf], 1.0)
+        gr = np.maximum(xs_f[pl] - xs_f[l1], 1.0)
+        sxl = (cxr[ar, f1] - cxr[ar, pf]) / gl
+        syl = (cyr[ar, f1] - cyr[ar, pf]) / gl
+        sxr = (cxr[ar, pl] - cxr[ar, l1]) / gr
+        syr = (cyr[ar, pl] - cyr[ar, l1]) / gr
+        deg = pl == pf
+        sxl = np.where(deg, 1.0, sxl)
+        syl = np.where(deg, 0.0, syl)
+        sxr = np.where(deg, 1.0, sxr)
+        syr = np.where(deg, 0.0, syr)
+        colg = np.arange(cols)[None, :]
+        left_m = colg < pf[:, None]
+        right_m = colg > pl[:, None]
+        dl = xs_f[None, :] - xs_f[pf][:, None]
+        dr = xs_f[None, :] - xs_f[pl][:, None]
+        cxr = np.where(left_m, cxr[ar, pf][:, None] + dl * sxl[:, None], cxr)
+        cxr = np.where(right_m, cxr[np.arange(len(pr)), pl][:, None]
+                       + dr * sxr[:, None], cxr)
+        cyr = np.where(left_m, cy[pr][ar, pf][:, None] + dl * syl[:, None],
+                       cyr)
+        cyr = np.where(right_m, cy[pr][ar, pl][:, None] + dr * syr[:, None],
+                       cyr)
+        cx[pr] = cxr
+        cy[pr] = cyr
+
+    if len(covered_rows) == rows:
         return
     top, bottom = covered_rows[0], covered_rows[-1]
     t1 = min(top + 1, bottom)
@@ -712,14 +736,14 @@ def _repair_node_maps(cy, cx, cov, ys, xs):
     if bottom == top:
         sy_t = sy_b = np.ones(cols)
         sx_t = sx_b = np.zeros(cols)
-    for r in range(0, top):
-        d = ys_f[r] - ys_f[top]
-        cy[r] = cy[top] + d * sy_t
-        cx[r] = cx[top] + d * sx_t
-    for r in range(bottom + 1, rows):
-        d = ys_f[r] - ys_f[bottom]
-        cy[r] = cy[bottom] + d * sy_b
-        cx[r] = cx[bottom] + d * sx_b
+    if top > 0:
+        d = (ys_f[:top] - ys_f[top])[:, None]
+        cy[:top] = cy[top][None] + d * sy_t[None]
+        cx[:top] = cx[top][None] + d * sx_t[None]
+    if bottom < rows - 1:
+        d = (ys_f[bottom + 1:] - ys_f[bottom])[:, None]
+        cy[bottom + 1:] = cy[bottom][None] + d * sy_b[None]
+        cx[bottom + 1:] = cx[bottom][None] + d * sx_b[None]
     interior = np.flatnonzero(~row_any)
     interior = interior[(interior > top) & (interior < bottom)]
     for r in interior:
@@ -889,6 +913,15 @@ def _scatter_samples(out, idx, values):
     return out.at[idx].set(values)
 
 
+@jax.jit
+def _mean_pool2(x):
+    """(N, H, W, ...) -> (N, H/2, W/2, ...) 2x2 mean pool."""
+    return (
+        x[:, 0::2, 0::2] + x[:, 1::2, 0::2]
+        + x[:, 0::2, 1::2] + x[:, 1::2, 1::2]
+    ) * 0.25
+
+
 class LazyCoverages:
     """Per-sample coverage planes, materialized on ACCESS: the lattice
     coverage is a host polygon rasterization per plan per batch, and no
@@ -995,26 +1028,43 @@ def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
             )
             warped = _scatter_samples(warped, jnp.asarray(gpad), res)
     if len(rejects):
-        # Fixed bucket ladder {8, 32}: each size is a separate compile of
-        # the gather program.
-        bucket = 8 if len(rejects) <= 8 else 32
-        bucket = min(bucket, n)
-        ridx = np.concatenate([
-            rejects[:bucket],
-            np.full(max(bucket - len(rejects), 0), rejects[0],
-                    dtype=np.int64),
-        ])
-        if len(rejects) > bucket:  # overflow: huge reject sets (rare)
-            ridx = rejects
-        
-        idx_dev = jnp.asarray(ridx)
-        sub = jnp.take(x, idx_dev, axis=0)
-        sub_nodes = (coarse_y[ridx], coarse_x[ridx], ys, xs)
-        res, _ = _coarse_gather_warp(
-            sub, [None] * len(ridx), None, canvas, border_value,
-            nodes=sub_nodes,
-        )
-        warped = _scatter_samples(warped, idx_dev, res)
+        ridx = _bucket_pad(rejects, n, ladder=(4, 8, 16))
+        done = False
+        h2, w2 = src_shape[0] // 2, src_shape[1] // 2
+        if src_shape[0] % 2 == 0 and src_shape[1] % 2 == 0:
+            # 2x-downscale tail: rejects are extreme ZOOMS (needs beyond
+            # the tap ladder, i.e. local source spans > 128 px per output
+            # block).  A mean-pool prefilter halves every slope — the
+            # correct anti-aliasing for that regime — and the halved
+            # field re-plans under the ladder.  Half-pixel centers:
+            # source coord s lands at 0.5*s - 0.25 in the pooled image.
+            planned2 = plan_banded_warp(
+                coarse_y[ridx] * 0.5 - 0.25, coarse_x[ridx] * 0.5 - 0.25,
+                ys, xs, (h2, w2), canvas,
+                content_boxes=(None if content_boxes is None
+                               else content_boxes[ridx]),
+            )
+            if planned2 is not None and len(planned2[2]) == 0:
+                plan2, taps2, _, flips2, _ = planned2
+                idx_dev = jnp.asarray(ridx)
+                sub_half = _mean_pool2(jnp.take(x, idx_dev, axis=0))
+                res = apply_banded_warp(
+                    sub_half, plan2, canvas, taps2, flips=flips2,
+                    border_value=border_value,
+                )
+                warped = _scatter_samples(warped, idx_dev, res)
+                done = True
+        if not done:
+            # Gather fallback (fold-overs the half-res plan still
+            # rejects).
+            idx_dev = jnp.asarray(ridx)
+            sub = jnp.take(x, idx_dev, axis=0)
+            sub_nodes = (coarse_y[ridx], coarse_x[ridx], ys, xs)
+            res, _ = _coarse_gather_warp(
+                sub, [None] * len(ridx), None, canvas, border_value,
+                nodes=sub_nodes,
+            )
+            warped = _scatter_samples(warped, idx_dev, res)
 
     if jnp.issubdtype(orig_dtype, jnp.integer):
         warped = jnp.clip(jnp.round(warped), 0, 255).astype(orig_dtype)

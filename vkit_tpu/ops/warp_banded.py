@@ -50,13 +50,40 @@ def interp_node_weights(length: int, nodes: np.ndarray) -> np.ndarray:
     return weights
 
 
+def _interp_nodes_sparse(node_l: np.ndarray, lines: int,
+                         values: np.ndarray) -> np.ndarray:
+    """Linear interp of per-node ``values`` (N, R, B) to full line
+    resolution -> (N, lines, B).  Equivalent to einsum with
+    interp_node_weights but exploits the 2-sparse rows directly (the
+    dense einsum was the planning hot spot)."""
+    idx = np.searchsorted(node_l, np.arange(lines), side='right') - 1
+    idx = np.clip(idx, 0, len(node_l) - 2)
+    left = node_l[idx]
+    right = node_l[idx + 1]
+    t = ((np.arange(lines) - left)
+         / np.maximum(right - left, 1))[None, :, None]
+    return values[:, idx, :] * (1.0 - t) + values[:, idx + 1, :] * t
+
+
 def _bracket_rows(values, queries):
     """For monotone-increasing ``values`` (N, R, Q) and ``queries``
     (N, R, U), the index q of the bracketing segment
-    [values[..., q], values[..., q+1]] — vectorized lower-bound search."""
+    [values[..., q], values[..., q+1]].
+
+    One flat searchsorted over row-offset-shifted values — O(NRU log Q)
+    instead of the (N, R, Q, U) comparison tensor (which was ~130 MB and
+    the dominant planning cost at batch 24)."""
     n, r, q = values.shape
-    le = values[:, :, :, None] <= queries[:, :, None, :]
-    return np.clip(le.sum(axis=2) - 1, 0, q - 2)
+    u = queries.shape[2]
+    lo = min(values.min(), queries.min())
+    hi = max(values.max(), queries.max())
+    span = (hi - lo) * 2 + 1.0
+    row_off = (np.arange(n * r, dtype=np.float64) * span).reshape(n, r, 1)
+    flat_vals = (values - lo + row_off).ravel()
+    flat_q = (queries - lo + row_off).ravel()
+    idx = np.searchsorted(flat_vals, flat_q, side='right')
+    idx = idx.reshape(n, r, u) - np.arange(n * r).reshape(n, r, 1) * q - 1
+    return np.clip(idx, 0, q - 2)
 
 
 def _interp_rows(values, grid, queries):
@@ -147,8 +174,9 @@ def plan_banded_pass(
     # SMEM): linear interp of the node-line minima to full resolution
     # (convex combinations keep the lower bound), min over each group,
     # floored + margin.  The intra-group drift lands in the tap margin.
-    w_l = interp_node_weights(lines, node_l.astype(np.float64))
-    base_full = np.einsum('lr,nrb->nlb', w_l.astype(np.float64), base_nodes)
+    base_full = _interp_nodes_sparse(
+        node_l.astype(np.float64), lines, base_nodes
+    )
     groups = -(-lines // 8)
     pad = groups * 8 - lines
     if pad:

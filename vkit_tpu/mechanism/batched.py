@@ -2225,12 +2225,15 @@ def _compiled_fn(name: str, static: tuple, mode: str = 'full'):
                 gate = selected.astype(jnp.bool_)[:, None, None, None]
                 return jnp.where(gate, distorted, images)
         else:
-            def wrapped(images, seed, arrays, idx,
+            def wrapped(images, seed, arrays, idx, scatter_idx,
                         _apply=apply, _static=static):
+                # scatter_idx: idx with pad slots out of bounds (dropped)
+                # — rng-bearing ops compute different values in duplicate
+                # pad slots, and a duplicate scatter would race them.
                 key = jax.random.PRNGKey(seed)
                 sub = jnp.take(images, idx, axis=0)
                 res = _apply(sub, key, arrays, _static)
-                return images.at[idx].set(res)
+                return images.at[scatter_idx].set(res, mode='drop')
 
         fn = jax.jit(wrapped)
         _COMPILED_FNS[cache_key] = fn
@@ -2272,6 +2275,7 @@ def batch_distort_members(name: str, group, images, seed: int):
 
     bucket = min(_SUB_BUCKET, n)
     idx_pad = idx + [idx[0]] * (bucket - len(idx))
+    scat_pad = idx + [n] * (bucket - len(idx))
     configs = [group[0][1]] * bucket
     for slot, (sample_idx, config) in enumerate(group):
         configs[slot] = config
@@ -2279,7 +2283,8 @@ def batch_distort_members(name: str, group, images, seed: int):
         configs, (bucket,) + tuple(images.shape[1:]), seed
     )
     return _compiled_fn(name, static, 'sub')(
-        images, seed_u32, arrays, np.asarray(idx_pad, dtype=np.int32)
+        images, seed_u32, arrays, np.asarray(idx_pad, dtype=np.int32),
+        np.asarray(scat_pad, dtype=np.int32),
     )
 
 

@@ -109,6 +109,7 @@ def batch_random_photometric_distort(
         if use_mega:
             from .photometric_program import (
                 apply_mega_round,
+                apply_mega_round_sub,
                 build_round_params,
                 mega_covers,
             )
@@ -128,11 +129,30 @@ def batch_random_photometric_distort(
                     del name_to_members[name]
             if mega_members:
                 sel, params = build_round_params(n, mega_members)
-                out = apply_mega_round(
-                    out, sel, params,
-                    np.uint32((base_seed + 0x9E3779B1 * (round_idx + 1))
-                              & 0xFFFFFFFF),
+                seed_r = np.uint32(
+                    (base_seed + 0x9E3779B1 * (round_idx + 1)) & 0xFFFFFFFF
                 )
+                active = np.flatnonzero(sel >= 0)
+                sub_bucket = next(
+                    (b for b in (8, 16) if len(active) <= b < n), None
+                )
+                if sub_bucket is not None and n > 16:
+                    # Sparse round (typically the 2nd policy draw): run
+                    # the whole round on a gathered member sub-batch.
+                    pad = sub_bucket - len(active)
+                    idx = np.concatenate([
+                        active, np.full(pad, active[0], dtype=np.int64),
+                    ])
+                    scat = np.concatenate([
+                        active, np.full(pad, n, dtype=np.int64),
+                    ])
+                    out = apply_mega_round_sub(
+                        out, jnp.asarray(idx), jnp.asarray(scat),
+                        jnp.asarray(sel[idx]),
+                        {k: v[idx] for k, v in params.items()}, seed_r,
+                    )
+                else:
+                    out = apply_mega_round(out, sel, params, seed_r)
 
         for name, members in sorted(name_to_members.items()):
             seed = (

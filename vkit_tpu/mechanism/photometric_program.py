@@ -380,12 +380,7 @@ def _op_line_streak(x, p):
     ).astype(jnp.float32)
 
 
-@jax.jit
-def apply_mega_round(images, sel, params, seed):
-    """One photometric round over a uint8 batch; returns uint8.
-
-    ``seed``: uint32 scalar — the rng key derives INSIDE the program (an
-    eager fold_in chain cost a tunnel round trip per link)."""
+def _mega_round_core(images, sel, params, seed):
     x = images.astype(jnp.float32)
     outs: List = []
     key_stream = jax.random.split(jax.random.PRNGKey(seed), 8)
@@ -414,3 +409,27 @@ def apply_mega_round(images, sel, params, seed):
         gate = (sel == i)[:, None, None, None]
         acc = jnp.where(gate, candidate, acc)
     return jnp.clip(jnp.round(acc), 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
+def apply_mega_round(images, sel, params, seed):
+    """One photometric round over a uint8 batch; returns uint8.
+
+    ``seed``: uint32 scalar — the rng key derives INSIDE the program (an
+    eager fold_in chain cost a tunnel round trip per link)."""
+    return _mega_round_core(images, sel, params, seed)
+
+
+@jax.jit
+def apply_mega_round_sub(images, idx, scatter_idx, sel, params, seed):
+    """Sparse round: gather the member sub-batch ``idx``, run the round
+    there, scatter back.  Every op in the round computes over the
+    sub-batch only — rounds touching few samples (typically the second
+    policy draw) no longer pay the full-batch cost.
+
+    ``scatter_idx``: ``idx`` with pad slots pointing out of bounds —
+    dropped on scatter (pad slots hold rng-bearing duplicates whose
+    values must not race the real slot)."""
+    sub = jnp.take(images, idx, axis=0)
+    res = _mega_round_core(sub, sel, params, seed)
+    return images.at[scatter_idx].set(res, mode='drop')

@@ -118,13 +118,28 @@ def plan_line_resample(
         return slab_ok or ms <= _ROLL_WINDOW - 128
 
     # Bucket statics (multiples of 128) so minor param changes don't
-    # recompile; canonical mode rounds harder (384) unless the rounding
-    # itself breaks kernel feasibility.
-    pad_lo, m_padded, m_shift = _statics_for(128, 1)
+    # recompile.  Canonical mode derives statics from the SHAPE alone
+    # where possible: m_shift rounds to a 512 ladder, and pad_lo/m_padded
+    # sit at the slab kernel's feasibility bounds (maximal, fixed given
+    # m_shift — the slab path never materializes the padding, so the
+    # slack is free).  Randomized batches of one (in_len, out_len) config
+    # then share ONE compiled program per m_shift rung instead of
+    # compiling per draw (measured: ~35 distinct programs per bench
+    # config without this).
+    pad_nat = max(0, -int(starts_src.min()))
+    smax_nat = int(starts_src.max())
+    canonical_ok = False
     if canonical:
-        cand = _statics_for(384, 384)
-        if _feasible(*cand):
-            pad_lo, m_padded, m_shift = cand
+        ms = max(_round_up(m_shift, 512), 512)
+        if in_len + ms <= 2048:
+            lo = (2048 - in_len - ms) // 128 * 128      # slab rel_min bound
+            mp_nat = max(in_len + lo, smax_nat + lo + _ROLL_WINDOW)
+            mp = (2048 - ms + _ROLL_WINDOW + lo) // 128 * 128  # rel_max bound
+            if lo >= pad_nat and mp >= mp_nat:
+                pad_lo, m_padded, m_shift = lo, mp, ms
+                canonical_ok = _feasible(lo, mp, ms)
+    if not canonical_ok:
+        pad_lo, m_padded, m_shift = _statics_for(128, 1)
     starts = (starts_src + pad_lo).astype(np.int32)
 
     assert _feasible(pad_lo, m_padded, m_shift), (

@@ -30,36 +30,42 @@ def similarity_mls_map(
     p = np.asarray(np_src_handles, dtype=np.float64)
     q = np.asarray(np_dst_handles, dtype=np.float64)
 
-    diff = v[:, None, :] - p[None, :, :]            # (V, N, 2)
-    dist_sq = (diff**2).sum(axis=-1)                # (V, N)
+    # Component-wise (V, N) arrays throughout: the (V, N, 2) temporaries
+    # (and their axis-reductions) dominated plan-sampling time on the
+    # one-core host; the star points reduce via GEMM.
+    dxv = v[:, 0][:, None] - p[None, :, 0]          # (V, N)
+    dyv = v[:, 1][:, None] - p[None, :, 1]
+    dist_sq = dxv * dxv + dyv * dyv
     exact = dist_sq < 1e-12                         # handle hits -> identity
 
-    w = 1.0 / np.where(exact, 1.0, dist_sq)
-    w = np.where(exact, 0.0, w)
-    w_sum = w.sum(axis=1, keepdims=True)
+    w = np.where(exact, 0.0, 1.0 / np.where(exact, 1.0, dist_sq))
+    w_sum = w.sum(axis=1)
     w_sum = np.where(w_sum == 0, 1.0, w_sum)
 
-    p_star = (w[..., None] * p[None]).sum(axis=1) / w_sum
-    q_star = (w[..., None] * q[None]).sum(axis=1) / w_sum
+    p_star = (w @ p) / w_sum[:, None]               # (V, 2)
+    q_star = (w @ q) / w_sum[:, None]
 
-    p_hat = p[None, :, :] - p_star[:, None, :]
-    q_hat = q[None, :, :] - q_star[:, None, :]
+    dx = v[:, 0] - p_star[:, 0]                     # (V,)
+    dy = v[:, 1] - p_star[:, 1]
+    phx = p[None, :, 0] - p_star[:, 0][:, None]     # (V, N)
+    phy = p[None, :, 1] - p_star[:, 1][:, None]
+    qhx = q[None, :, 0] - q_star[:, 0][:, None]
+    qhy = q[None, :, 1] - q_star[:, 1][:, None]
 
-    d = v - p_star
-    d_perp = np.stack([-d[:, 1], d[:, 0]], axis=1)
-    p_hat_perp = np.stack([-p_hat[..., 1], p_hat[..., 0]], axis=-1)
+    # d = (dx, dy), d_perp = (-dy, dx), p_hat_perp = (-phy, phx).
+    a00 = phx * dx[:, None] + phy * dy[:, None]
+    a01 = phx * dy[:, None] - phy * dx[:, None]
+    a10 = phy * dx[:, None] - phx * dy[:, None]
+    a11 = phy * dy[:, None] + phx * dx[:, None]
 
-    a00 = (p_hat * d[:, None, :]).sum(-1)
-    a01 = -(p_hat * d_perp[:, None, :]).sum(-1)
-    a10 = -(p_hat_perp * d[:, None, :]).sum(-1)
-    a11 = (p_hat_perp * d_perp[:, None, :]).sum(-1)
+    fx = w * (qhx * a00 + qhy * a10)
+    fy = w * (qhx * a01 + qhy * a11)
 
-    fx = w * (q_hat[..., 0] * a00 + q_hat[..., 1] * a10)
-    fy = w * (q_hat[..., 0] * a01 + q_hat[..., 1] * a11)
-
-    mu = (w * (p_hat**2).sum(-1)).sum(axis=1)
+    mu = (w * (phx * phx + phy * phy)).sum(axis=1)
     mu = np.where(mu == 0, 1.0, mu)
-    out = np.stack([fx.sum(1), fy.sum(1)], axis=1) / mu[:, None] + q_star
+    out = np.empty_like(v)
+    out[:, 0] = fx.sum(axis=1) / mu + q_star[:, 0]
+    out[:, 1] = fy.sum(axis=1) / mu + q_star[:, 1]
 
     if exact.any():
         idx_v, idx_n = np.nonzero(exact)

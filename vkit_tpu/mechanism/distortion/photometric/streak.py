@@ -128,28 +128,42 @@ def ellipse_ring_stencil(
     axes_list: List[Tuple[int, int]],
     thickness: int,
 ) -> np.ndarray:
-    """Union of constant-width stroked ellipse outlines.
+    """Union of stroked ellipse outlines, cv.ellipse-rasterized.
 
-    A pixel is on a ring iff its euclidean distance to the ellipse curve
-    (implicit value normalized by its gradient, first-order exact) is within
-    thickness - 0.5.  The half-width matches cv.ellipse's thick-polyline
-    rasterization, which covers 2*thickness - 1 pixels across (measured
-    IoU vs cv: 0.94 @ t=2, 0.96 @ t=3).
+    Rings draw through the cv2-compatible integer primitives
+    (ops/cvraster.py): the ellipse2Poly vertex chain, per-segment
+    fixed-point quads with Bresenham outlines, and filled midpoint
+    circles at the joins.  Thickness 1 is BIT-EXACT vs cv.ellipse
+    (oracle-fitted Bresenham); thickness >= 2 differs on boundary pixels
+    only — cv's convex-poly scan bounds spans by a subpixel edge walker
+    whose exact integer drift resisted black-box reconstruction, so
+    t == 2 keeps the implicit-band stroke (measured closer there: 826 vs
+    1000 differing px on the parity ring set; t >= 3 the quad
+    rasterization is closer, 725 vs 987).
     """
+    from ....ops.cvraster import draw_ellipse
+
     height, width = shape
-    cx, cy = center_xy
-    ys = np.arange(height, dtype=np.float64)[:, None] - cy
-    xs = np.arange(width, dtype=np.float64)[None, :] - cx
-    half = max(thickness - 0.5, 0.5)
-    stencil = np.zeros(shape, dtype=bool)
+    if thickness == 2:
+        cx, cy = center_xy
+        ys = np.arange(height, dtype=np.float64)[:, None] - cy
+        xs = np.arange(width, dtype=np.float64)[None, :] - cx
+        half = thickness - 0.5
+        stencil = np.zeros(shape, dtype=bool)
+        for a, b in axes_list:
+            if a <= 0 or b <= 0:
+                continue
+            value = (xs / a) ** 2 + (ys / b) ** 2 - 1.0
+            grad = 2.0 * np.hypot(xs / (a * a), ys / (b * b))
+            stencil |= np.abs(value) / np.maximum(grad, 1e-9) <= half
+        return stencil.astype(np.uint8)
+
+    stencil = np.zeros(shape, dtype=np.uint8)
     for a, b in axes_list:
-        if a <= 0 or b <= 0:
+        if a < 0 or b < 0:
             continue
-        value = (xs / a)**2 + (ys / b)**2 - 1.0
-        grad = 2.0 * np.hypot(xs / (a * a), ys / (b * b))
-        distance = np.abs(value) / np.maximum(grad, 1e-9)
-        stencil |= distance <= half
-    return stencil.astype(np.uint8)
+        draw_ellipse(stencil, center_xy, (a, b), thickness)
+    return stencil
 
 
 def _blend_stencils(image: Image, stencils, color, alpha: float) -> Image:

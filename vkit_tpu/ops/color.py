@@ -96,32 +96,47 @@ def hsl_full_to_rgb(image):
     return round_u8(out) if image.dtype == jnp.uint8 else out
 
 
-def equalize_hist(channel):
-    """Per-channel histogram equalization (cv2.equalizeHist semantics).
+def equalize_hist_batch(channels):
+    """(B, H, W) uint8 -> (B, H, W), cv2.equalizeHist per plane.
 
-    ``channel``: uint8 (H, W).  Histogram via one-hot matmul-free bincount
-    (jnp.bincount has static length 256 — TPU friendly).
+    Both the 256-bin histogram and the LUT application run as
+    NIBBLE-decomposed 16-wide batched MXU contractions (v = 16*hi + lo;
+    hist[a, b] via the one-hot outer product, lut[v] via
+    sum_a oh_hi[., a] * (oh_lo @ L^T)[., a]).  ~4 GMAC/plane replaces
+    (a) jnp.bincount — a scatter-add, measured ~45 ms/plane on TPU — and
+    (b) the 256-wide one-hot contraction.  f32 operands throughout: the
+    bf16 variant of the batched outer-product einsum lowers
+    catastrophically (measured 750 ms vs 34 ms for 24 planes at 640^2).
+    One-hots are {0, 1} and LUT entries are integers <= 255, so every
+    contraction here is exact.
     """
-    flat = channel.reshape(-1)
-    hist = jnp.bincount(flat, length=256)
-    cdf = jnp.cumsum(hist)
-    total = flat.shape[0]
+    b, h, w = channels.shape
+    hw = h * w
+    v = channels.astype(jnp.int32).reshape(b, hw)
+    oh_hi = jax.nn.one_hot(v >> 4, 16, dtype=jnp.float32)
+    oh_lo = jax.nn.one_hot(v & 15, 16, dtype=jnp.float32)
+
+    hist = jnp.einsum(
+        'npa,npb->nab', oh_hi, oh_lo, preferred_element_type=jnp.float32
+    ).reshape(b, 256)
+    cdf = jnp.cumsum(hist, axis=-1)
     # First nonzero cdf value.
-    cdf_min = jnp.min(jnp.where(hist > 0, cdf, total + 1))
-    denom = jnp.maximum(total - cdf_min, 1)
-    lut = jnp.round((cdf - cdf_min) / denom * 255.0)
-    lut = jnp.clip(lut, 0, 255)
-    # LUT application as a one-hot contraction: a per-pixel gather from
-    # even a 256-entry table lowers ~25x off roofline on TPU (measured
-    # 800ms for 96 LUT passes at 640^2); the one-hot dot fuses on the MXU.
-    # bf16 operands halve the traffic and stay exact: the one-hot is
-    # {0, 1} and LUT entries are integers <= 255 (representable in bf16);
-    # accumulation is forced to f32.
-    onehot = jax.nn.one_hot(channel.astype(jnp.int32), 256,
-                            dtype=jnp.bfloat16)
-    mapped = jnp.matmul(
-        onehot, lut.astype(jnp.bfloat16),
+    cdf_min = jnp.min(
+        jnp.where(hist > 0, cdf, hw + 1), axis=-1, keepdims=True
+    )
+    denom = jnp.maximum(hw - cdf_min, 1)
+    lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)
+
+    m = jnp.einsum(
+        'npb,nab->npa', oh_lo, lut.reshape(b, 16, 16),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.uint8)
-    same = cdf_min >= total  # Single-value image: identity.
-    return jnp.where(same, channel, mapped)
+    )
+    mapped = (oh_hi * m).sum(axis=-1)
+    mapped = mapped.reshape(b, h, w).astype(jnp.uint8)
+    same = (cdf_min >= hw).reshape(b, 1, 1)  # Single-value plane: identity.
+    return jnp.where(same, channels, mapped)
+
+
+def equalize_hist(channel):
+    """Per-channel histogram equalization (cv2.equalizeHist semantics)."""
+    return equalize_hist_batch(channel[None])[0]

@@ -366,6 +366,10 @@ def bench_synth_end_to_end() -> float:
     from vkit_tpu.synth import SynthPlanner, SynthPlannerConfig, synthesize_stream
 
     assets = build_assets(_Path('/tmp/bench_synth_assets'))
+    selector = [{
+        'type': 'selector', 'weight': 1,
+        'config': {'image_folders': [assets['bg_image_folder']]},
+    }]
     planner = SynthPlanner(SynthPlannerConfig(
         lexicon_collection_json=assets['lexicon_json'],
         font_collection_folder=assets['font_collection_folder'],
@@ -374,6 +378,13 @@ def bench_synth_end_to_end() -> float:
             'config': {'txt_files': [assets['corpus_txt']]},
         }],
         page_height=SIDE, page_width=SIDE,
+        # Full page content (every page_assembler layer).
+        background_image_configs=selector,
+        image_configs=selector,
+        symbol_image_folders=[assets['symbol_image_folder']],
+        enable_barcodes=True,
+        enable_seal_impressions=True,
+        enable_text_line_bounding_boxes=True,
     ))
     rng = np.random.default_rng(11)
     batch = 8

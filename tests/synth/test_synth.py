@@ -205,3 +205,87 @@ def test_empty_placements_are_noop():
     placements = build_placements([], bucket=8)
     out = np.asarray(composite_glyphs(canvas, tiles, placements, out_tile=8))
     np.testing.assert_array_equal(out, canvas)
+
+
+@pytest.fixture(scope='module')
+def full_content_planner(tmp_path_factory):
+    """Every page_assembler layer enabled (VERDICT r2: full page content
+    in the batched device pipeline)."""
+    assets = build_assets(tmp_path_factory.mktemp('synth_assets_full'))
+    selector = [{
+        'type': 'selector',
+        'weight': 1,
+        'config': {'image_folders': [assets['bg_image_folder']]},
+    }]
+    return SynthPlanner(SynthPlannerConfig(
+        lexicon_collection_json=assets['lexicon_json'],
+        font_collection_folder=assets['font_collection_folder'],
+        char_sampler_configs=[{
+            'type': 'corpus',
+            'weight': 1,
+            'config': {'txt_files': [assets['corpus_txt']]},
+        }],
+        page_height=320,
+        page_width=320,
+        background_image_configs=selector,
+        image_configs=selector,
+        symbol_image_folders=[assets['symbol_image_folder']],
+        enable_barcodes=True,
+        enable_seal_impressions=True,
+        enable_text_line_bounding_boxes=True,
+    ))
+
+
+def test_full_content_presence(full_content_planner):
+    """Pages contain every content type the 17-step assembler produces:
+    image background, photos, barcode ink, bounding boxes (all in the
+    host-composited below-text layers), plus symbols and seal stamps as
+    device overlay entries."""
+    rng = np.random.default_rng(7)
+    saw_overlay = saw_rgb_overlay = saw_mono_overlay = False
+    saw_textured_bg = saw_black_ink = False
+    pages = []
+    for _ in range(6):
+        page = full_content_planner.prepare_page(rng)
+        pages.append(page)
+        if page.overlay_entries:
+            saw_overlay = True
+            for e in page.overlay_entries:
+                assert e.alpha.ndim == 2 and e.alpha.max() <= 1.0 + 1e-6
+                if e.rgb is not None:
+                    assert e.rgb.shape == e.alpha.shape + (3,)
+                    saw_rgb_overlay = True
+                else:
+                    saw_mono_overlay = True
+        # Textured background: an image background or photo patch makes
+        # the page non-constant per channel.
+        if page.background.std() > 1.0:
+            saw_textured_bg = True
+        if (page.background == 0).all(axis=-1).sum() > 50:
+            saw_black_ink = True  # barcode modules print as black
+    assert saw_overlay, 'no symbol/seal overlays across 6 pages'
+    assert saw_textured_bg, 'backgrounds all flat across 6 pages'
+    assert saw_black_ink, 'no barcode ink across 6 pages'
+    assert saw_rgb_overlay or saw_mono_overlay
+
+    # The device program composites the overlays (z-order above text).
+    batch = [p for p in pages if p.overlay_entries][:2]
+    if batch:
+        result = synthesize_page_batch(
+            batch, level=5, rng=np.random.default_rng(1),
+            enable_photometric=False, enable_geometric=False,
+        )
+        for idx, page in enumerate(batch):
+            e = page.overlay_entries[0]
+            h, w = e.alpha.shape
+            strong = e.alpha > 0.9
+            if not strong.any():
+                continue
+            region = result.images[idx, e.up:e.up + h, e.left:e.left + w]
+            base = page.background[e.up:e.up + h, e.left:e.left + w]
+            # Blended pixels differ from the background where alpha ~ 1
+            # (paint is a seal color or symbol RGB, not the background).
+            diff = np.abs(
+                region[strong].astype(float) - base[strong].astype(float)
+            ).mean()
+            assert diff > 1.0, 'overlay left no trace on the page'

@@ -198,6 +198,76 @@ def composite_glyphs(
 
 
 @functools.partial(jax.jit, static_argnames=('out_tile',))
+def composite_patches(
+    canvas,
+    tiles_alpha,
+    tiles_rgb,
+    use_rgbs,
+    placements: GlyphPlacements,
+    out_tile: int = 128,
+):
+    """composite_glyphs with optional per-patch RGB content.
+
+    The above-text page layers (non-text symbols, seal stamps —
+    page_assembler.py's post-text fills) are alpha patches whose paint is
+    either a single color (seals) or an RGB image (symbols).
+    ``tiles_rgb``: (V, T, T, 3) f32; ``use_rgbs``: (G,) f32 selecting the
+    resampled RGB patch over the row color.  Scan order = z-order, same
+    contract as composite_glyphs."""
+    n, height, width, channels = canvas.shape
+    tap = int(tiles_alpha.shape[1])
+    s = out_tile
+
+    orig_dtype = canvas.dtype
+    work = canvas.astype(jnp.float32)
+    work = jnp.pad(work, ((0, 0), (s, s), (s, s), (0, 0)))
+
+    def body(carry, row):
+        (glyph_id, sample_id, up, left, dst_h, dst_w,
+         src_h, src_w, color, valid, use_rgb) = row
+        tile = jax.lax.dynamic_index_in_dim(
+            tiles_alpha, glyph_id, 0, keepdims=False
+        )
+        tile_rgb = jax.lax.dynamic_index_in_dim(
+            tiles_rgb, glyph_id, 0, keepdims=False
+        )
+        w_y = _resample_weights(s, tap, src_h, dst_h)
+        w_x = _resample_weights(s, tap, src_w, dst_w)
+        alpha = (w_y @ tile @ w_x.T) * valid
+        alpha = jnp.clip(alpha, 0.0, 1.0)[:, :, None]
+        rgb = jnp.einsum('st,tuc,vu->svc', w_y, tile_rgb, w_x)
+        paint = color[None, None, :] * (1.0 - use_rgb) + rgb * use_rgb
+
+        start = (sample_id, up + s, left + s, 0)
+        region = jax.lax.dynamic_slice(
+            carry, start, (1, s, s, channels)
+        )[0]
+        blended = alpha * paint + (1.0 - alpha) * region
+        carry = jax.lax.dynamic_update_slice(carry, blended[None], start)
+        return carry, None
+
+    rows = (
+        placements.glyph_ids,
+        placements.sample_ids,
+        placements.ups,
+        placements.lefts,
+        placements.dst_hs,
+        placements.dst_ws,
+        placements.src_hs,
+        placements.src_ws,
+        placements.colors,
+        placements.valids,
+        use_rgbs,
+    )
+    work, _ = jax.lax.scan(body, work, rows)
+    work = work[:, s:s + height, s:s + width, :]
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        return jnp.clip(jnp.round(work), info.min, info.max).astype(orig_dtype)
+    return work.astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('out_tile',))
 def accumulate_glyph_alpha(
     alpha_canvas,
     tiles,

@@ -34,8 +34,49 @@ from ..mechanism.batched_random import (
     batch_random_photometric_distort,
     sample_geometric_plans,
 )
-from ..ops.glyph import composite_glyphs
+from ..ops.glyph import build_placements, composite_glyphs, composite_patches
 from .prep import CHAR_HEIGHT, HostPage, TEXT_LINE_HEIGHT
+
+
+_OVERLAY_TILE_LADDER = (64, 128, 192, 256, 384, 512)
+
+
+def _composite_overlays(assembled, overlay):
+    """Blend the ABOVE-TEXT page layers (symbols, seal stamps) in one
+    device scan program (ops/glyph.composite_patches).  ``overlay``:
+    [(sample_id, OverlayEntry)] in z-order."""
+    overlay = [
+        (sid, e) for sid, e in overlay
+        if max(e.alpha.shape) <= _OVERLAY_TILE_LADDER[-1]
+    ]
+    if not overlay:
+        return assembled
+    max_dim = max(max(e.alpha.shape) for _, e in overlay)
+    tile = next(t for t in _OVERLAY_TILE_LADDER if t >= max_dim)
+    count = len(overlay)
+    bucket = 8
+    while bucket < count:
+        bucket *= 2
+
+    tiles_a = np.zeros((bucket, tile, tile), dtype=np.float32)
+    tiles_rgb = np.zeros((bucket, tile, tile, 3), dtype=np.float32)
+    rows = []
+    use_rgbs = np.zeros(bucket, dtype=np.float32)
+    for i, (sid, e) in enumerate(overlay):
+        h, w = e.alpha.shape
+        tiles_a[i, :h, :w] = e.alpha
+        if e.rgb is not None:
+            tiles_rgb[i, :h, :w] = e.rgb
+            use_rgbs[i] = 1.0
+        rows.append({
+            'glyph_id': i, 'sample_id': sid, 'up': e.up, 'left': e.left,
+            'dst_h': h, 'dst_w': w, 'src_h': float(h), 'src_w': float(w),
+            'color': np.asarray(e.color, dtype=np.float32),
+        })
+    placements = build_placements(rows, bucket=bucket)
+    return composite_patches(
+        assembled, tiles_a, tiles_rgb, use_rgbs, placements, out_tile=tile
+    )
 
 
 class SynthBatchResult(NamedTuple):
@@ -154,6 +195,17 @@ def synthesize_page_batch(
                                      out_tile=out_tile)
     else:
         assembled = jnp.asarray(base)
+
+    # Above-text layers (non-text symbols, seal stamps) ride a second
+    # scan program in z-order (page_assembler.py: text <- symbols <-
+    # seals).
+    overlay = [
+        (sample_id, entry)
+        for sample_id, page in enumerate(pages)
+        for entry in page.overlay_entries
+    ]
+    if overlay:
+        assembled = _composite_overlays(assembled, overlay)
 
     # 2. Photometric stage (policy-sampled, gated device rounds).
     if enable_photometric:

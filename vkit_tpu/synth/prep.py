@@ -73,6 +73,26 @@ class SynthPlannerConfig:
     layout_config: Optional[Mapping[str, Any]] = None
     background_grayscale_min: int = 127
     background_grayscale_max: int = 255
+    # Auxiliary page content (page_assembler.py layer parity).  None
+    # disables a layer; the defaults reproduce the flat-tone text-only
+    # pages of earlier rounds.
+    background_image_configs: Optional[
+        Union[Sequence[Mapping[str, Any]], PathType]
+    ] = None
+    weight_background_image: float = 0.8
+    image_configs: Optional[
+        Union[Sequence[Mapping[str, Any]], PathType]
+    ] = None
+    symbol_image_folders: Optional[Sequence[str]] = None
+    enable_barcodes: bool = False
+    enable_seal_impressions: bool = False
+    seal_impression_configs: Optional[
+        Union[Sequence[Mapping[str, Any]], PathType]
+    ] = None
+    seal_text_font_configs: Optional[
+        Union[Sequence[Mapping[str, Any]], PathType]
+    ] = None
+    enable_text_line_bounding_boxes: bool = False
     # Glyph color sampling (page_text_line.py defaults).
     weight_glyph_color_grayscale: float = 0.9
     glyph_color_grayscale_min: int = 0
@@ -88,6 +108,17 @@ class SynthPlannerConfig:
 
 
 @attr.define
+class OverlayEntry:
+    """One ABOVE-TEXT patch for the device overlay compositor (symbols,
+    seal stamps — page_assembler.py's post-text layers)."""
+    alpha: np.ndarray                 # (h, w) float32 in [0, 1]
+    up: int
+    left: int
+    color: Tuple[int, int, int]       # mono blend color...
+    rgb: Optional[np.ndarray] = None  # ...or an (h, w, 3) RGB patch
+
+
+@attr.define
 class HostPage:
     """One prepared page: the flat-tensor input of the device program."""
     background: np.ndarray            # (H, W, 3) uint8
@@ -97,6 +128,7 @@ class HostPage:
     text_lines: List[TextLine]        # word-split, blank-raster lines
     word_polygons: List[Polygon]
     char_polygons: List[Polygon]
+    overlay_entries: List[OverlayEntry] = attr.field(factory=list)
 
 
 class SynthPlanner:
@@ -135,6 +167,90 @@ class SynthPlanner:
             ('green', config.weight_glyph_color_green),
             ('blue', config.weight_glyph_color_blue),
         ])
+
+        # Auxiliary content steps (page_assembler.py layer parity),
+        # instantiated only when configured.
+        self.background_step = None
+        if config.background_image_configs:
+            from ..pipeline.text_detection.page_background import (
+                PageBackgroundStep,
+                PageBackgroundStepConfig,
+            )
+            self.background_step = PageBackgroundStep(PageBackgroundStepConfig(
+                image_configs=config.background_image_configs,
+                weight_image=config.weight_background_image,
+                weight_random_grayscale=1.0 - config.weight_background_image,
+                grayscale_min=config.background_grayscale_min,
+                grayscale_max=config.background_grayscale_max,
+            ))
+        self.image_step = None
+        if config.image_configs:
+            from ..pipeline.text_detection.page_image import (
+                PageImageStep,
+                PageImageStepConfig,
+            )
+            self.image_step = PageImageStep(
+                PageImageStepConfig(image_configs=config.image_configs)
+            )
+        self.barcode_step = None
+        if config.enable_barcodes:
+            from ..pipeline.text_detection.page_barcode import (
+                PageBarcodeStep,
+                PageBarcodeStepConfig,
+            )
+            self.barcode_step = PageBarcodeStep(PageBarcodeStepConfig())
+        self.symbol_step = None
+        if config.symbol_image_folders:
+            from ..pipeline.text_detection.page_non_text_symbol import (
+                PageNonTextSymbolStep,
+                PageNonTextSymbolStepConfig,
+            )
+            self.symbol_step = PageNonTextSymbolStep(
+                PageNonTextSymbolStepConfig(
+                    symbol_image_folders=list(config.symbol_image_folders)
+                )
+            )
+        self.bounding_box_step = None
+        if config.enable_text_line_bounding_boxes:
+            from ..pipeline.text_detection.page_text_line_bounding_box import (
+                PageTextLineBoundingBoxStep,
+                PageTextLineBoundingBoxStepConfig,
+            )
+            self.bounding_box_step = PageTextLineBoundingBoxStep(
+                PageTextLineBoundingBoxStepConfig()
+            )
+        self.seal_step = None
+        self.seal_text_step = None
+        if config.enable_seal_impressions:
+            from ..pipeline.text_detection.page_seal_impression import (
+                PageSealImpresssionStep,
+                PageSealImpresssionStepConfig,
+            )
+            from ..pipeline.text_detection.page_text_line import (
+                PageTextLineStep,
+                PageTextLineStepConfig,
+            )
+            self.seal_step = PageSealImpresssionStep(
+                PageSealImpresssionStepConfig(
+                    seal_impression_configs=(
+                        config.seal_impression_configs
+                        or [{'type': 'ellipse', 'weight': 1, 'config': {}}]
+                    )
+                )
+            )
+            # Seal slot text renders through the host font engine (arc
+            # char slots need real rasters, not atlas tiles); reuse
+            # PageTextLineStep's seal-resource machinery.
+            self.seal_text_step = PageTextLineStep(PageTextLineStepConfig(
+                lexicon_collection_json=config.lexicon_collection_json,
+                font_collection_folder=config.font_collection_folder,
+                char_sampler_configs=config.char_sampler_configs,
+                font_configs=(
+                    config.seal_text_font_configs
+                    or [{'type': 'freetype_default', 'weight': 1,
+                         'config': {}}]
+                ),
+            ))
 
     # -- sampling helpers (page_text_line.py semantics) -------------------
 
@@ -176,9 +292,51 @@ class SynthPlanner:
         )
         layout = layout_out.page_layout
 
-        tone = int(rng.integers(cfg.background_grayscale_min,
-                                cfg.background_grayscale_max + 1))
-        background = np.full((height, width, 3), tone, dtype=np.uint8)
+        # Below-text layers (page_assembler.py order: background <- photos
+        # <- barcodes <- decorative boxes), composited on host — small
+        # irregular patches, exactly the work that does NOT belong on the
+        # MXU.  Text glyphs and the above-text layers ride the device
+        # compositor instead.
+        from ..element import Image as _Image
+        if self.background_step is not None:
+            from ..pipeline.text_detection.page_background import (
+                PageBackgroundStepInput,
+            )
+            canvas = self.background_step.run(
+                PageBackgroundStepInput(
+                    page_shape_step_output=PageShapeStepOutput(
+                        height=height, width=width
+                    )
+                ),
+                rng,
+            ).background_image.copy()
+        else:
+            tone = int(rng.integers(cfg.background_grayscale_min,
+                                    cfg.background_grayscale_max + 1))
+            canvas = _Image(
+                mat=np.full((height, width, 3), tone, dtype=np.uint8)
+            ).copy()
+
+        if self.image_step is not None:
+            from ..pipeline.text_detection.page_image import (
+                PageImageStepInput,
+            )
+            photos = self.image_step.run(
+                PageImageStepInput(page_layout_step_output=layout_out), rng
+            ).page_image_collection
+            for photo in photos.page_images:
+                photo.box.fill_image(canvas, photo.image, alpha=photo.alpha)
+
+        if self.barcode_step is not None:
+            from ..pipeline.text_detection.page_barcode import (
+                PageBarcodeStepInput,
+            )
+            barcodes = self.barcode_step.run(
+                PageBarcodeStepInput(page_layout_step_output=layout_out), rng
+            )
+            for score_map in (*barcodes.barcode_qr_score_maps,
+                              *barcodes.barcode_code39_score_maps):
+                canvas[score_map] = (0, 0, 0)
 
         line_entries: List[Tuple] = []
         text_lines: List[TextLine] = []
@@ -211,6 +369,59 @@ class SynthPlanner:
                 text_layout, atlas, style, run_config.chars
             ).to_shifted_text_line(offset_y=box.up, offset_x=box.left)
             text_lines.extend(placed.split())
+
+        if self.bounding_box_step is not None and text_lines:
+            # Decorative frames draw below the glyphs; host-composite into
+            # the background (the device compositor adds glyphs on top).
+            from ..pipeline.text_detection.page_text_line import (
+                PageTextLineCollection,
+            )
+            from ..pipeline.text_detection.page_text_line_bounding_box import (
+                PageTextLineBoundingBoxStepInput,
+            )
+
+            class _TLWrap:
+                page_text_line_collection = PageTextLineCollection(
+                    height=height, width=width, text_lines=text_lines,
+                    short_text_line_flags=[False] * len(text_lines),
+                )
+            frames = self.bounding_box_step.run(
+                PageTextLineBoundingBoxStepInput(
+                    page_text_line_step_output=_TLWrap()
+                ),
+                rng,
+            )
+            for score_map, color in zip(frames.score_maps, frames.colors):
+                canvas[score_map] = color
+
+        # Above-text layers -> device overlay patches (symbols, seals).
+        overlay_entries: List[OverlayEntry] = []
+        if self.symbol_step is not None:
+            from ..pipeline.text_detection.page_non_text_symbol import (
+                PageNonTextSymbolStepInput,
+            )
+            symbols = self.symbol_step.run(
+                PageNonTextSymbolStepInput(page_layout_step_output=layout_out),
+                rng,
+            )
+            for image, box, alpha in zip(symbols.images, symbols.boxes,
+                                         symbols.alphas):
+                np_img = np.asarray(image.mat)
+                if np_img.ndim == 2:
+                    np_img = np.repeat(np_img[:, :, None], 3, axis=2)
+                if isinstance(alpha, np.ndarray):
+                    alpha_map = alpha.astype(np.float32)
+                else:
+                    alpha_map = np.full(np_img.shape[:2], float(alpha),
+                                        dtype=np.float32)
+                overlay_entries.append(OverlayEntry(
+                    alpha=alpha_map, up=box.up, left=box.left,
+                    color=(0, 0, 0), rgb=np_img.astype(np.float32),
+                ))
+        if self.seal_step is not None:
+            overlay_entries.extend(
+                self._prepare_seals(layout_out, rng, height, width)
+            )
 
         # Pre-distortion label channels.
         shape = (height, width)
@@ -257,13 +468,70 @@ class SynthPlanner:
             [tl_mask.mat, tl_height.mat, ch_mask_mat, ch_height_mat], axis=-1
         )
         return HostPage(
-            background=background,
+            background=np.asarray(canvas.mat),
             label_stack=label_stack,
             line_entries=line_entries,
             text_lines=text_lines,
             word_polygons=word_polygons,
             char_polygons=char_polygons,
+            overlay_entries=overlay_entries,
         )
+
+    def _prepare_seals(self, layout_out, rng: RandomGenerator,
+                       height: int, width: int) -> List[OverlayEntry]:
+        """Seal stamps as overlay entries: engine-generated impression,
+        slot text via the host font engine, rotation, two alpha layers
+        (page_assembler.py _stamp_seal semantics — border mask at the
+        seal alpha, then the filled text score map)."""
+        from ..engine.seal_impression import fill_text_line_to_seal_impression
+        from ..mechanism.distortion import rotate
+        from ..pipeline.text_detection.page_seal_impression import (
+            PageSealImpresssionStepInput,
+        )
+
+        out: List[OverlayEntry] = []
+        seal_out = self.seal_step.run(
+            PageSealImpresssionStepInput(page_layout_step_output=layout_out),
+            rng,
+        )
+        for seal_impression, box, angle in zip(
+            seal_out.seal_impressions, seal_out.boxes, seal_out.angles
+        ):
+            resource = self.seal_text_step._collect_seal_resource(
+                seal_impression, box, angle, rng
+            )
+            if resource is None:
+                continue
+            filled_score_map, _char_polygons = (
+                fill_text_line_to_seal_impression(
+                    seal_impression,
+                    resource.text_line_slot_indices,
+                    resource.text_lines,
+                    resource.internal_text_line,
+                )
+            )
+            spun = rotate.distort(
+                {'angle': resource.angle},
+                mask=seal_impression.background_mask,
+                score_map=filled_score_map,
+            )
+            assert spun.mask is not None and spun.score_map is not None
+            center = resource.box.get_center_point()
+            up = center.y - spun.mask.height // 2
+            left = center.x - spun.mask.width // 2
+            if (up < 0 or left < 0 or up + spun.mask.height > height
+                    or left + spun.mask.width > width):
+                continue  # assembler parity: skip out-of-bounds stamps
+            out.append(OverlayEntry(
+                alpha=(spun.mask.mat.astype(np.float32)
+                       * float(seal_impression.alpha)),
+                up=up, left=left, color=tuple(seal_impression.color),
+            ))
+            out.append(OverlayEntry(
+                alpha=np.asarray(spun.score_map.mat, dtype=np.float32),
+                up=up, left=left, color=tuple(seal_impression.color),
+            ))
+        return out
 
     def prepare_batch(self, batch_size: int,
                       rng: RandomGenerator) -> List[HostPage]:

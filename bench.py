@@ -363,7 +363,12 @@ def bench_synth_end_to_end() -> float:
 
     _sys.path.insert(0, str(REPO))  # `tests` package for asset builders
     from tests.pipeline.fixtures import build_assets
-    from vkit_tpu.synth import SynthPlanner, SynthPlannerConfig, synthesize_stream
+    from vkit_tpu.synth import (
+        CropConfig,
+        SynthPlanner,
+        SynthPlannerConfig,
+        synthesize_stream,
+    )
 
     assets = build_assets(_Path('/tmp/bench_synth_assets'))
     selector = [{
@@ -388,14 +393,21 @@ def bench_synth_end_to_end() -> float:
     ))
     rng = np.random.default_rng(11)
     batch = 8
+    crop = CropConfig(core_size=512, num_per_page=2)
 
     # Warm (compiles + atlas build).
-    for _ in synthesize_stream(planner, batch, 5, rng, num_batches=2):
+    for _ in synthesize_stream(planner, batch, 5, rng, num_batches=2,
+                               crop_config=crop):
         pass
     begin = time.perf_counter()
     count = 0
-    for result in synthesize_stream(planner, batch, 5, rng, num_batches=3):
+    crops = 0
+    for result in synthesize_stream(planner, batch, 5, rng, num_batches=3,
+                                    crop_config=crop):
         count += result.images.shape[0]
+        if result.crop_images is not None:
+            crops += result.crop_images.shape[0]
+    log(f'    (emitted {crops} cropped training samples)')
     return count / (time.perf_counter() - begin)
 
 

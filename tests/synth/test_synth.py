@@ -289,3 +289,40 @@ def test_full_content_presence(full_content_planner):
                 region[strong].astype(float) - base[strong].astype(float)
             ).mean()
             assert diff > 1.0, 'overlay left no trace on the page'
+
+
+def test_device_cropping(planner):
+    """page_cropping on device: crop windows sampled analytically, one
+    scan program extracts image+label+active windows."""
+    from vkit_tpu.synth import CropConfig
+
+    rng = np.random.default_rng(3)
+    pages = planner.prepare_batch(2, rng)
+    result = synthesize_page_batch(
+        pages, level=3, rng=rng,
+        crop_config=CropConfig(core_size=192, num_per_page=2),
+    )
+    assert result.crop_images is not None
+    m = result.crop_images.shape[0]
+    assert m >= 1
+    assert result.crop_images.shape == (m, 192, 192, 3)
+    assert result.crop_labels.shape == (m, 192, 192, 4)
+    assert result.crop_active.shape == (m, 192, 192)
+    assert result.crop_page_ids.shape == (m,)
+    assert result.crop_windows.shape == (m, 2)
+    assert (result.crop_page_ids >= 0).all()
+    assert (result.crop_page_ids < 2).all()
+    for k in range(m):
+        sid = int(result.crop_page_ids[k])
+        up, left = (int(v) for v in result.crop_windows[k])
+        np.testing.assert_array_equal(
+            result.crop_images[k],
+            result.images[sid, up:up + 192, left:left + 192],
+        )
+        np.testing.assert_allclose(
+            result.crop_labels[k],
+            result.label_stack[sid, up:up + 192, left:left + 192],
+        )
+        # Active-region filter honored (>= 0.4 up to the analytic
+        # bbox-vs-raster estimate slack).
+        assert result.crop_active[k].mean() > 0.2

@@ -9,7 +9,7 @@ per-sample 17-step host pipeline (vkit_tpu/pipeline/text_detection/),
 which remains the behavioral reference.
 """
 from .prep import SynthPlanner, SynthPlannerConfig, HostPage
-from .device import SynthBatchResult, synthesize_page_batch, synthesize_stream
+from .device import CropConfig, SynthBatchResult, synthesize_page_batch, synthesize_stream
 
 __all__ = [
     'SynthPlanner',
@@ -18,4 +18,5 @@ __all__ = [
     'synthesize_page_batch',
     'synthesize_stream',
     'SynthBatchResult',
+    'CropConfig',
 ]

@@ -86,6 +86,124 @@ class SynthBatchResult(NamedTuple):
     content_boxes: Sequence[Box]          # per-sample active bounding boxes
     word_polygons: Sequence[List[Polygon]]   # co-transformed, out coords
     char_polygons: Sequence[List[Polygon]]
+    # Device-extracted training crops (page_cropping.py on device);
+    # empty arrays when cropping is disabled.
+    crop_images: Optional[np.ndarray] = None    # (M, S, S, 3) uint8
+    crop_labels: Optional[np.ndarray] = None    # (M, S, S, 4) float32
+    crop_active: Optional[np.ndarray] = None    # (M, S, S) uint8
+    crop_page_ids: Optional[np.ndarray] = None  # (M,) int32
+    crop_windows: Optional[np.ndarray] = None   # (M, 2) int32 (up, left)
+
+
+class CropConfig(NamedTuple):
+    """Device cropping knobs (page_cropping.py semantics: N random crops
+    + filters; extraction runs as one device program over the warped
+    stack, no full-page readback needed to sample windows)."""
+    core_size: int
+    num_per_page: int = 2
+    text_ratio_min: float = 0.025
+    active_ratio_min: float = 0.4
+    retries: int = 10
+
+
+def _sample_crop_windows(
+    out_shape: Tuple[int, int],
+    content_boxes: Sequence[Box],
+    word_polygons: Sequence[List[Polygon]],
+    crop: 'CropConfig',
+    rng: RandomGenerator,
+):
+    """Per-page crop windows from ANALYTIC info only (content boxes +
+    co-transformed word polygons): the text/active filters of
+    page_cropping.py:87 evaluated on polygon bounding boxes instead of
+    label rasters, so no device->host readback gates the sampling."""
+    h, w = out_shape
+    s = crop.core_size
+    sample_ids: List[int] = []
+    ups: List[int] = []
+    lefts: List[int] = []
+    for idx, (cbox, words) in enumerate(zip(content_boxes, word_polygons)):
+        if h < s or w < s:
+            continue
+        boxes = []
+        for poly in words:
+            xy = poly.np_xy
+            boxes.append((xy[:, 1].min(), xy[:, 1].max(),
+                          xy[:, 0].min(), xy[:, 0].max()))
+        boxes_np = np.asarray(boxes, dtype=np.float64) if boxes else None
+
+        def window_ok(up: int, left: int) -> bool:
+            if boxes_np is not None:
+                iu = np.maximum(boxes_np[:, 0], up)
+                id_ = np.minimum(boxes_np[:, 1], up + s - 1)
+                il = np.maximum(boxes_np[:, 2], left)
+                ir = np.minimum(boxes_np[:, 3], left + s - 1)
+                area = (np.maximum(id_ - iu + 1, 0)
+                        * np.maximum(ir - il + 1, 0)).sum()
+                if area / (s * s) < crop.text_ratio_min:
+                    return False
+            elif crop.text_ratio_min > 0:
+                return False
+            au = max(cbox.up, up)
+            ad = min(cbox.down, up + s - 1)
+            al = max(cbox.left, left)
+            ar = min(cbox.right, left + s - 1)
+            active = max(ad - au + 1, 0) * max(ar - al + 1, 0)
+            return active / (s * s) >= crop.active_ratio_min
+
+        accepted = 0
+        for _ in range(crop.num_per_page):
+            placed = False
+            for _ in range(crop.retries):
+                up = int(rng.integers(0, h - s + 1))
+                left = int(rng.integers(0, w - s + 1))
+                if window_ok(up, left):
+                    placed = True
+                    break
+            if not placed:
+                # Centered-on-content fallback (the reference's center
+                # crop), clamped to the canvas.
+                up = int(np.clip((cbox.up + cbox.down) // 2 - s // 2,
+                                 0, h - s))
+                left = int(np.clip((cbox.left + cbox.right) // 2 - s // 2,
+                                   0, w - s))
+                if not window_ok(up, left):
+                    continue
+            sample_ids.append(idx)
+            ups.append(up)
+            lefts.append(left)
+            accepted += 1
+    return (np.asarray(sample_ids, dtype=np.int32),
+            np.asarray(ups, dtype=np.int32),
+            np.asarray(lefts, dtype=np.int32))
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=('size',))
+def _extract_crops_program(images, labels, active, sample_ids, ups, lefts,
+                           size: int):
+    """One device program: scan the crop table, dynamic-slice each window
+    out of the warped page stack."""
+
+    def body(_, row):
+        sid, up, left = row
+        img = jax.lax.dynamic_slice(
+            images, (sid, up, left, 0), (1, size, size, images.shape[3])
+        )[0]
+        lab = jax.lax.dynamic_slice(
+            labels, (sid, up, left, 0), (1, size, size, labels.shape[3])
+        )[0]
+        act = jax.lax.dynamic_slice(
+            active, (sid, up, left), (1, size, size)
+        )[0]
+        return 0, (img, lab, act)
+
+    _, (imgs, labs, acts) = jax.lax.scan(
+        body, 0, (sample_ids, ups, lefts)
+    )
+    return imgs, labs, acts
 
 
 @jax.jit
@@ -159,6 +277,7 @@ def synthesize_page_batch(
     enable_photometric: bool = True,
     enable_geometric: bool = True,
     placement_bucket: int = 1024,
+    crop_config: Optional[CropConfig] = None,
 ) -> SynthBatchResult:
     """Run the device synthesis program over N host-prepped pages.
 
@@ -286,6 +405,35 @@ def synthesize_page_batch(
                 Box(0, out_shape[0] - 1, 0, out_shape[1] - 1)
             )
 
+    crop_images = crop_labels = crop_active = crop_page_ids = None
+    crop_windows = None
+    if crop_config is not None:
+        sids, c_ups, c_lefts = _sample_crop_windows(
+            out_shape, content_boxes, word_polygons, crop_config, rng
+        )
+        if len(sids):
+            count = len(sids)
+            bucket = 8
+            while bucket < count:
+                bucket *= 2
+            pad = bucket - count
+
+            def _pad(arr):
+                return jnp.asarray(np.concatenate(
+                    [arr, np.repeat(arr[:1], pad)]
+                ))
+
+            imgs, labs, acts = _extract_crops_program(
+                images, label_stack, active_u8,
+                _pad(sids), _pad(c_ups), _pad(c_lefts),
+                size=crop_config.core_size,
+            )
+            crop_images = np.asarray(imgs)[:count]
+            crop_labels = np.asarray(labs)[:count]
+            crop_active = np.asarray(acts)[:count]
+            crop_page_ids = sids
+            crop_windows = np.stack([c_ups, c_lefts], axis=1)
+
     return SynthBatchResult(
         images=images_np,
         label_stack=label_np,
@@ -293,6 +441,11 @@ def synthesize_page_batch(
         content_boxes=content_boxes,
         word_polygons=word_polygons,
         char_polygons=char_polygons,
+        crop_images=crop_images,
+        crop_labels=crop_labels,
+        crop_active=crop_active,
+        crop_page_ids=crop_page_ids,
+        crop_windows=crop_windows,
     )
 
 
@@ -304,6 +457,7 @@ def synthesize_stream(
     num_batches: int,
     out_shape: Optional[Tuple[int, int]] = None,
     prefetch: int = 2,
+    crop_config: Optional[CropConfig] = None,
 ):
     """Generator of SynthBatchResults with host prep overlapped against
     device work: a background thread keeps up to ``prefetch`` prepared
@@ -345,7 +499,7 @@ def synthesize_stream(
                 raise pages
             yield synthesize_page_batch(
                 pages, level=level, rng=level_rngs[idx],
-                out_shape=out_shape,
+                out_shape=out_shape, crop_config=crop_config,
             )
             idx += 1
     finally:

@@ -456,11 +456,14 @@ def main():
         f'[{time.time() - t0:.0f}s]')
 
     t0 = time.time()
+    ref_synth = ref.get('reference_pipeline_17step_samples_per_sec')
     try:
         synth = bench_synth_end_to_end()
         log(f'[6] end-to-end page synthesis (layout+text+labels+distort): '
-            f'{synth:.2f} pages/s (host 17-step pipeline ~0.12/s/core) '
-            f'[{time.time() - t0:.0f}s]')
+            f'{synth:.2f} pages/s'
+            + (f' (measured reference 17-step pipeline {ref_synth:.3f}/s '
+               f'-> {synth / ref_synth:.0f}x)' if ref_synth else '')
+            + f' [{time.time() - t0:.0f}s]')
     except Exception as exc:  # noqa: BLE001 - optional info row
         synth = None
         log(f'[6] end-to-end page synthesis skipped: {exc!r}')
@@ -498,7 +501,14 @@ def main():
             },
             'end_to_end_page_synthesis': {
                 'value': round(synth, 2) if synth else None,
-                'note': 'no runnable reference counterpart in this env',
+                'vs_reference': (
+                    round(synth / ref_synth, 1)
+                    if synth and ref_synth else None
+                ),
+                'note': (
+                    'reference = the ACTUAL 17-step vkit pipeline run '
+                    'via tools/measure_reference_pipeline.py (refshims)'
+                ),
             },
         },
     }))

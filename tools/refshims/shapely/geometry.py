@@ -25,6 +25,14 @@ class Point:
         self.x = float(x)
         self.y = float(y)
 
+    @property
+    def coords(self):
+        return _Coords(((self.x, self.y),))
+
+    @property
+    def bounds(self):
+        return (self.x, self.y, self.x, self.y)
+
 
 class _Exterior:
 

@@ -11,7 +11,7 @@ class STRtree:
             [g.bounds for g in self._geoms], dtype=np.float64
         ).reshape(-1, 4)
 
-    def query(self, geom):
+    def query(self, geom, predicate=None):
         if not len(self._bounds):
             return []
         x0, y0, x1, y1 = geom.bounds
@@ -19,4 +19,7 @@ class STRtree:
             (self._bounds[:, 0] <= x1) & (x0 <= self._bounds[:, 2])
             & (self._bounds[:, 1] <= y1) & (y0 <= self._bounds[:, 3])
         )
-        return [self._geoms[int(i)] for i in np.nonzero(hit)[0]]
+        # shapely 2.x semantics: query returns INDICES into the input
+        # geometry sequence (the reference indexes with them,
+        # page_text_region.py:909-910).
+        return np.nonzero(hit)[0]

@@ -1825,10 +1825,13 @@ def _glass_blur_rolls(x, key, deltas, loops, dmax: int, lmax: int):
     loops_g = loops[:, None, None]
     span = 2 * dmax + 1
 
-    # Both loops run as lax loops with TRACED (dy, dx) — the fully
-    # unrolled form (loop_max * ((2d+1)^2 - 1) roll+select stages) made
-    # XLA compile for tens of minutes.  jnp.roll with traced shifts
-    # lowers to slice+concat, still gather-free.
+    # The iteration loop runs as lax.fori_loop (one compiled body instead
+    # of loop_max copies — the fully unrolled form made XLA compile for
+    # tens of minutes on the tunneled chip); the (2*dmax+1)^2 - 1 jitter
+    # classes unroll INSIDE the body with static roll shifts (cheap
+    # lowering, dmax <= 2).
+    del span
+
     def iteration(it, x):
         ko, kjy, kjx = jax.random.split(jax.random.fold_in(key, it), 3)
         offs = jax.random.randint(ko, (2, n, 1, 1), 0, 1 << 30)
@@ -1841,25 +1844,23 @@ def _glass_blur_rolls(x, key, deltas, loops, dmax: int, lmax: int):
             & (px >= off_x) & (px < w - d) & ((px - off_x) % stride == 0)
             & (it < loops_g)
         )
-
-        def swap_class(k, x):
-            dy = k // span - dmax
-            dx = k % span - dmax
-            center = (dy == 0) & (dx == 0)
-            m_c = (
-                lat & (jy == dy) & (jx == dx) & ~center
-                & (py + dy >= 0) & (py + dy <= h - 1)
-                & (px + dx >= 0) & (px + dx <= w - 1)
-            )
-            m_t = jnp.roll(m_c, (dy, dx), (1, 2))
-            fwd = jnp.roll(x, (-dy, -dx), (1, 2))
-            bwd = jnp.roll(x, (dy, dx), (1, 2))
-            return jnp.where(
-                m_c[..., None], fwd,
-                jnp.where(m_t[..., None], bwd, x),
-            )
-
-        return jax.lax.fori_loop(0, span * span, swap_class, x)
+        for dy in range(-dmax, dmax + 1):
+            for dx in range(-dmax, dmax + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                m_c = (
+                    lat & (jy == dy) & (jx == dx)
+                    & (py + dy >= 0) & (py + dy <= h - 1)
+                    & (px + dx >= 0) & (px + dx <= w - 1)
+                )
+                m_t = jnp.roll(m_c, (dy, dx), (1, 2))
+                fwd = jnp.roll(x, (-dy, -dx), (1, 2))
+                bwd = jnp.roll(x, (dy, dx), (1, 2))
+                x = jnp.where(
+                    m_c[..., None], fwd,
+                    jnp.where(m_t[..., None], bwd, x),
+                )
+        return x
 
     return jax.lax.fori_loop(0, lmax, iteration, x)
 

@@ -18,7 +18,9 @@ from .mesh import (
     batch_sharding,
     data_sharding,
     factor_devices,
+    initialize_distributed,
     make_mesh,
+    make_multihost_mesh,
     replicated,
     shard_params_for_tp,
 )
@@ -35,7 +37,9 @@ __all__ = [
     'batch_sharding',
     'data_sharding',
     'factor_devices',
+    'initialize_distributed',
     'make_mesh',
+    'make_multihost_mesh',
     'replicated',
     'shard_params_for_tp',
     'DevicePrefetcher',

@@ -65,6 +65,84 @@ def make_mesh(
     return Mesh(mesh_devices, axis_names=tuple(axis_names))
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host JAX runtime (jax.distributed.initialize).
+
+    Falls back to env variables (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID) and no-ops for a single process.
+    Returns the number of processes.  Multi-host generation stays
+    embarrassingly parallel (SURVEY §2): the batch axis spans processes
+    over DCN, everything bandwidth-hungry stays within each host's ICI
+    mesh — make_multihost_mesh lays the axes out accordingly.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        'JAX_COORDINATOR_ADDRESS'
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get('JAX_NUM_PROCESSES', '1'))
+    if process_id is None:
+        process_id = int(os.environ.get('JAX_PROCESS_ID', '0'))
+    if num_processes <= 1:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return num_processes
+
+
+def make_multihost_mesh(
+    axis_names: Sequence[str] = DEFAULT_AXIS_NAMES,
+    dcn_axis: str = DATA_AXIS,
+) -> Mesh:
+    """Mesh over ALL global devices with ``dcn_axis`` spanning processes.
+
+    Within a process the remaining axes factor over the local devices
+    (ICI); only the leading data axis crosses hosts, so collectives on
+    sp/tp never touch DCN.  Single-process runs reduce to make_mesh.
+    """
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return make_mesh(axis_names=axis_names)
+    from jax.experimental import mesh_utils
+
+    axis_names = tuple(axis_names)
+    dcn_idx = axis_names.index(dcn_axis)
+    local = jax.local_device_count()
+    per_process = list(factor_devices(local, len(axis_names) - 1))
+    mesh_shape = [1] * len(axis_names)
+    dcn_shape = [1] * len(axis_names)
+    dcn_shape[dcn_idx] = n_proc
+    rest = iter(sorted(per_process, reverse=True))
+    for i in range(len(axis_names)):
+        if i == dcn_idx:
+            continue
+        mesh_shape[i] = next(rest, 1)
+    mesh_shape[dcn_idx] = 1
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape, dcn_shape
+        )
+    except Exception:  # noqa: BLE001 - no slice topology (CPU dry runs)
+        devs = sorted(
+            jax.devices(),
+            key=lambda d: (d.process_index, getattr(d, 'id', 0)),
+        )
+        local_dims = [
+            mesh_shape[i] for i in range(len(axis_names)) if i != dcn_idx
+        ]
+        arr = np.asarray(devs).reshape((n_proc, *local_dims))
+        devices = np.moveaxis(arr, 0, dcn_idx)
+    return Mesh(devices, axis_names=axis_names)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Sharding for an image batch (N, H, W, C): N over dp, H over sp."""
     spec = [None] * ndim

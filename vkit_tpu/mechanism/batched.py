@@ -2010,47 +2010,39 @@ def _apply_rectangle_streak(images, key, arrays, static):
 
 
 def _prep_ellipse_streak(configs, shape, key):
-    boxes = _concentric_box_array(configs, shape)
-    heights = boxes[..., 1] - boxes[..., 0] + 1.0
-    widths = boxes[..., 3] - boxes[..., 2] + 1.0
-    axes = np.stack([widths // 2, heights // 2], axis=-1)
-    axes[boxes[..., 0] < -1e5] = 0.0   # padded rows -> degenerate
+    """Host-rasterized ring stencils (cv2-exact integer rasterization,
+    ops/cvraster.py via ellipse_ring_stencil) uploaded as jit arguments —
+    the device implicit-band form diverged from the cv pixel sets the
+    per-element path now reproduces.  Member sub-batches keep the upload
+    small (~0.4 MB per member at 640^2)."""
+    from .distortion.photometric.streak import (
+        concentric_boxes,
+        ellipse_ring_stencil,
+    )
+
+    n, h, w = shape[:3]
+    stencils = np.zeros((len(configs), h, w), dtype=np.uint8)
+    for i, cfg in enumerate(configs):
+        aspect = cfg.aspect_ratio if cfg.aspect_ratio is not None else w / h
+        boxes = concentric_boxes(
+            h, w, aspect, cfg.short_side_min, cfg.short_side_step
+        )
+        stencils[i] = ellipse_ring_stencil(
+            (h, w), (w // 2, h // 2),
+            [(b.width // 2, b.height // 2) for b in boxes],
+            int(cfg.thickness),
+        )
     return {
-        'axes': axes.astype(np.float32),
-        'thickness': _f32(_field(configs, 'thickness')),
+        'stencil': stencils,
         'colors': _f32(_field(configs, 'color')),
         'alphas': _f32(_field(configs, 'alpha')),
     }, ()
 
 
 def _apply_ellipse_streak(images, key, arrays, static):
-    """Implicit-band ellipse rings ON DEVICE (same first-order distance
-    formula as streak.ellipse_ring_stencil), scanned over the ring list."""
-    n, h, w = images.shape[:3]
-    cy, cx = h // 2, w // 2
-    ys = (jnp.arange(h, dtype=jnp.float32) - cy)[None, :, None]
-    xs = (jnp.arange(w, dtype=jnp.float32) - cx)[None, None, :]
-    half = jnp.maximum(arrays['thickness'] - 0.5, 0.5)[:, None, None]
-
-    def body(acc, axes):
-        a = axes[:, 0][:, None, None]
-        b = axes[:, 1][:, None, None]
-        ok = (a > 0) & (b > 0)
-        a_s = jnp.maximum(a, 1.0)
-        b_s = jnp.maximum(b, 1.0)
-        value = (xs / a_s)**2 + (ys / b_s)**2 - 1.0
-        grad = 2.0 * jnp.sqrt(
-            (xs / (a_s * a_s))**2 + (ys / (b_s * b_s))**2
-        )
-        distance = jnp.abs(value) / jnp.maximum(grad, 1e-9)
-        return acc | ((distance <= half) & ok), None
-
-    zero = jnp.zeros((n, h, w), dtype=bool)
-    mask, _ = jax.lax.scan(
-        body, zero, jnp.transpose(arrays['axes'], (1, 0, 2))
-    )
     return _blend_streak_masks(
-        images, mask.astype(jnp.float32), arrays['colors'], arrays['alphas']
+        images, arrays['stencil'].astype(jnp.float32),
+        arrays['colors'], arrays['alphas'],
     )
 
 

@@ -411,6 +411,89 @@ def bench_synth_end_to_end() -> float:
     return count / (time.perf_counter() - begin)
 
 
+def bench_text_region_device():
+    """Device text-region forms (ops/region.py) vs their per-region host
+    cost: region flatten (rotate+resize) and char gaussian heatmaps."""
+    import jax.numpy as jnp
+
+    from vkit_tpu.element import Image
+    from vkit_tpu.mechanism.distortion import rotate
+    from vkit_tpu.ops.region import (
+        batch_char_heatmaps,
+        batch_flatten_regions,
+    )
+    from vkit_tpu.engine.char_heatmap.default import build_np_distance
+    from vkit_tpu.ops import warp as warp_ops
+
+    rng = np.random.default_rng(5)
+    src_tile, dst_tile, n = 128, 256, 24
+    patches = rng.integers(0, 256, (n, src_tile, src_tile, 3), np.uint8)
+    angles = rng.uniform(-30, 30, n)
+    scales = rng.uniform(0.8, 1.4, n)
+
+    def dev_flat():
+        w, _ = batch_flatten_regions(
+            jnp.asarray(patches), angles, scales, dst_tile
+        )
+        _force(w[:, ::64, ::64, 0])
+
+    dev_flat()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dev_flat()
+    dev_flat_s = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        spun = rotate.distort(
+            {'angle': float(angles[i])}, image=Image(mat=patches[i])
+        )
+        th = max(int(round(spun.image.height * scales[i])), 1)
+        tw = max(int(round(spun.image.width * scales[i])), 1)
+        spun.image.to_resized_image(th, tw)
+    host_flat_s = time.perf_counter() - t0
+
+    g = 256
+    quads = []
+    for _ in range(g):
+        cx, cy = rng.uniform(14, 50, 2)
+        wd, ht = rng.uniform(8, 13, 2)
+        ang = rng.uniform(0, np.pi)
+        dx = np.asarray([np.cos(ang), np.sin(ang)]) * wd
+        dy = np.asarray([-np.sin(ang), np.cos(ang)]) * ht
+        c = np.asarray([cx, cy])
+        quads.append(np.stack([c - dx - dy, c + dx - dy,
+                               c + dx + dy, c - dx + dy]))
+    quads = np.stack(quads)
+
+    def dev_heat():
+        tiles = batch_char_heatmaps(quads, tile=64)
+        _force(tiles[:, ::16, ::16])
+
+    dev_heat()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dev_heat()
+    dev_heat_s = (time.perf_counter() - t0) / 3
+
+    radius = 25
+    norm = build_np_distance(radius) / radius
+    np_bump = np.exp(-0.5 * (2.25 * norm) ** 2).astype(np.float32)
+    edge = np_bump.shape[0] - 1
+    bump_quad = np.asarray(
+        [(0, 0), (edge, 0), (edge, edge), (0, edge)], dtype=np.float64
+    )
+    mats = warp_ops.solve_perspective_batch(
+        np.broadcast_to(bump_quad, quads.shape), quads
+    )
+    t0 = time.perf_counter()
+    for i in range(g):
+        warp_ops.warp_perspective_np(np_bump, mats[i], (64, 64))
+    host_heat_s = time.perf_counter() - t0
+
+    return (host_flat_s / dev_flat_s, host_heat_s / dev_heat_s)
+
+
 def main():
     from vkit_tpu.utility import enable_compilation_cache
 
@@ -467,6 +550,13 @@ def main():
     except Exception as exc:  # noqa: BLE001 - optional info row
         synth = None
         log(f'[6] end-to-end page synthesis skipped: {exc!r}')
+
+    try:
+        flat_x, heat_x = bench_text_region_device()
+        log(f'[7] text-region device forms: region flatten {flat_x:.0f}x, '
+            f'char heatmaps {heat_x:.0f}x vs per-region host')
+    except Exception as exc:  # noqa: BLE001 - optional info row
+        log(f'[7] text-region device forms skipped: {exc!r}')
 
     print(json.dumps({
         'metric': (

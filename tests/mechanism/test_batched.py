@@ -295,3 +295,58 @@ def test_batch_random_distort_all_stages():
         assert box.down < out.shape[1] and box.right < out.shape[2]
         # The content box must cover a meaningful region.
         assert box.area > 0.2 * 80 * 96
+
+
+def test_downscale_tail_matches_gather():
+    """Banded rejects (tap needs > 128) take the 2x mean-pool prefilter
+    path; its output must stay close to the gather fallback inside the
+    active region."""
+    import jax.numpy as jnp
+
+    from vkit_tpu.mechanism import batched as B
+    from vkit_tpu.mechanism.batched import batched_plan_warp
+    from vkit_tpu.mechanism.batched_random import sample_geometric_plans
+    from vkit_tpu.mechanism.distortion.warp_plan import (
+        rescale_plan_to,
+        warp_active_mask,
+    )
+    from vkit_tpu.ops import warp_banded as WB
+
+    side = 320
+    out_shape = (352, 352)
+    rng = np.random.default_rng(11)
+    found = None
+    for _ in range(600):
+        plans = sample_geometric_plans(8, (side, side), 9, rng)
+        plans = [rescale_plan_to(p, out_shape) for p in plans]
+        lat = [p for p in plans if p.is_lattice]
+        if not lat:
+            continue
+        nodes = B._build_coarse_nodes(
+            lat, [p.dst_shape for p in lat], out_shape
+        )
+        planned = WB.plan_banded_warp(
+            nodes[0], nodes[1], nodes[2], nodes[3], (side, side), out_shape
+        )
+        if planned is None:
+            continue
+        needs = WB._LAST_NEEDS
+        if needs.max() > 128:
+            found = lat[int(np.argmax(needs))]
+            break
+    assert found is not None, 'no high-needs draw found'
+
+    img = np.clip(
+        np.cumsum(np.cumsum(
+            np.random.default_rng(0).normal(size=(side, side, 3)), 0), 1)
+        % 255, 0, 255,
+    ).astype(np.uint8)
+    imgs = jnp.asarray(np.stack([img] * 4))
+    plans4 = [found] * 4
+    w_auto, _, _ = batched_plan_warp(plans4, imgs, mode='auto')
+    w_gather, _, _ = batched_plan_warp(plans4, imgs, mode='gather')
+    act = warp_active_mask(found).mat.astype(bool)
+    a = np.asarray(w_auto)[0].astype(np.float64)
+    g = np.asarray(w_gather)[0].astype(np.float64)
+    d = np.abs(a - g)[act]
+    assert d.mean() < 8.0, d.mean()

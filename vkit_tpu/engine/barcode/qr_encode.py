@@ -262,22 +262,32 @@ _MASK_FNS = [
 ]
 
 
+def _runs_score(grid: np.ndarray) -> int:
+    """Rule-1 score over every row, vectorized: for each maximal run of
+    length r >= 5 add 3 + (r - 5)."""
+    n, size = grid.shape
+    # Run boundaries per row via padded change-points.
+    change = np.ones((n, size + 1), dtype=bool)
+    change[:, 1:size] = grid[:, 1:] != grid[:, :-1]
+    rows, pos = np.nonzero(change)
+    score = 0
+    # Per row: diff of consecutive boundary positions = run lengths.
+    row_breaks = np.flatnonzero(np.diff(rows, prepend=rows[0] - 1))
+    split_pos = np.split(pos, row_breaks[1:])
+    for p in split_pos:
+        lens = np.diff(p)
+        big = lens[lens >= 5]
+        if len(big):
+            score += int((3 + (big - 5)).sum())
+    return score
+
+
 def _penalty(mat: np.ndarray) -> int:
     size = mat.shape[0]
     score = 0
-    # Rule 1: runs of >= 5 same-colored modules.
-    for grid in (mat, mat.T):
-        for line in grid:
-            run = 1
-            for i in range(1, size):
-                if line[i] == line[i - 1]:
-                    run += 1
-                else:
-                    if run >= 5:
-                        score += 3 + (run - 5)
-                    run = 1
-            if run >= 5:
-                score += 3 + (run - 5)
+    # Rule 1: runs of >= 5 same-colored modules (rows + columns).
+    score += _runs_score(mat)
+    score += _runs_score(np.ascontiguousarray(mat.T))
     # Rule 2: 2x2 blocks.
     same = (
         (mat[:-1, :-1] == mat[:-1, 1:])
@@ -285,15 +295,16 @@ def _penalty(mat: np.ndarray) -> int:
         & (mat[:-1, :-1] == mat[1:, 1:])
     )
     score += 3 * int(same.sum())
-    # Rule 3: finder-like 1011101 with 4 light modules on either side.
+    # Rule 3: finder-like 1011101 with 4 light modules on either side —
+    # sliding-window equality as a stacked comparison.
     pat1 = np.array([1, 0, 1, 1, 1, 0, 1, 0, 0, 0, 0], dtype=np.uint8)
     pat2 = pat1[::-1]
-    for grid in (mat, mat.T):
-        for line in grid:
-            for i in range(size - 10):
-                window = line[i:i + 11]
-                if np.array_equal(window, pat1) or np.array_equal(window, pat2):
-                    score += 40
+    for grid in (mat, np.ascontiguousarray(mat.T)):
+        windows = np.lib.stride_tricks.sliding_window_view(grid, 11, axis=1)
+        hits = (
+            (windows == pat1).all(axis=-1) | (windows == pat2).all(axis=-1)
+        )
+        score += 40 * int(hits.sum())
     # Rule 4: dark-module proportion.
     dark_pct = mat.mean() * 100.0
     score += 10 * int(abs(dark_pct - 50) // 5)

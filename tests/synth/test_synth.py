@@ -326,3 +326,20 @@ def test_device_cropping(planner):
         # Active-region filter honored (>= 0.4 up to the analytic
         # bbox-vs-raster estimate slack).
         assert result.crop_active[k].mean() > 0.2
+
+
+def test_char_gaussian_maps(planner):
+    rng = np.random.default_rng(5)
+    pages = planner.prepare_batch(2, rng)
+    result = synthesize_page_batch(
+        pages, level=3, rng=rng, emit_char_gaussians=True,
+    )
+    g = result.char_gaussian_maps
+    assert g is not None and g.shape == result.active_masks.shape
+    assert 0.0 <= g.min() and g.max() <= 1.0 + 1e-5
+    assert g.max() > 0.5, 'no char bump landed'
+    # Bumps concentrate inside the char-mask label region.
+    ch = result.label_stack[..., CHAR_MASK] > 0
+    inside = g[ch].mean()
+    outside = g[~ch].mean()
+    assert inside > 5 * max(outside, 1e-6)

@@ -93,6 +93,66 @@ class SynthBatchResult(NamedTuple):
     crop_active: Optional[np.ndarray] = None    # (M, S, S) uint8
     crop_page_ids: Optional[np.ndarray] = None  # (M,) int32
     crop_windows: Optional[np.ndarray] = None   # (M, 2) int32 (up, left)
+    # Per-char gaussian heatmaps (char_heatmap engine semantics, rendered
+    # ON DEVICE from the post-warp char quads); None unless requested.
+    char_gaussian_maps: Optional[np.ndarray] = None  # (N, out_h, out_w) f32
+
+
+def _char_gaussian_maps(char_polygons, out_shape, tile: int = 64):
+    """One device program: analytic gaussian bumps through each post-warp
+    char quad (ops/region.batch_char_heatmaps) max-accumulated onto the
+    page canvas (ops/glyph.accumulate_glyph_alpha).  The reference warps a
+    sampled bump per char on host (char_heatmap/default.py); overlap
+    neutralization stays with the host engine."""
+    from ..ops.glyph import GlyphPlacements, accumulate_glyph_alpha
+    from ..ops.region import batch_char_heatmaps
+
+    n = len(char_polygons)
+    quads = []
+    rows = []
+    for sid, polys in enumerate(char_polygons):
+        for poly in polys:
+            xy = poly.np_xy.astype(np.float64)
+            up = float(np.floor(xy[:, 1].min()))
+            left = float(np.floor(xy[:, 0].min()))
+            h = xy[:, 1].max() - up + 1
+            w = xy[:, 0].max() - left + 1
+            if h < 2 or w < 2 or h > tile or w > tile:
+                continue
+            rel = xy - np.asarray([left, up])
+            quads.append(rel)
+            rows.append((len(quads) - 1, sid, int(up), int(left),
+                         int(np.ceil(h)), int(np.ceil(w))))
+    canvas = jnp.zeros((n,) + tuple(out_shape), dtype=jnp.float32)
+    if not rows:
+        return np.asarray(canvas)
+    quads_np = np.stack(quads)
+    tiles = batch_char_heatmaps(quads_np, tile=tile)
+
+    bucket = 64
+    while bucket < len(rows):
+        bucket *= 2
+    pad = bucket - len(rows)
+
+    def arr(vals, dtype):
+        return jnp.asarray(np.asarray(
+            list(vals) + [vals[0]] * pad if pad else list(vals), dtype=dtype
+        ))
+
+    placements = GlyphPlacements(
+        glyph_ids=arr([r[0] for r in rows], np.int32),
+        sample_ids=arr([r[1] for r in rows], np.int32),
+        ups=arr([r[2] for r in rows], np.int32),
+        lefts=arr([r[3] for r in rows], np.int32),
+        dst_hs=arr([r[4] for r in rows], np.int32),
+        dst_ws=arr([r[5] for r in rows], np.int32),
+        src_hs=arr([float(r[4]) for r in rows], np.float32),
+        src_ws=arr([float(r[5]) for r in rows], np.float32),
+        colors=jnp.zeros((bucket, 3), jnp.float32),
+        valids=arr([1.0] * len(rows), np.float32),
+    )
+    out = accumulate_glyph_alpha(canvas, tiles, placements, out_tile=tile)
+    return np.asarray(out)
 
 
 class CropConfig(NamedTuple):
@@ -278,6 +338,7 @@ def synthesize_page_batch(
     enable_geometric: bool = True,
     placement_bucket: int = 1024,
     crop_config: Optional[CropConfig] = None,
+    emit_char_gaussians: bool = False,
 ) -> SynthBatchResult:
     """Run the device synthesis program over N host-prepped pages.
 
@@ -405,6 +466,10 @@ def synthesize_page_batch(
                 Box(0, out_shape[0] - 1, 0, out_shape[1] - 1)
             )
 
+    gaussians = None
+    if emit_char_gaussians:
+        gaussians = _char_gaussian_maps(char_polygons, out_shape)
+
     crop_images = crop_labels = crop_active = crop_page_ids = None
     crop_windows = None
     if crop_config is not None:
@@ -446,6 +511,7 @@ def synthesize_page_batch(
         crop_active=crop_active,
         crop_page_ids=crop_page_ids,
         crop_windows=crop_windows,
+        char_gaussian_maps=gaussians,
     )
 
 

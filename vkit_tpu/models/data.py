@@ -17,9 +17,15 @@ from .train import TrainBatch
 
 
 @jax.jit
-def synth_to_train_batch(images, label_stack, active_masks) -> TrainBatch:
+def synth_to_train_batch(images, label_stack, active_masks,
+                         char_gaussians=None) -> TrainBatch:
     """(images u8 (N,H,W,3), label_stack f32 (N,H,W,4), active u8) ->
-    TrainBatch with stride-2 label grids, all on device."""
+    TrainBatch with stride-2 label grids, all on device.
+
+    ``char_gaussians``: optional (N, H, W) per-char quad-warped gaussian
+    maps from synthesize_page_batch(emit_char_gaussians=True) — the
+    reference-faithful centroid target; without it the blurred char mask
+    stands in."""
     char_mask = label_stack[..., CHAR_MASK]
     char_height = label_stack[..., CHAR_HEIGHT]
     active = active_masks.astype(jnp.float32)
@@ -34,14 +40,17 @@ def synth_to_train_batch(images, label_stack, active_masks) -> TrainBatch:
     mask_2 = (pool2(char_mask) > 0.5).astype(jnp.float32)
     height_2 = pool2(char_height) * 0.5  # heights follow the 2x downsample
 
-    k1 = gaussian_kernel1d(2.0, 9)
-    kernel = jnp.asarray(k1[:, None] * k1[None, :], dtype=jnp.float32)
-    gaussian_2 = jax.vmap(
-        lambda m: filter2d(m[..., None], kernel)[..., 0]
-    )(mask_2)
-    gaussian_2 = gaussian_2 / jnp.maximum(
-        gaussian_2.max(axis=(1, 2), keepdims=True), 1e-6
-    )
+    if char_gaussians is not None:
+        gaussian_2 = pool2(char_gaussians * active)
+    else:
+        k1 = gaussian_kernel1d(2.0, 9)
+        kernel = jnp.asarray(k1[:, None] * k1[None, :], dtype=jnp.float32)
+        gaussian_2 = jax.vmap(
+            lambda m: filter2d(m[..., None], kernel)[..., 0]
+        )(mask_2)
+        gaussian_2 = gaussian_2 / jnp.maximum(
+            gaussian_2.max(axis=(1, 2), keepdims=True), 1e-6
+        )
 
     return TrainBatch(
         images=images,

@@ -343,7 +343,7 @@ def bench_random_distortion() -> float:
             _force(pending[0][:, ::64, ::64, 0])
         pending[0] = out
 
-    secs = _time_loop(step, warmups=3, iters=6)
+    secs = _time_loop(step, warmups=8, iters=6)
     _force(pending[0][:, ::64, ::64, 0])
     return batch / secs
 

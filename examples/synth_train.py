@@ -38,7 +38,12 @@ from vkit_tpu.models import (
     make_train_step,
     synth_to_train_batch,
 )
-from vkit_tpu.synth import SynthPlanner, SynthPlannerConfig, synthesize_stream
+from vkit_tpu.synth import (
+    CropConfig,
+    SynthPlanner,
+    SynthPlannerConfig,
+    synthesize_stream,
+)
 
 
 def main():
@@ -52,6 +57,15 @@ def main():
                 'config': {'txt_files': [assets['corpus_txt']]},
             }],
             page_height=256, page_width=256,
+            # Full page content (every assembler layer).
+            background_image_configs=[{
+                'type': 'selector', 'weight': 1,
+                'config': {'image_folders': [assets['bg_image_folder']]},
+            }],
+            symbol_image_folders=[assets['symbol_image_folder']],
+            enable_barcodes=True,
+            enable_seal_impressions=True,
+            enable_text_line_bounding_boxes=True,
         ))
 
         model = create_model(stage_features=(32, 64), fpn_features=32)
@@ -63,12 +77,18 @@ def main():
         batches = []
         for step_idx, result in enumerate(synthesize_stream(
             planner, batch_size=4, level=4, rng=rng, num_batches=4,
+            crop_config=CropConfig(core_size=192, num_per_page=1),
+            emit_char_gaussians=True,
         )):
             batch = synth_to_train_batch(
                 jnp.asarray(result.images),
                 jnp.asarray(result.label_stack),
                 jnp.asarray(result.active_masks),
+                char_gaussians=jnp.asarray(result.char_gaussian_maps),
             )
+            if result.crop_images is not None:
+                print(f'  crops: {result.crop_images.shape[0]} '
+                      f'{result.crop_images.shape[1:]}')
             if state is None:
                 state = init_train_state(
                     model, optimizer, np.asarray(batch.images)

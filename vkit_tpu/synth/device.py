@@ -524,6 +524,7 @@ def synthesize_stream(
     out_shape: Optional[Tuple[int, int]] = None,
     prefetch: int = 2,
     crop_config: Optional[CropConfig] = None,
+    emit_char_gaussians: bool = False,
 ):
     """Generator of SynthBatchResults with host prep overlapped against
     device work: a background thread keeps up to ``prefetch`` prepared
@@ -566,6 +567,7 @@ def synthesize_stream(
             yield synthesize_page_batch(
                 pages, level=level, rng=level_rngs[idx],
                 out_shape=out_shape, crop_config=crop_config,
+                emit_char_gaussians=emit_char_gaussians,
             )
             idx += 1
     finally:

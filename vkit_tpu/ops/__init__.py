@@ -6,7 +6,8 @@ Submodules that must stay jax-free (imported by the host element layer):
 from . import colorspace_np, resize_taps  # noqa: F401
 from .resize_taps import Interpolation  # noqa: F401
 
-_LAZY = ('resize', 'color', 'warp', 'blur', 'noise', 'blend', 'effect')
+_LAZY = ('resize', 'color', 'warp', 'blur', 'noise', 'blend', 'effect',
+         'glyph', 'region', 'cvraster', 'warp_mxu', 'warp_banded')
 
 
 def __getattr__(name):

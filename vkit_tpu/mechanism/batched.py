@@ -621,8 +621,19 @@ def plan_backward_maps(plan, src_shape):
 
 
 
-def _interp_weights(length: int, nodes: np.ndarray) -> np.ndarray:
-    """(length, len(nodes)) float32 bilinear weights through node rows."""
+_INTERP_W_CACHE = {}
+
+
+def _interp_weights(length: int, nodes: np.ndarray):
+    """(length, len(nodes)) float32 bilinear weights through node rows.
+
+    DEVICE-RESIDENT and cached by (length, node grid): the matrices are
+    canvas-determined, so rebuilding + re-uploading them every batch
+    (~1.3 MB across the four per-batch uses) was pure per-step overhead."""
+    key = (length, nodes.tobytes())
+    cached = _INTERP_W_CACHE.get(key)
+    if cached is not None:
+        return cached
     idx = np.searchsorted(nodes, np.arange(length), side='right') - 1
     idx = np.clip(idx, 0, len(nodes) - 2)
     left = nodes[idx]
@@ -632,7 +643,11 @@ def _interp_weights(length: int, nodes: np.ndarray) -> np.ndarray:
     rows = np.arange(length)
     weights[rows, idx] = 1.0 - t
     weights[rows, idx + 1] = t
-    return weights
+    out = jnp.asarray(weights)
+    if len(_INTERP_W_CACHE) > 64:
+        _INTERP_W_CACHE.clear()
+    _INTERP_W_CACHE[key] = out
+    return out
 
 
 @jax.jit

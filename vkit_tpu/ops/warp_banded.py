@@ -65,6 +65,23 @@ def _interp_nodes_sparse(node_l: np.ndarray, lines: int,
     return values[:, idx, :] * (1.0 - t) + values[:, idx + 1, :] * t
 
 
+_NODE_W_CACHE = {}
+
+
+def _cached_node_weights(length: int, nodes: np.ndarray):
+    """Device-resident interp_node_weights, cached by (length, grid)."""
+    key = (length, np.asarray(nodes).tobytes())
+    cached = _NODE_W_CACHE.get(key)
+    if cached is None:
+        cached = jnp.asarray(
+            interp_node_weights(length, np.asarray(nodes, dtype=np.float64))
+        )
+        if len(_NODE_W_CACHE) > 64:
+            _NODE_W_CACHE.clear()
+        _NODE_W_CACHE[key] = cached
+    return cached
+
+
 def _bracket_rows(values, queries):
     """For monotone-increasing ``values`` (N, R, Q) and ``queries``
     (N, R, U), the index q of the bracketing segment
@@ -348,23 +365,23 @@ def plan_banded_warp(
         base_v[rejects] = bv
         base_h[rejects] = bh
 
-    # Plain numpy in the plan: each eager jnp.asarray is its own tunnel
-    # round trip; jit call arguments transfer in one batch instead.
+    # Per-DRAW arrays (bases, node positions) stay plain numpy: jit call
+    # arguments transfer in one batch, eager asarray would round-trip per
+    # array.  The upsample weight matrices are canvas-determined, so they
+    # cache as DEVICE-RESIDENT constants across batches.
     plan = BandedWarpPlan(
         pass_v=BandedPassPlan(
             base=base_v.astype(np.int32),
             nodes=pos_v_eff.astype(np.float32),
-            w_l=interp_node_weights(w_in, u_nodes.astype(np.float64)),
-            w_j=interp_node_weights(jp_v, node_ys.astype(np.float64)),
+            w_l=_cached_node_weights(w_in, u_nodes),
+            w_j=_cached_node_weights(jp_v, node_ys),
         ),
         pass_h=BandedPassPlan(
             base=base_h.astype(np.int32),
             nodes=ch_eff.astype(np.float32),
             # Pass-H lines are pass V's PADDED output rows.
-            w_l=interp_node_weights(jp_v, node_ys.astype(np.float64)),
-            w_j=interp_node_weights(
-                _round_up(w_out, 128), node_xs.astype(np.float64)
-            ),
+            w_l=_cached_node_weights(jp_v, node_ys),
+            w_j=_cached_node_weights(_round_up(w_out, 128), node_xs),
         ),
     )
     return plan, taps, rejects, (flip_v, flip_h), needs

@@ -291,10 +291,43 @@ def _sample_space(style, char_widths_avg, prev_num_spaces, rng) -> int:
 
 
 def _sample_all_spaces(style, char_glyphs, preceding_spaces, rng) -> List[int]:
+    """Vectorized twin of per-gap _sample_space calls (thousands of
+    scalar rng.normal draws per page dominated layout planning).  Batched
+    draws consume the generator differently than sequential scalars —
+    per-draw distributions and the clip/round semantics are identical."""
     widths_avg = float(np.mean([glyph.width for glyph in char_glyphs]))
-    return [
-        _sample_space(style, widths_avg, n, rng) for n in preceding_spaces
-    ]
+    pre = np.asarray(list(preceding_spaces), dtype=np.int64)
+    out = np.zeros(len(pre), dtype=np.int64)
+
+    word_pos = np.flatnonzero(pre > 0)
+    if len(word_pos):
+        counts = pre[word_pos]
+        draws = np.round(np.clip(
+            rng.normal(widths_avg * style.word_space_mean,
+                       widths_avg * style.word_space_std,
+                       int(counts.sum())),
+            widths_avg * style.word_space_min,
+            widths_avg * style.word_space_max,
+        )).astype(np.int64)
+        splits = np.cumsum(counts)[:-1]
+        out[word_pos] = [int(seg.sum()) for seg in np.split(draws, splits)]
+
+    char_pos = np.flatnonzero(pre == 0)
+    if len(char_pos):
+        use_min = rng.random(len(char_pos)) < style.prob_set_char_space_min
+        vals = np.full(len(char_pos),
+                       round(widths_avg * style.char_space_min),
+                       dtype=np.int64)
+        rest = np.flatnonzero(~use_min)
+        if len(rest):
+            vals[rest] = np.round(np.clip(
+                rng.normal(widths_avg * style.char_space_mean,
+                           widths_avg * style.char_space_std, len(rest)),
+                widths_avg * style.char_space_min,
+                widths_avg * style.char_space_max,
+            )).astype(np.int64)
+        out[char_pos] = vals
+    return out.tolist()
 
 
 def compute_char_boxes_hori(

@@ -425,8 +425,8 @@ class SynthPlanner:
 
         # Pre-distortion label channels.
         shape = (height, width)
-        tl_mask = ScoreMap.from_shape(shape)
-        tl_height = ScoreMap.from_shape(shape, is_prob=False)
+        tl_mask_mat = np.zeros(shape, dtype=np.float32)
+        tl_height_mat = np.zeros(shape, dtype=np.float32)
         ch_mask_mat = np.zeros(shape, dtype=np.float32)
         ch_height_mat = np.zeros(shape, dtype=np.float32)
 
@@ -437,8 +437,19 @@ class SynthPlanner:
                 continue  # degenerate sliver (e.g. a lone 1-px-wide glyph)
             polygon = word.to_polygon()
             word_polygons.append(polygon)
-            polygon.fill_score_map(tl_mask, 1.0)
-            polygon.fill_score_map(tl_height, float(word.box.height))
+            # The word outline region IS its bounding rect (to_polygon's
+            # anchors ride the box edges): direct slice fills replace the
+            # generic polygon rasterizer, like the char channels below.
+            wb = word.box
+            w_up = max(int(wb.up), 0)
+            w_down = min(int(wb.down), height - 1)
+            w_left = max(int(wb.left), 0)
+            w_right = min(int(wb.right), width - 1)
+            if w_down >= w_up and w_right >= w_left:
+                window = (slice(w_up, w_down + 1),
+                          slice(w_left, w_right + 1))
+                tl_mask_mat[window] = 1.0
+                tl_height_mat[window] = float(wb.height)
             chars = word.to_char_polygons(
                 page_height=height, page_width=width,
                 ref_char_height_ratio=cfg.ref_char_height_ratio,
@@ -465,7 +476,8 @@ class SynthPlanner:
                 )
 
         label_stack = np.stack(
-            [tl_mask.mat, tl_height.mat, ch_mask_mat, ch_height_mat], axis=-1
+            [tl_mask_mat, tl_height_mat, ch_mask_mat, ch_height_mat],
+            axis=-1,
         )
         return HostPage(
             background=np.asarray(canvas.mat),

@@ -203,6 +203,14 @@ def _pair_kerning_limit(np_prev: np.ndarray, prev_up: int,
     return slide
 
 
+# Kerning limits depend only on the glyph PAIR and their relative
+# vertical offset (the band math is shift-invariant), so pairs recur
+# constantly across lines.  Values cache keyed by glyph identity; the
+# cached strong references pin the objects, so ids cannot recycle, and
+# the `is` checks make hits exact.
+_KERN_CACHE = {}
+
+
 def get_kerning_limits_hori_default(
     char_glyphs: Sequence[CharGlyph],
     preceding_spaces: Sequence[int],
@@ -210,17 +218,34 @@ def get_kerning_limits_hori_default(
     """Per-glyph slide-left allowance against its predecessor."""
     assert char_glyphs
     ascent_max = max(glyph.ascent for glyph in char_glyphs)
-    masks = [glyph.get_glyph_mask().mat for glyph in char_glyphs]
     ups = [ascent_max - glyph.ascent for glyph in char_glyphs]
 
     limits = [0]
+    masks = [None] * len(char_glyphs)
+
+    def mask(i):
+        if masks[i] is None:
+            masks[i] = char_glyphs[i].get_glyph_mask().mat
+        return masks[i]
+
+    if len(_KERN_CACHE) > 200_000:
+        _KERN_CACHE.clear()
     for idx in range(1, len(char_glyphs)):
         if preceding_spaces[idx] > 0:
             limits.append(0)
-        else:
-            limits.append(_pair_kerning_limit(
-                masks[idx - 1], ups[idx - 1], masks[idx], ups[idx]
-            ))
+            continue
+        a = char_glyphs[idx - 1]
+        b = char_glyphs[idx]
+        key = (id(a), id(b), ups[idx] - ups[idx - 1])
+        hit = _KERN_CACHE.get(key)
+        if hit is not None and hit[1] is a and hit[2] is b:
+            limits.append(hit[0])
+            continue
+        value = _pair_kerning_limit(
+            mask(idx - 1), ups[idx - 1], mask(idx), ups[idx]
+        )
+        _KERN_CACHE[key] = (value, a, b)
+        limits.append(value)
     return limits
 
 

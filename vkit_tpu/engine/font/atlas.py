@@ -216,20 +216,27 @@ def _fit_and_trim_geometry(
     too_large = current > target
 
     if too_small or too_large:
-        resize_kw = (
-            {'resized_height': target} if is_hori else {'resized_width': target}
-        )
-        shape = (line_h, line_w)
-        char_boxes = [
-            cb.to_conducted_resized_char_box(shape, **resize_kw)
-            for cb in char_boxes
-        ]
         from ...element.blend import scaled_shape
-        line_h, line_w = scaled_shape(
+        rh, rw = scaled_shape(
             line_h, line_w,
             new_height=target if is_hori else None,
             new_width=None if is_hori else target,
         )
+        # Vectorized conducted resize: the scale factors are constant
+        # across the line, so one clip/round over all boxes replaces a
+        # per-char Box.to_conducted_resized_box chain.  Op order matches
+        # the scalar path (val * new_size / size, clamp, banker's round).
+        coords = np.array(
+            [cb.box for cb in char_boxes], dtype=np.float64
+        )  # (N, 4): up, down, left, right
+        ys = np.round(np.clip(coords[:, :2] * rh / line_h, 0, rh - 1))
+        xs = np.round(np.clip(coords[:, 2:] * rw / line_w, 0, rw - 1))
+        char_boxes = [
+            CharBox(cb.char, Box(int(ys[i, 0]), int(ys[i, 1]),
+                                 int(xs[i, 0]), int(xs[i, 1])))
+            for i, cb in enumerate(char_boxes)
+        ]
+        line_h, line_w = rh, rw
 
     current = line_h if is_hori else line_w
     if current != target:
@@ -238,13 +245,13 @@ def _fit_and_trim_geometry(
         pad_lo = pad // 2
         if is_hori:
             char_boxes = [
-                attr.evolve(cb, box=cb.box.to_shifted_box(offset_y=pad_lo))
+                CharBox(cb.char, cb.box.to_shifted_box(offset_y=pad_lo))
                 for cb in char_boxes
             ]
             line_h = target
         else:
             char_boxes = [
-                attr.evolve(cb, box=cb.box.to_shifted_box(offset_x=pad_lo))
+                CharBox(cb.char, cb.box.to_shifted_box(offset_x=pad_lo))
                 for cb in char_boxes
             ]
             line_w = target

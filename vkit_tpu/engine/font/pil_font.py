@@ -524,7 +524,7 @@ def _fit_cross_axis(run_config, image, mask, score_map, char_boxes,
         np_mask[sel] = mask.mat
         mask.assign_mat(np_mask)
         char_boxes = [
-            attr.evolve(cb, box=cb.box._replace(
+            CharBox(cb.char, cb.box._replace(
                 **{k: getattr(cb.box, k) + v for k, v in shift.items()}
             )) for cb in char_boxes
         ]

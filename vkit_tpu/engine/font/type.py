@@ -280,13 +280,34 @@ class FontEngineRunConfig:
     return_font_variant: bool = False
 
 
-@attr.define(frozen=True)
 class CharBox(Shapable):
-    char: str
-    box: Box
+    """A single char bound to its box.
 
-    def __attrs_post_init__(self):
-        assert len(self.char) == 1 and not self.char.isspace()
+    Plain slots class (not attrs): tens of thousands are built per page
+    in the layout planners, where the generated frozen-attrs __init__
+    dominated the profile.
+    """
+
+    __slots__ = ('char', 'box')
+
+    def __init__(self, char: str, box: Box):
+        assert len(char) == 1 and not char.isspace()
+        object.__setattr__(self, 'char', char)
+        object.__setattr__(self, 'box', box)
+
+    def __setattr__(self, name, value):
+        raise AttributeError('CharBox is immutable')
+
+    def __repr__(self):
+        return f'CharBox(char={self.char!r}, box={self.box!r})'
+
+    def __eq__(self, other):
+        if not isinstance(other, CharBox):
+            return NotImplemented
+        return self.char == other.char and self.box == other.box
+
+    def __hash__(self):
+        return hash((self.char, self.box))
 
     # Geometry reads delegate to the box.
     up = property(lambda self: self.box.up)
@@ -300,18 +321,20 @@ class CharBox(Shapable):
                                       resized_height: Optional[int] = None,
                                       resized_width: Optional[int] = None,
                                       ) -> 'CharBox':
-        return attr.evolve(self, box=self.box.to_conducted_resized_box(
+        # Direct construction: attr.evolve re-resolves the field list on
+        # every call, which dominates in the per-char hot loops.
+        return CharBox(self.char, self.box.to_conducted_resized_box(
             shapable_or_shape, resized_height, resized_width
         ))
 
     def to_resized_char_box(self, resized_height: Optional[int] = None,
                             resized_width: Optional[int] = None) -> 'CharBox':
-        return attr.evolve(self, box=self.box.to_resized_box(
+        return CharBox(self.char, self.box.to_resized_box(
             resized_height, resized_width
         ))
 
     def to_shifted_char_box(self, offset_y: int = 0, offset_x: int = 0) -> 'CharBox':
-        return attr.evolve(self, box=self.box.to_shifted_box(offset_y, offset_x))
+        return CharBox(self.char, self.box.to_shifted_box(offset_y, offset_x))
 
 
 @attr.define
@@ -480,14 +503,33 @@ class TextLine:
             else (self.box.left + self.box.right) // 2
         has_mid = min(cross_a, cross_b) < cross_mid < max(cross_a, cross_b)
 
-        ring = PointList()
-        ring.extend(self._point_at(m, cross_a) for m in steps)
+        # Assemble the ring as a flat xy array (Point objects per vertex
+        # dominate in the per-word hot loop).
+        k = len(steps)
+        extra = 2 if has_mid else 0
+        mains = np.empty(2 * k + extra, dtype=np.float64)
+        crosses = np.empty(2 * k + extra, dtype=np.float64)
+        mains[:k] = steps
+        crosses[:k] = cross_a
+        idx = k
         if has_mid:
-            ring.append(self._point_at(steps[-1], cross_mid))
-        ring.extend(self._point_at(m, cross_b) for m in reversed(steps))
+            mains[idx] = steps[-1]
+            crosses[idx] = cross_mid
+            idx += 1
+        mains[idx:idx + k] = steps[::-1]
+        crosses[idx:idx + k] = cross_b
+        idx += k
         if has_mid:
-            ring.append(self._point_at(steps[0], cross_mid))
-        return Polygon.create(points=ring)
+            mains[idx] = steps[0]
+            crosses[idx] = cross_mid
+        arr = np.empty((2 * k + extra, 2), dtype=np.float64)
+        if self.is_hori:
+            arr[:, 0] = mains
+            arr[:, 1] = crosses
+        else:
+            arr[:, 0] = crosses
+            arr[:, 1] = mains
+        return Polygon(np_xy=arr)
 
     @classmethod
     def build_char_polygon(cls, up: float, down: float,
@@ -496,26 +538,78 @@ class TextLine:
             [(left, up), (right, up), (right, down), (left, down)]
         )
 
+    def to_char_quad_spans(self, page_height: int, page_width: int,
+                           ref_char_height_ratio: float = 1.0,
+                           ref_char_width_ratio: float = 1.0,
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized char-quad extents: (ups, downs, lefts, rights) as a
+        (4, N) float64 array plus the same rounded to int64.
+
+        The quads are axis-aligned rects, so these spans ARE the polygon
+        bounds — callers that only need bounding windows (label-channel
+        slice fills) can skip Polygon construction entirely.
+        """
+        assert len(self.char_boxes) == len(self.char_glyphs)
+        n = len(self.char_boxes)
+        raw = np.empty((6, n), dtype=np.float64)
+        for i, (cb, glyph) in enumerate(zip(self.char_boxes, self.char_glyphs)):
+            b = cb.box
+            raw[0, i] = b.up
+            raw[1, i] = b.down
+            raw[2, i] = b.left
+            raw[3, i] = b.right
+            raw[4, i] = glyph.ref_char_height
+            raw[5, i] = glyph.ref_char_width
+
+        def expand(lo, hi, target, clamp_lo, clamp_hi):
+            # Matches _expand_span: grow only when span < target, and the
+            # clamp applies only on the grown branch.
+            span = hi - lo + 1
+            grow = (target - span) * 0.5
+            need = span < target
+            new_lo = np.where(need, np.maximum(clamp_lo, lo - grow), lo)
+            new_hi = np.where(need, np.minimum(clamp_hi, hi + grow), hi)
+            return new_lo, new_hi
+
+        ref_h = raw[4] * ref_char_height_ratio
+        ref_w = raw[5] * ref_char_width_ratio
+        if self.is_hori:
+            ups, downs = expand(raw[0], raw[1], ref_h, 0, page_height - 1)
+            lefts, rights = expand(raw[2], raw[3], ref_w, 0, page_width - 1)
+        else:
+            # Vertical layout: the glyph's height metric runs across.
+            lefts, rights = expand(raw[2], raw[3], ref_h, 0, page_width - 1)
+            ups, downs = expand(raw[0], raw[1], ref_w,
+                                self.box.up, page_height - 1)
+        spans = np.stack([ups, downs, lefts, rights])
+        # Banker's rounding, matching int(round(x)) on the scalar path.
+        return spans, np.round(spans).astype(np.int64)
+
+    @staticmethod
+    def quad_spans_to_polygons(spans: np.ndarray) -> List[Polygon]:
+        """Build the char quad Polygons from to_char_quad_spans output."""
+        ups, downs, lefts, rights = spans
+        n = spans.shape[1]
+        quads = np.empty((n, 4, 2), dtype=np.float64)
+        quads[:, 0, 0] = lefts
+        quads[:, 0, 1] = ups
+        quads[:, 1, 0] = rights
+        quads[:, 1, 1] = ups
+        quads[:, 2, 0] = rights
+        quads[:, 2, 1] = downs
+        quads[:, 3, 0] = lefts
+        quads[:, 3, 1] = downs
+        return [Polygon(np_xy=quads[i]) for i in range(n)]
+
     def to_char_polygons(self, page_height: int, page_width: int,
                          ref_char_height_ratio: float = 1.0,
                          ref_char_width_ratio: float = 1.0) -> List[Polygon]:
         """Char quads grown to the glyph reference metrics."""
-        assert len(self.char_boxes) == len(self.char_glyphs)
-        polygons: List[Polygon] = []
-        for cb, glyph in zip(self.char_boxes, self.char_glyphs):
-            ref_h = glyph.ref_char_height * ref_char_height_ratio
-            ref_w = glyph.ref_char_width * ref_char_width_ratio
-            if self.is_hori:
-                up, down = _expand_span(cb.up, cb.down, ref_h, 0, page_height - 1)
-                left, right = _expand_span(cb.left, cb.right, ref_w, 0, page_width - 1)
-            else:
-                # Vertical layout: the glyph's height metric runs across.
-                left, right = _expand_span(cb.left, cb.right, ref_h, 0, page_width - 1)
-                up, down = _expand_span(
-                    cb.up, cb.down, ref_w, self.box.up, page_height - 1
-                )
-            polygons.append(self.build_char_polygon(up, down, left, right))
-        return polygons
+        spans, _ = self.to_char_quad_spans(
+            page_height, page_width, ref_char_height_ratio,
+            ref_char_width_ratio,
+        )
+        return self.quad_spans_to_polygons(spans)
 
     def get_height_points(self, num_points: int, is_up: bool) -> PointList:
         """Evenly spread anchor points on the up (or down) long edge."""

@@ -450,22 +450,24 @@ class SynthPlanner:
                           slice(w_left, w_right + 1))
                 tl_mask_mat[window] = 1.0
                 tl_height_mat[window] = float(wb.height)
-            chars = word.to_char_polygons(
+            spans, ispans = word.to_char_quad_spans(
                 page_height=height, page_width=width,
                 ref_char_height_ratio=cfg.ref_char_height_ratio,
                 ref_char_width_ratio=cfg.ref_char_width_ratio,
             )
-            char_polygons.extend(chars)
+            char_polygons.extend(word.quad_spans_to_polygons(spans))
             # Char polygons are axis-aligned rectangles (ref-metric box
-            # expansion, TextLine.build_char_polygon): direct slice fills
-            # are ~50x the generic polygon rasterizer here (tens of
-            # thousands of tiny fills per page batch).
-            for char_polygon, char_box in zip(chars, word.char_boxes):
-                xy = char_polygon.np_xy
-                left = max(int(round(xy[:, 0].min())), 0)
-                right = min(int(round(xy[:, 0].max())), width - 1)
-                up = max(int(round(xy[:, 1].min())), 0)
-                down = min(int(round(xy[:, 1].max())), height - 1)
+            # expansion, TextLine.build_char_polygon), so the quad spans
+            # ARE the fill windows: direct slice fills are ~50x the
+            # generic polygon rasterizer here (tens of thousands of tiny
+            # fills per page batch).
+            ups = np.maximum(ispans[0], 0)
+            downs = np.minimum(ispans[1], height - 1)
+            lefts = np.maximum(ispans[2], 0)
+            rights = np.minimum(ispans[3], width - 1)
+            for k, char_box in enumerate(word.char_boxes):
+                up, down = ups[k], downs[k]
+                left, right = lefts[k], rights[k]
                 if right < left or down < up:
                     continue
                 window = (slice(up, down + 1), slice(left, right + 1))

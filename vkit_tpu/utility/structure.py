@@ -11,6 +11,7 @@ top of ``attrs`` field introspection + ``typing`` reflection.  Semantics kept:
   fields are structured recursively.
 """
 import collections.abc
+import functools
 import json
 import os
 import typing
@@ -29,6 +30,14 @@ NoneType = type(None)
 
 def is_attrs_class(cls: Any) -> bool:
     return isinstance(cls, type) and attr.has(cls)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_type_hints(cls: type) -> Mapping[str, Any]:
+    # get_type_hints re-evaluates every annotation string on each call;
+    # run configs are structured once per engine invocation, so this is
+    # hot (hundreds of calls per synthesized page).
+    return typing.get_type_hints(cls)
 
 
 def _structure_union(value: Any, args: Sequence[Any]):
@@ -105,7 +114,7 @@ def structure(value: Any, cls: Type[_T]) -> _T:
         extra = set(value.keys()) - names
         if extra:
             raise TypeError(f'Extra keys {sorted(extra)} for {cls.__name__}')
-        hints = typing.get_type_hints(cls)
+        hints = _cached_type_hints(cls)
         kwargs = {}
         for f in fields:
             if f.name in value:

@@ -287,14 +287,8 @@ class Box(NamedTuple):
 
     @classmethod
     def from_boxes(cls, boxes: Iterable['Box']) -> 'Box':
-        bounds = np.asarray([tuple(b) for b in boxes], dtype=np.int64)
-        assert bounds.size
-        return cls(
-            int(bounds[:, 0].min()),
-            int(bounds[:, 1].max()),
-            int(bounds[:, 2].min()),
-            int(bounds[:, 3].max()),
-        )
+        ups, downs, lefts, rights = zip(*boxes)
+        return cls(min(ups), max(downs), min(lefts), max(rights))
 
     @property
     def height(self) -> int:

@@ -226,9 +226,16 @@ def _fit_and_trim_geometry(
         # across the line, so one clip/round over all boxes replaces a
         # per-char Box.to_conducted_resized_box chain.  Op order matches
         # the scalar path (val * new_size / size, clamp, banker's round).
-        coords = np.array(
-            [cb.box for cb in char_boxes], dtype=np.float64
-        )  # (N, 4): up, down, left, right
+        # (N, 4): up, down, left, right.  Filled per-field: np.array on a
+        # list of NamedTuples takes the generic sequence protocol (~400us
+        # per line here).
+        coords = np.empty((len(char_boxes), 4), dtype=np.float64)
+        for i, cb in enumerate(char_boxes):
+            b = cb.box
+            coords[i, 0] = b.up
+            coords[i, 1] = b.down
+            coords[i, 2] = b.left
+            coords[i, 3] = b.right
         ys = np.round(np.clip(coords[:, :2] * rh / line_h, 0, rh - 1))
         xs = np.round(np.clip(coords[:, 2:] * rw / line_w, 0, rw - 1))
         char_boxes = [

@@ -215,6 +215,9 @@ def _fit_and_trim_geometry(
     too_small = current / target < 0.8
     too_large = current > target
 
+    # Both rescale and pad adjust every box; accumulate the coordinate
+    # updates in one array and construct the final CharBox list once.
+    ys = xs = None
     if too_small or too_large:
         from ...element.blend import scaled_shape
         rh, rw = scaled_shape(
@@ -236,13 +239,8 @@ def _fit_and_trim_geometry(
             coords[i, 1] = b.down
             coords[i, 2] = b.left
             coords[i, 3] = b.right
-        ys = np.round(np.clip(coords[:, :2] * rh / line_h, 0, rh - 1))
-        xs = np.round(np.clip(coords[:, 2:] * rw / line_w, 0, rw - 1))
-        char_boxes = [
-            CharBox(cb.char, Box(int(ys[i, 0]), int(ys[i, 1]),
-                                 int(xs[i, 0]), int(xs[i, 1])))
-            for i, cb in enumerate(char_boxes)
-        ]
+        ys = np.round(np.clip(coords[:, :2] * rh / line_h, 0, rh - 1)).astype(np.int64)
+        xs = np.round(np.clip(coords[:, 2:] * rw / line_w, 0, rw - 1)).astype(np.int64)
         line_h, line_w = rh, rw
 
     current = line_h if is_hori else line_w
@@ -250,18 +248,28 @@ def _fit_and_trim_geometry(
         pad = target - current
         assert pad > 0
         pad_lo = pad // 2
+        if ys is None:
+            ys = np.empty((len(char_boxes), 2), dtype=np.int64)
+            xs = np.empty((len(char_boxes), 2), dtype=np.int64)
+            for i, cb in enumerate(char_boxes):
+                b = cb.box
+                ys[i, 0] = b.up
+                ys[i, 1] = b.down
+                xs[i, 0] = b.left
+                xs[i, 1] = b.right
         if is_hori:
-            char_boxes = [
-                CharBox(cb.char, cb.box.to_shifted_box(offset_y=pad_lo))
-                for cb in char_boxes
-            ]
+            ys += pad_lo
             line_h = target
         else:
-            char_boxes = [
-                CharBox(cb.char, cb.box.to_shifted_box(offset_x=pad_lo))
-                for cb in char_boxes
-            ]
+            xs += pad_lo
             line_w = target
+
+    if ys is not None:
+        char_boxes = [
+            CharBox(cb.char, Box(int(ys[i, 0]), int(ys[i, 1]),
+                                 int(xs[i, 0]), int(xs[i, 1])))
+            for i, cb in enumerate(char_boxes)
+        ]
 
     limit = run_config.width if is_hori else run_config.height
     extent = line_w if is_hori else line_h

@@ -601,6 +601,69 @@ class TextLine:
         quads[:, 3, 1] = downs
         return [Polygon(np_xy=quads[i]) for i in range(n)]
 
+    @staticmethod
+    def batch_char_quad_spans(words: Sequence['TextLine'],
+                              page_height: int, page_width: int,
+                              ref_char_height_ratio: float = 1.0,
+                              ref_char_width_ratio: float = 1.0,
+                              ):
+        """to_char_quad_spans over many words in ONE vectorized pass.
+
+        Per-word calls see ~4-char arrays where numpy per-op overhead
+        dominates; a page has hundreds of words, so flattening across
+        words is ~20x cheaper.  Bitwise-identical to the per-word path
+        (same elementwise op order).  Returns (spans, ispans, offsets)
+        where word k owns columns offsets[k]:offsets[k+1].
+        """
+        counts = [len(w.char_boxes) for w in words]
+        total = sum(counts)
+        # Rows: up, down, left, right, target_y, target_x, clamp_lo_y.
+        raw = np.empty((7, total), dtype=np.float64)
+        i = 0
+        for w in words:
+            is_hori = w.is_hori
+            clamp_lo_y = 0.0 if is_hori else float(w.box.up)
+            for cb, glyph in zip(w.char_boxes, w.char_glyphs):
+                b = cb.box
+                raw[0, i] = b.up
+                raw[1, i] = b.down
+                raw[2, i] = b.left
+                raw[3, i] = b.right
+                rc_h = glyph.ref_char_height * ref_char_height_ratio
+                rc_w = glyph.ref_char_width * ref_char_width_ratio
+                if is_hori:
+                    raw[4, i] = rc_h
+                    raw[5, i] = rc_w
+                else:
+                    # Vertical layout: the glyph's height metric runs
+                    # across.
+                    raw[4, i] = rc_w
+                    raw[5, i] = rc_h
+                raw[6, i] = clamp_lo_y
+                i += 1
+
+        def expand(lo, hi, target, clamp_lo, clamp_hi):
+            span = hi - lo + 1
+            grow = (target - span) * 0.5
+            need = span < target
+            new_lo = np.where(need, np.maximum(clamp_lo, lo - grow), lo)
+            new_hi = np.where(need, np.minimum(clamp_hi, hi + grow), hi)
+            return new_lo, new_hi
+
+        spans = np.empty((4, total), dtype=np.float64)
+        spans[0], spans[1] = expand(raw[0], raw[1], raw[4],
+                                    raw[6], page_height - 1)
+        spans[2], spans[3] = expand(raw[2], raw[3], raw[5],
+                                    0, page_width - 1)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return spans, np.round(spans).astype(np.int64), offsets
+
+    @staticmethod
+    def batch_quad_spans_to_polygons(spans: np.ndarray) -> List[Polygon]:
+        """Alias of quad_spans_to_polygons for flattened batch spans."""
+        return TextLine.quad_spans_to_polygons(spans)
+
     def to_char_polygons(self, page_height: int, page_width: int,
                          ref_char_height_ratio: float = 1.0,
                          ref_char_width_ratio: float = 1.0) -> List[Polygon]:

@@ -431,12 +431,12 @@ class SynthPlanner:
         ch_height_mat = np.zeros(shape, dtype=np.float32)
 
         word_polygons: List[Polygon] = []
-        char_polygons: List[Polygon] = []
+        kept_words: List = []
         for word in text_lines:
             if word.box.height < 2 or word.box.width < 2:
                 continue  # degenerate sliver (e.g. a lone 1-px-wide glyph)
-            polygon = word.to_polygon()
-            word_polygons.append(polygon)
+            kept_words.append(word)
+            word_polygons.append(word.to_polygon())
             # The word outline region IS its bounding rect (to_polygon's
             # anchors ride the box edges): direct slice fills replace the
             # generic polygon rasterizer, like the char channels below.
@@ -450,32 +450,40 @@ class SynthPlanner:
                           slice(w_left, w_right + 1))
                 tl_mask_mat[window] = 1.0
                 tl_height_mat[window] = float(wb.height)
-            spans, ispans = word.to_char_quad_spans(
-                page_height=height, page_width=width,
+
+        # One vectorized quad-span pass over every kept word (per-word
+        # calls see ~4-char arrays where numpy overhead dominates).
+        char_polygons: List[Polygon] = []
+        if kept_words:
+            from ..engine.font.type import TextLine
+            spans, ispans, offsets = TextLine.batch_char_quad_spans(
+                kept_words, page_height=height, page_width=width,
                 ref_char_height_ratio=cfg.ref_char_height_ratio,
                 ref_char_width_ratio=cfg.ref_char_width_ratio,
             )
-            char_polygons.extend(word.quad_spans_to_polygons(spans))
+            char_polygons = TextLine.quad_spans_to_polygons(spans)
             # Char polygons are axis-aligned rectangles (ref-metric box
-            # expansion, TextLine.build_char_polygon), so the quad spans
-            # ARE the fill windows: direct slice fills are ~50x the
-            # generic polygon rasterizer here (tens of thousands of tiny
-            # fills per page batch).
+            # expansion), so the quad spans ARE the fill windows: direct
+            # slice fills are ~50x the generic polygon rasterizer here
+            # (tens of thousands of tiny fills per page batch).
             ups = np.maximum(ispans[0], 0)
             downs = np.minimum(ispans[1], height - 1)
             lefts = np.maximum(ispans[2], 0)
             rights = np.minimum(ispans[3], width - 1)
-            for k, char_box in enumerate(word.char_boxes):
-                up, down = ups[k], downs[k]
-                left, right = lefts[k], rights[k]
-                if right < left or down < up:
-                    continue
-                window = (slice(up, down + 1), slice(left, right + 1))
-                ch_mask_mat[window] = 1.0
-                np.maximum(
-                    ch_height_mat[window], float(char_box.height),
-                    out=ch_height_mat[window],
-                )
+            for w_idx, word in enumerate(kept_words):
+                base = offsets[w_idx]
+                for k, char_box in enumerate(word.char_boxes):
+                    j = base + k
+                    up, down = ups[j], downs[j]
+                    left, right = lefts[j], rights[j]
+                    if right < left or down < up:
+                        continue
+                    window = (slice(up, down + 1), slice(left, right + 1))
+                    ch_mask_mat[window] = 1.0
+                    np.maximum(
+                        ch_height_mat[window], float(char_box.height),
+                        out=ch_height_mat[window],
+                    )
 
         label_stack = np.stack(
             [tl_mask_mat, tl_height_mat, ch_mask_mat, ch_height_mat],

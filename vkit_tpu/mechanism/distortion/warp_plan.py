@@ -101,8 +101,73 @@ class WarpPlan:
         )
         return quads.reshape(-1, 4, 2)
 
+    def _cell_mats_native(self, inverse: bool):
+        """Native single-pass twin of _cell_mats (closed form + adjugate
+        inverse + validation in C, no 6k-cell numpy temps); None when the
+        library is unavailable.  Cells the closed form cannot certify
+        fall back to the linear solver exactly like the numpy path."""
+        try:
+            from ...native import load_library
+            lib = load_library()
+        except Exception:  # noqa: BLE001
+            return None
+        if lib is None or not hasattr(lib, 'vg_cell_mats'):
+            return None
+        import ctypes
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        src, dst = self._quads('src'), self._quads('dst')
+        n = len(src)
+        rects = np.ascontiguousarray(
+            np.stack([src[:, 0, 0], src[:, 0, 1],
+                      src[:, 2, 0], src[:, 2, 1]], axis=1)
+        )
+        dstc = np.ascontiguousarray(dst, dtype=np.float64)
+        fwd = np.empty((n, 3, 3), dtype=np.float64)
+        inv = np.empty((n, 3, 3), dtype=np.float64)
+        bad = np.empty(n, dtype=np.uint8)
+        lib.vg_cell_mats(
+            rects.ctypes.data_as(f64p), dstc.ctypes.data_as(f64p),
+            n, fwd.ctypes.data_as(f64p), inv.ctypes.data_as(f64p),
+            bad.ctypes.data_as(u8p),
+        )
+        bad_fwd = (bad & 1).astype(bool)
+        if bad_fwd.any():
+            fwd[bad_fwd] = warp_ops.solve_perspective_batch(
+                src[bad_fwd], dst[bad_fwd]
+            )
+            # The C pass computed these cells' inverses from the
+            # pre-fallback closed form; redo them (numpy-path semantics:
+            # det-guarded matrix inverse of the FINAL forward).
+            f = fwd[bad_fwd]
+            with np.errstate(all='ignore'):
+                det = np.linalg.det(f)
+                safe = np.isfinite(det) & (np.abs(det) > 1e-12)
+                inv_f = np.linalg.inv(
+                    np.where(safe[:, None, None], f, np.eye(3)[None])
+                )
+            inv[bad_fwd] = inv_f
+            # Recompute bit1 for these cells from the final forward.
+            bad[bad_fwd] &= np.uint8(1)
+            still = np.flatnonzero(bad_fwd)[
+                ~(safe & np.isfinite(inv_f).all(axis=(1, 2)))
+            ]
+            bad[still] |= 2
+        bad_inv = (bad & 2).astype(bool)
+        if bad_inv.any():
+            inv[bad_inv] = warp_ops.solve_perspective_batch(
+                dst[bad_inv], src[bad_inv]
+            )
+        self._cache['fwd_mats'] = fwd
+        self._cache['inv_mats'] = inv
+        return self._cache['inv_mats' if inverse else 'fwd_mats']
+
     def _cell_mats(self, inverse: bool) -> np.ndarray:
         key = 'inv_mats' if inverse else 'fwd_mats'
+        if key not in self._cache:
+            native = self._cell_mats_native(inverse)
+            if native is not None:
+                return native
         if key not in self._cache:
             if 'fwd_mats' not in self._cache:
                 # The SOURCE lattice cells are axis-aligned rectangles by

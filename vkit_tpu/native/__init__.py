@@ -91,6 +91,12 @@ def load_library() -> Optional[ctypes.CDLL]:
             f32p, f32p, ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.vg_lattice_node_maps.restype = None
+    if hasattr(lib, 'vg_cell_mats'):
+        lib.vg_cell_mats.argtypes = [
+            f64p, f64p, ctypes.c_int,
+            f64p, f64p, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.vg_cell_mats.restype = None
     if hasattr(lib, 'vg_repair_backward_maps'):
         lib.vg_repair_backward_maps.argtypes = [
             f64p, f64p, ctypes.POINTER(ctypes.c_uint8),

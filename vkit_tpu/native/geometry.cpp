@@ -554,4 +554,117 @@ void vg_resize_f32(
     }
 }
 
+
+// ---------------------------------------------------------------------------
+// vg_cell_mats: per-cell lattice homographies in one pass.
+//
+// Mirrors the numpy pipeline in mechanism/distortion/warp_plan.py
+// _cell_mats (closed-form rect->quad from ops/warp.py rect_to_quad_mats,
+// corner-mapping validation, projective inverse).  Source cells are
+// axis-aligned rects; rects: K * 4 (x_left, y_top, x_right, y_bottom);
+// dst quads: K * 8 (x, y clockwise from up-left).  Outputs: fwd / inv
+// K * 9 row-major; bad: bit0 = forward needs the linear-solver fallback,
+// bit1 = inverse does.  Same arithmetic order as the numpy path (build
+// with -ffp-contract=off) so results match the fallback bit-for-bit on
+// well-conditioned cells.
+void vg_cell_mats(
+    const double* rects,
+    const double* dst_quads,
+    int n_cells,
+    double* fwd_out, double* inv_out, uint8_t* bad_out) {
+    for (int c = 0; c < n_cells; ++c) {
+        const double* q = dst_quads + c * 8;
+        const double x0 = q[0], y0 = q[1];
+        const double x1 = q[2], y1 = q[3];
+        const double x2 = q[4], y2 = q[5];
+        const double x3 = q[6], y3 = q[7];
+
+        const double sx = x0 - x1 + x2 - x3;
+        const double sy = y0 - y1 + y2 - y3;
+        const double dx1 = x1 - x2, dy1 = y1 - y2;
+        const double dx2 = x3 - x2, dy2 = y3 - y2;
+        double den = dx1 * dy2 - dx2 * dy1;
+        if (std::fabs(den) < 1e-12) den = 1e-12;
+        const double g = (sx * dy2 - dx2 * sy) / den;
+        const double h = (dx1 * sy - sx * dy1) / den;
+
+        double hu[9] = {
+            x1 - x0 + g * x1, x3 - x0 + h * x3, x0,
+            y1 - y0 + g * y1, y3 - y0 + h * y3, y0,
+            g, h, 1.0,
+        };
+        const double rl = rects[c * 4 + 0], rt = rects[c * 4 + 1];
+        const double rr = rects[c * 4 + 2], rb = rects[c * 4 + 3];
+        double w = rr - rl; if (w < 1e-12) w = 1e-12;
+        double hg = rb - rt; if (hg < 1e-12) hg = 1e-12;
+        // Pre-compose with rect -> unit square (scale + translate), then
+        // normalize so H[2][2] = 1 like the linear solver.
+        const double s00 = 1.0 / w, s02 = -rl / w;
+        const double s11 = 1.0 / hg, s12 = -rt / hg;
+        double m[9];
+        m[0] = hu[0] * s00;
+        m[1] = hu[1] * s11;
+        m[2] = hu[0] * s02 + hu[1] * s12 + hu[2];
+        m[3] = hu[3] * s00;
+        m[4] = hu[4] * s11;
+        m[5] = hu[3] * s02 + hu[4] * s12 + hu[5];
+        m[6] = hu[6] * s00;
+        m[7] = hu[7] * s11;
+        m[8] = hu[6] * s02 + hu[7] * s12 + hu[8];
+        const double nrm = m[8];
+        for (int i = 0; i < 9; ++i) m[i] /= nrm;
+
+        uint8_t bad = 0;
+        for (int i = 0; i < 9; ++i) {
+            if (!std::isfinite(m[i])) { bad |= 1; break; }
+        }
+        if (!bad) {
+            // Corner-mapping validation: the closed form loses precision
+            // on near-degenerate rounded cells.
+            const double cx[4] = {rl, rr, rr, rl};
+            const double cy[4] = {rt, rt, rb, rb};
+            double err = 0.0;
+            for (int k = 0; k < 4; ++k) {
+                const double wp = m[6] * cx[k] + m[7] * cy[k] + m[8];
+                const double xp = (m[0] * cx[k] + m[1] * cy[k] + m[2]) / wp;
+                const double yp = (m[3] * cx[k] + m[4] * cy[k] + m[5]) / wp;
+                const double ex = std::fabs(xp - q[2 * k]);
+                const double ey = std::fabs(yp - q[2 * k + 1]);
+                if (ex > err) err = ex;
+                if (ey > err) err = ey;
+            }
+            if (!(err <= 1e-6)) bad |= 1;
+        }
+        for (int i = 0; i < 9; ++i) fwd_out[c * 9 + i] = m[i];
+
+        // Projective inverse via adjugate / det; consumers divide by w,
+        // so no normalization (warp_plan.py:135-147 semantics).
+        const double det =
+            m[0] * (m[4] * m[8] - m[5] * m[7])
+            - m[1] * (m[3] * m[8] - m[5] * m[6])
+            + m[2] * (m[3] * m[7] - m[4] * m[6]);
+        double* inv = inv_out + c * 9;
+        if (!std::isfinite(det) || std::fabs(det) <= 1e-12) {
+            bad |= 2;
+            for (int i = 0; i < 9; ++i) inv[i] = (i % 4 == 0) ? 1.0 : 0.0;
+        } else {
+            const double id = 1.0 / det;
+            inv[0] = (m[4] * m[8] - m[5] * m[7]) * id;
+            inv[1] = (m[2] * m[7] - m[1] * m[8]) * id;
+            inv[2] = (m[1] * m[5] - m[2] * m[4]) * id;
+            inv[3] = (m[5] * m[6] - m[3] * m[8]) * id;
+            inv[4] = (m[0] * m[8] - m[2] * m[6]) * id;
+            inv[5] = (m[2] * m[3] - m[0] * m[5]) * id;
+            inv[6] = (m[3] * m[7] - m[4] * m[6]) * id;
+            inv[7] = (m[1] * m[6] - m[0] * m[7]) * id;
+            inv[8] = (m[0] * m[4] - m[1] * m[3]) * id;
+            for (int i = 0; i < 9; ++i) {
+                if (!std::isfinite(inv[i])) { bad |= 2; break; }
+            }
+        }
+        bad_out[c] = bad;
+    }
+}
+
 }  // extern "C"
+

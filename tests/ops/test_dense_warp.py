@@ -49,6 +49,35 @@ def test_mixed_field_close(smooth_image):
     assert np.abs(out - ref)[interior].max() < 1.0
 
 
+def test_banded_plan_rejects_oversized_sources():
+    """Sources longer than the kernel window's base capacity (1280 px)
+    must REJECT to the gather fallback, not silently clamp bases (which
+    zeroes far-edge content — advisor finding r3)."""
+    from vkit_tpu.ops.warp_banded import plan_banded_warp
+
+    def identity_plan(size):
+        nodes = np.unique(
+            np.concatenate([np.arange(0, size, 64), [size - 1]])
+        ).astype(np.float64)
+        r = q = len(nodes)
+        cy = np.broadcast_to(nodes[:, None], (r, q))[None].copy()
+        cx = np.broadcast_to(nodes[None, :], (r, q))[None].copy()
+        return plan_banded_warp(
+            cy, cx, nodes, nodes, (size, size), (size, size)
+        )
+
+    # Control: a normal canvas plans with no rejects.
+    planned = identity_plan(640)
+    assert planned is not None and len(planned[2]) == 0
+    # 1400 px: bases land at 128-block starts, the largest (1278) still
+    # fits the window — servable, must NOT reject.
+    planned = identity_plan(1400)
+    assert planned is not None and len(planned[2]) == 0
+    # 1600 px: far-edge blocks need bases ~1534 > 1280; the single
+    # sample must reject (plan returns None when all samples reject).
+    assert identity_plan(1600) is None
+
+
 def test_batched_grid_warp_camera():
     from scipy.ndimage import binary_erosion, gaussian_filter
 

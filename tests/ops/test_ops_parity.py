@@ -227,3 +227,26 @@ def test_jpeg_roundtrip_bit_exact_vs_libjpeg():
     enc = cv2.imencode('.jpg', gray, [cv2.IMWRITE_JPEG_QUALITY, 40])[1]
     ref = cv2.imdecode(enc, cv2.IMREAD_GRAYSCALE)
     assert np.array_equal(ref, jpeg_roundtrip_exact(gray, 40))
+
+
+def test_jpeg_roundtrip_jnp_arbitrary_shapes():
+    """The device twin must match the numpy path on NON-16-multiple shapes
+    (arbitrary page/canvas sizes reach the batched jpeg draw)."""
+    from vkit_tpu.ops.effect import (
+        _CHROMA_QTABLE, _LUMA_QTABLE, _quality_scaled_table,
+    )
+    from vkit_tpu.ops.jpeg_exact import (
+        jpeg_roundtrip_exact, jpeg_roundtrip_exact_jnp,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, q in [(64, 64, 60), (89, 92, 56), (33, 57, 30), (70, 91, 85)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        luma = jnp.asarray(
+            _quality_scaled_table(_LUMA_QTABLE, q).astype(np.int32))
+        chroma = jnp.asarray(
+            _quality_scaled_table(_CHROMA_QTABLE, q).astype(np.int32))
+        got = np.asarray(
+            jax.jit(jpeg_roundtrip_exact_jnp)(jnp.asarray(img), luma, chroma))
+        ref = jpeg_roundtrip_exact(img, q)
+        assert np.array_equal(ref, got), (h, w, q)

@@ -24,11 +24,14 @@ Catalog coverage:
 
 Entry point: ``batch_distort_images(name, configs, images, key)``.
 """
+import logging
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..ops import blur as blur_ops
 from ..ops import color as color_ops
@@ -2206,9 +2209,19 @@ def _prep_zoom(configs, shape, key):
     rws = np.full((len(configs), _ZOOM_MAX_STEPS), w, dtype=np.int32)
     counts = np.zeros(len(configs), dtype=np.int32)
     for idx, cfg in enumerate(configs):
-        zooms = np.arange(
-            1 + cfg.step, 1 + cfg.ratio + cfg.step, cfg.step
-        )[:_ZOOM_MAX_STEPS]
+        zooms = np.arange(1 + cfg.step, 1 + cfg.ratio + cfg.step, cfg.step)
+        if len(zooms) > _ZOOM_MAX_STEPS:
+            # The traced program unrolls _ZOOM_MAX_STEPS stages; deeper
+            # ladders would silently diverge from the reference's full
+            # average — no silent caps (the policy's level-10 maximum is
+            # ratio 0.4 / step 0.02 = 20 steps, so this only fires on
+            # hand-written extreme configs).
+            logger.warning(
+                'zoom_in_blur: ratio/step = %d zoom levels exceeds the '
+                'traced maximum %d; truncating (visually equivalent, not '
+                'reference-exact)', len(zooms), _ZOOM_MAX_STEPS,
+            )
+            zooms = zooms[:_ZOOM_MAX_STEPS]
         counts[idx] = len(zooms)
         for k, z in enumerate(zooms):
             rhs[idx, k] = round(h * z)

@@ -411,16 +411,22 @@ def jpeg_roundtrip_exact(image: np.ndarray, quality: int) -> np.ndarray:
 def jpeg_roundtrip_exact_jnp(image, luma_q, chroma_q):
     """Bit-exact libjpeg roundtrip on device, int32 arithmetic.
 
-    ``image``: (H, W, 3) uint8 RGB with H, W multiples of 16 (the batched
-    canvases are); ``luma_q``/``chroma_q``: (8, 8) int32 tables.  The
-    intermediate ranges fit int32 because the operation order mirrors the
-    C code (verified bit-equal to the int64 numpy path in tests).
+    ``image``: (H, W, 3) uint8 RGB, any shape (pads are static at trace
+    time and mirror the numpy path's asymmetric edge expansion: columns
+    expand at the source level before downsampling, bottom rows pad at
+    the subsampled plane's block boundary); ``luma_q``/``chroma_q``:
+    (8, 8) int32 tables.  The intermediate ranges fit int32 because the
+    operation order mirrors the C code (verified bit-equal to the int64
+    numpy path in tests).
     """
     import jax.numpy as jnp
 
     h, w = image.shape[:2]
-    assert h % 16 == 0 and w % 16 == 0, (h, w)
     rgb = image.astype(jnp.int32)
+    # Source-level pad to even dims (mirrors _pad_edge(channel, 2)).
+    h2, w2 = h + (-h) % 2, w + (-w) % 2
+    if (h2, w2) != (h, w):
+        rgb = jnp.pad(rgb, ((0, h2 - h), (0, w2 - w), (0, 0)), mode='edge')
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
 
     cbcr_offset = 128 << _SCALEBITS
@@ -437,9 +443,17 @@ def jpeg_roundtrip_exact_jnp(image, luma_q, chroma_q):
     ) >> _SCALEBITS
 
     def down(c):
-        v = c.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
-        bias = jnp.where((jnp.arange(w // 2) % 2) == 0, 1, 2)[None, :]
+        hh, ww = c.shape
+        v = c.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3))
+        bias = jnp.where((jnp.arange(ww // 2) % 2) == 0, 1, 2)[None, :]
         return (v + bias) >> 2
+
+    def pad_to(c, mult_h, mult_w):
+        hh, ww = c.shape
+        ph, pw = (-hh) % mult_h, (-ww) % mult_w
+        if ph or pw:
+            c = jnp.pad(c, ((0, ph), (0, pw)), mode='edge')
+        return c
 
     def blockify(c):
         hh, ww = c.shape
@@ -466,9 +480,13 @@ def jpeg_roundtrip_exact_jnp(image, luma_q, chroma_q):
         spatial = _idct_islow_xp(quant * q[None], jnp) + 128
         return unblockify(jnp.clip(spatial, 0, 255), hh, ww)
 
-    y_rt = roundtrip(y, luma_q)
-    cb_rt = roundtrip(down(cb), chroma_q)
-    cr_rt = roundtrip(down(cr), chroma_q)
+    y_rt = roundtrip(pad_to(y, 8, 8), luma_q)[:h, :w]
+    # Chroma: columns expand to the 16-multiple at source level, bottom
+    # rows pad at the subsampled plane's own 8-block boundary; the
+    # decoder's fancy upsampler walks only the real downsampled extent.
+    ch, cw = -(-h // 2), -(-w // 2)
+    cb_rt = roundtrip(pad_to(down(pad_to(cb, 1, 16)), 8, 1), chroma_q)[:ch, :cw]
+    cr_rt = roundtrip(pad_to(down(pad_to(cr, 1, 16)), 8, 1), chroma_q)[:ch, :cw]
 
     def fancy_up(sub):
         sh, sw = sub.shape
@@ -485,8 +503,8 @@ def jpeg_roundtrip_exact_jnp(image, luma_q, chroma_q):
         out = out.at[:, -1].set((rows[:, -1] * 4 + 7) >> 4)
         return out
 
-    cb_up = fancy_up(cb_rt)
-    cr_up = fancy_up(cr_rt)
+    cb_up = fancy_up(cb_rt)[:h, :w]
+    cr_up = fancy_up(cr_rt)[:h, :w]
 
     cbd = cb_up - 128
     crd = cr_up - 128

@@ -133,6 +133,16 @@ class BandedWarpPlan(NamedTuple):
     pass_h: BandedPassPlan
 
 
+# The banded kernel's VMEM scratch window is 2048 lanes with the source
+# row placed at offset 512 (pallas_kernels._banded_resample_kernel); a
+# block reads lanes [base, base + 128 + taps) without wrap only for
+# base in [-512, 2048 - 512 - 256].  Bases beyond _BASE_MAX cannot be
+# served (they would silently emit zero: all hat weights vanish after
+# clamping) — the planner flags such samples so callers reject them to
+# the gather fallback.
+_BASE_MAX = 1280
+
+
 def plan_banded_pass(
     nodes_pos: np.ndarray,
     node_l: np.ndarray,
@@ -140,6 +150,7 @@ def plan_banded_pass(
     out_len: int,
     lines: int,
     valid: Optional[np.ndarray] = None,
+    in_len: Optional[int] = None,
 ):
     """Per-(line, block) integer bases + per-sample tap needs for one pass.
 
@@ -151,7 +162,13 @@ def plan_banded_pass(
     unconsumed positions (canvas-edge extensions outside the active
     content) are excluded from the tap bounds.
 
-    Returns (base (N, L, JP/128) int64, needs (N,), jp).
+    Returns (base (N, L, JP/128) int64, needs (N,), jp, over (N,) bool).
+    ``over`` marks samples whose consumed content needs bases beyond the
+    kernel's window (sources longer than _BASE_MAX px on this axis) —
+    the banded pass would silently zero that content, so callers must
+    reject them.  Only possible when ``in_len`` exceeds _BASE_MAX;
+    shorter sources never set it (pre-clip excursions there come from
+    edge extrapolation in unconsumed regions, clamped harmlessly).
     """
     n, rl, rj = nodes_pos.shape
     node_l = np.asarray(node_l, dtype=np.int64)
@@ -202,10 +219,14 @@ def plan_banded_pass(
         )
     drift = base_full.reshape(n, groups, 8, nblk)
     base = np.floor(drift.min(axis=2)).astype(np.int64) - 2
-    base = np.clip(base, -500, 1280)
+    if in_len is not None and in_len > _BASE_MAX:
+        over = base.max(axis=(1, 2)) > _BASE_MAX
+    else:
+        over = np.zeros(n, dtype=bool)
+    base = np.clip(base, -500, _BASE_MAX)
     group_drift = (drift.max(axis=2) - drift.min(axis=2)).max(axis=(1, 2))
     needs = np.ceil(span_max.max(axis=1) + group_drift) + 6
-    return base, needs, jp
+    return base, needs, jp, over
 
 
 def _quantize_taps(taps: int) -> int:
@@ -330,12 +351,15 @@ def plan_banded_warp(
     cc_h = np.where(flip_h[:, None], col_content[:, ::-1], col_content)
     valid_h = rc_v[:, :, None] & cc_h[:, None, :]
 
-    base_v, needs_v, jp_v = plan_banded_pass(
-        pos_v_eff, u_nodes, node_ys_i, h_out, w_in, valid=valid_v
+    base_v, needs_v, jp_v, over_v = plan_banded_pass(
+        pos_v_eff, u_nodes, node_ys_i, h_out, w_in, valid=valid_v,
+        in_len=h_in,
     )
-    base_h, needs_h, jp_h = plan_banded_pass(
-        ch_eff, node_ys_i, node_xs_i, w_out, jp_v, valid=valid_h
+    base_h, needs_h, jp_h, over_h = plan_banded_pass(
+        ch_eff, node_ys_i, node_xs_i, w_out, jp_v, valid=valid_h,
+        in_len=w_in,
     )
+    ok &= ~(over_v | over_h)
     needs = np.maximum(needs_v, needs_h)
     global _LAST_NEEDS
     _LAST_NEEDS = needs.copy()  # diagnostic (profiling probes)
@@ -356,10 +380,10 @@ def plan_banded_warp(
         ch_eff[rejects] = node_xs[None, None, :] * (
             (w_in - 1) / max(w_out - 1, 1)
         )
-        bv, _, _ = plan_banded_pass(
+        bv, _, _, _ = plan_banded_pass(
             pos_v_eff[rejects], u_nodes, node_ys_i, h_out, w_in
         )
-        bh, _, _ = plan_banded_pass(
+        bh, _, _, _ = plan_banded_pass(
             ch_eff[rejects], node_ys_i, node_xs_i, w_out, jp_v
         )
         base_v[rejects] = bv

@@ -41,14 +41,42 @@ from .prep import CHAR_HEIGHT, HostPage, TEXT_LINE_HEIGHT
 _OVERLAY_TILE_LADDER = (64, 128, 192, 256, 384, 512)
 
 
+def _split_oversized_overlay(sid, e, tile):
+    """Chop a stamp larger than the tile ladder into <= tile sub-entries
+    (adjacent, non-overlapping, so z-order within the stamp is moot).
+    The reference assembler composites stamps of ANY size
+    (vkit/pipeline/text_detection/page_assembler.py:154-274) — content
+    must never be size-dropped."""
+    import attr
+
+    h, w = e.alpha.shape
+    out = []
+    for r0 in range(0, h, tile):
+        for c0 in range(0, w, tile):
+            r1, c1 = min(r0 + tile, h), min(c0 + tile, w)
+            out.append((sid, attr.evolve(
+                e,
+                alpha=e.alpha[r0:r1, c0:c1],
+                rgb=None if e.rgb is None else e.rgb[r0:r1, c0:c1],
+                up=e.up + r0,
+                left=e.left + c0,
+            )))
+    return out
+
+
 def _composite_overlays(assembled, overlay):
     """Blend the ABOVE-TEXT page layers (symbols, seal stamps) in one
     device scan program (ops/glyph.composite_patches).  ``overlay``:
-    [(sample_id, OverlayEntry)] in z-order."""
-    overlay = [
-        (sid, e) for sid, e in overlay
-        if max(e.alpha.shape) <= _OVERLAY_TILE_LADDER[-1]
-    ]
+    [(sample_id, OverlayEntry)] in z-order.  Stamps beyond the tile
+    ladder split into ladder-sized sub-tiles — nothing is dropped."""
+    tile_max = _OVERLAY_TILE_LADDER[-1]
+    flat = []
+    for sid, e in overlay:
+        if max(e.alpha.shape) <= tile_max:
+            flat.append((sid, e))
+        else:
+            flat.extend(_split_oversized_overlay(sid, e, tile_max))
+    overlay = flat
     if not overlay:
         return assembled
     max_dim = max(max(e.alpha.shape) for _, e in overlay)
@@ -176,7 +204,13 @@ def _sample_crop_windows(
     """Per-page crop windows from ANALYTIC info only (content boxes +
     co-transformed word polygons): the text/active filters of
     page_cropping.py:87 evaluated on polygon bounding boxes instead of
-    label rasters, so no device->host readback gates the sampling."""
+    label rasters, so no device->host readback gates the sampling.
+
+    ``active_ratio_min`` is enforced on the content-box BBOX — an upper
+    bound on true raster coverage, so for strongly rotated/warped pages
+    a crop the reference's raster filter would reject (true active ratio
+    below the threshold) can still be emitted.  The text_ratio filter
+    (word-polygon bboxes, tight) dominates in practice."""
     h, w = out_shape
     s = crop.core_size
     sample_ids: List[int] = []

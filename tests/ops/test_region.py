@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from vkit_tpu.element import Image
 from vkit_tpu.mechanism.distortion import rotate
 from vkit_tpu.ops.region import (
+    region_flatten_point_map,
     batch_char_heatmaps,
     batch_flatten_regions,
     plan_region_flatten,
@@ -111,3 +112,49 @@ def test_plan_region_flatten_extents():
     assert (extents[1] == (64, 64)).all()
     # Identity matrix for angle 0.
     np.testing.assert_allclose(mats[0], np.eye(3), atol=1e-9)
+
+
+def test_flatten_rectangular_content_extents():
+    """Non-square content inside a padded square tile: the rotated CONTENT
+    bbox (not the canvas bbox) lands at the dst origin, and extents come
+    back (h, w)."""
+    rng = np.random.default_rng(2)
+    src_tile = 96
+    ch, cw = 40, 80                       # content extent inside the tile
+    patch = np.zeros((src_tile, src_tile, 3), dtype=np.uint8)
+    patch[:ch, :cw] = _smooth(rng, ch, cw)
+
+    for angle, scale in [(0.0, 1.0), (90.0, 1.0), (15.0, 1.25)]:
+        warped, extents, mats = batch_flatten_regions(
+            jnp.asarray(patch[None]), [angle], [scale], 192,
+            content_extents=np.asarray([[ch, cw]]),
+            return_mats=True,
+        )
+        warped = np.asarray(warped)[0]
+        eh, ew = (int(v) for v in extents[0])
+        # Content fills the returned extent (its corners map to the
+        # extent's corners): compare against the host chain.
+        spun = rotate.distort(
+            {'angle': float(angle)}, image=Image(mat=patch[:ch, :cw])
+        )
+        th = max(int(round(spun.image.height * scale)), 1)
+        tw = max(int(round(spun.image.width * scale)), 1)
+        assert abs(th - eh) <= 2 and abs(tw - ew) <= 2, (angle, eh, ew, th, tw)
+        host = spun.image.to_resized_image(th, tw).mat
+        hh, ww = min(th, eh), min(tw, ew)
+        m = 6
+        d = np.abs(
+            warped[m:hh - m, m:ww - m].astype(np.float64)
+            - host[m:hh - m, m:ww - m].astype(np.float64)
+        )
+        assert d.mean() < 8.0, (angle, d.mean())
+        # Nothing renders beyond the extent (rows below eh are border).
+        assert warped[eh + 2:, :, :].max() <= 1e-3
+
+    # Point map: the content rect corners land on the extent corners.
+    corners = np.asarray(
+        [(0, 0), (cw - 1, 0), (cw - 1, ch - 1), (0, ch - 1)], np.float64
+    )
+    mapped = region_flatten_point_map(mats, [0] * 4, corners)
+    assert mapped.min() > -1.0
+    assert mapped[:, 0].max() <= ew and mapped[:, 1].max() <= eh

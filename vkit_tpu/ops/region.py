@@ -32,17 +32,24 @@ def plan_region_flatten(
     scales: Sequence[float],
     src_tile: int,
     dst_tile: int,
+    content_extents: Optional[np.ndarray] = None,
 ):
     """Per-region forward mats: scale about the ROTATED content origin.
 
     Each region patch lives in the top-left of its (src_tile, src_tile)
     canvas; the region rotates by its flattening angle about the canvas
-    center, then translates so the rotated bounding box's corner sits at
-    the dst origin, then scales — the flatten-trim-resize chain of
-    FlattenedTextRegion composed into one resampling pass.
+    center, then translates so the rotated CONTENT bounding box's corner
+    sits at the dst origin, then scales — the flatten-trim-resize chain
+    of FlattenedTextRegion composed into one resampling pass.
 
-    Returns (mats (R, 3, 3) float64, out_extents (R, 2) int: the rotated
-    + scaled content extent inside the dst tile).
+    ``content_extents``: optional (R, 2) int (h, w) — each region's real
+    content extent inside its padded square tile (default: the full
+    tile).  The translation zeroes the rotated CONTENT bbox, so smaller
+    regions land at the dst origin instead of floating inside the
+    rotated-canvas bbox.
+
+    Returns (mats (R, 3, 3) float64, out_extents (R, 2) int (h, w): the
+    rotated + scaled content extent inside the dst tile).
     """
     angles = np.asarray(angles_deg, dtype=np.float64)
     scales_np = np.asarray(scales, dtype=np.float64)
@@ -52,31 +59,56 @@ def plan_region_flatten(
     cos = np.cos(rad)
     sin = np.sin(rad)
 
-    # Rotated canvas corners -> translation that zeroes the min corner
-    # (the reference's trim-to-mask-bbox, computed analytically on the
-    # full canvas).
-    corners = np.asarray(
-        [(0.0, 0.0), (src_tile - 1.0, 0.0),
-         (src_tile - 1.0, src_tile - 1.0), (0.0, src_tile - 1.0)]
+    if content_extents is None:
+        hw = np.full((n, 2), src_tile, dtype=np.float64)
+    else:
+        hw = np.asarray(content_extents, dtype=np.float64)
+    # Content rect corners per region, (R, 4, 2) xy.
+    zeros = np.zeros(n)
+    ws = hw[:, 1] - 1.0
+    hs = hw[:, 0] - 1.0
+    corners = np.stack([
+        np.stack([zeros, zeros], axis=1),
+        np.stack([ws, zeros], axis=1),
+        np.stack([ws, hs], axis=1),
+        np.stack([zeros, hs], axis=1),
+    ], axis=1)
+
+    rot = np.zeros((n, 3, 3), dtype=np.float64)
+    rot[:, 0, 0] = cos
+    rot[:, 0, 1] = -sin
+    rot[:, 0, 2] = c - cos * c + sin * c
+    rot[:, 1, 0] = sin
+    rot[:, 1, 1] = cos
+    rot[:, 1, 2] = c - sin * c - cos * c
+    rot[:, 2, 2] = 1.0
+    xy = np.einsum('nij,nkj->nki', rot[:, :2, :2], corners) \
+        + rot[:, None, :2, 2]
+    shift = xy.min(axis=1)                                  # (R, 2)
+    span = xy.max(axis=1) - shift                           # (R, 2) xy
+    mats = rot
+    mats[:, :2, 2] -= shift
+    mats[:, :2] *= scales_np[:, None, None]
+    extents = (
+        np.ceil(span[:, ::-1] * scales_np[:, None] - 1e-6).astype(np.int64)
+        + 1
     )
-    mats = np.zeros((n, 3, 3), dtype=np.float64)
-    extents = np.zeros((n, 2), dtype=np.int64)
-    for i in range(n):
-        rot = np.asarray([
-            [cos[i], -sin[i], c - cos[i] * c + sin[i] * c],
-            [sin[i], cos[i], c - sin[i] * c - cos[i] * c],
-            [0.0, 0.0, 1.0],
-        ])
-        xy = (rot[:2, :2] @ corners.T).T + rot[:2, 2]
-        shift = xy.min(axis=0)
-        span = xy.max(axis=0) - shift
-        mat = rot.copy()
-        mat[:2, 2] -= shift
-        mat[:2] *= scales_np[i]
-        mats[i] = mat
-        extents[i] = np.ceil(span * scales_np[i] - 1e-6).astype(np.int64) + 1
     extents = np.minimum(extents, dst_tile)
     return mats, extents
+
+
+def region_flatten_point_map(mats: np.ndarray, groups, points_xy):
+    """Forward-map per-region point sets through the flatten mats.
+
+    ``groups``: (P,) int region index per point; ``points_xy``: (P, 2)
+    float xy in each point's region-tile coordinates.  Returns (P, 2)
+    float64 xy in the region's dst-tile frame — the analytic co-transform
+    of the flattened char polygons (one einsum, no per-region loop)."""
+    xy = np.asarray(points_xy, dtype=np.float64).reshape(-1, 2)
+    m = np.asarray(mats, dtype=np.float64)[np.asarray(groups, dtype=np.int64)]
+    homo = np.concatenate([xy, np.ones((len(xy), 1))], axis=1)
+    out = np.einsum('pij,pj->pi', m, homo)
+    return out[:, :2] / out[:, 2:3]
 
 
 def batch_flatten_regions(
@@ -85,12 +117,16 @@ def batch_flatten_regions(
     scales: Sequence[float],
     dst_tile: int,
     border_value: float = 0.0,
+    content_extents: Optional[np.ndarray] = None,
+    return_mats: bool = False,
 ):
     """Rotate+scale every (src_tile, src_tile, C) region patch in ONE
     two-shear MXU program -> (R, dst_tile, dst_tile, C) float32.
 
-    Returns (warped, extents (R, 2)): content occupies
-    [:ey, :ex] of each dst tile."""
+    Returns (warped, extents (R, 2) (h, w)): content occupies
+    [:eh, :ew] of each dst tile.  With ``return_mats`` also the (R, 3, 3)
+    forward mats (for the analytic char-polygon co-transform,
+    region_flatten_point_map)."""
     from .warp_mxu import (
         apply_affine_warp,
         apply_affine_warp_quad,
@@ -102,7 +138,8 @@ def batch_flatten_regions(
     src_tile = int(patches.shape[1])
     assert patches.shape[2] == src_tile, 'square source tiles required'
     mats, extents = plan_region_flatten(
-        angles_deg, scales, src_tile, dst_tile
+        angles_deg, scales, src_tile, dst_tile,
+        content_extents=content_extents,
     )
     quads, reduced = quadrant_reduce_mats(mats, (src_tile, src_tile))
     plan, statics = plan_affine_warp(
@@ -119,6 +156,8 @@ def batch_flatten_regions(
             patches, jnp.asarray(quads), plan, statics=statics,
             border_value=border_value,
         )
+    if return_mats:
+        return warped, extents, mats
     return warped, extents
 
 

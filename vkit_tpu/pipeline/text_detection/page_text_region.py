@@ -57,6 +57,11 @@ class PageTextRegionStepConfig:
     prob_post_rotate_random_angle: float = 0.0
     post_rotate_random_angle_min: int = -5
     post_rotate_random_angle_max: int = 5
+    # Batch the per-region rotate + resize + post-rotate into a few device
+    # programs (flatten_text_regions_on_device) instead of three host
+    # resamples per region.  Same geometry/labels; rasters differ by the
+    # single-resample filter shape only.
+    enable_device_flatten: bool = True
     enable_debug: bool = False
 
 
@@ -252,7 +257,9 @@ class TextRegionFlattener:
         text_region_polygons: Sequence[Polygon],
         grouped_char_polygons: Optional[Sequence[Sequence[Polygon]]] = None,
         is_training: bool = False,
+        defer_flatten: bool = False,
     ):
+        self.grouped_char_polygons = grouped_char_polygons
         self.original_text_region_polygons = text_region_polygons
         self.text_region_polygons = self._patch_polygons(
             text_region_polygons, grouped_char_polygons
@@ -289,9 +296,11 @@ class TextRegionFlattener:
             for idx in range(len(self.text_region_polygons))
         ]
 
-        self.flattened_text_regions = self._flatten_all(
-            image, grouped_char_polygons
-        )
+        # With ``defer_flatten`` the per-region rotate+trim is left to the
+        # caller (the batched device flatten folds rotate + resize +
+        # post-rotate into one resampling pass per region).
+        self.flattened_text_regions = () if defer_flatten else \
+            self._flatten_all(image, grouped_char_polygons)
 
     # -- stages ---------------------------------------------------------
 
@@ -479,6 +488,160 @@ class TextRegionFlattener:
                 flattened_char_polygons=flattened_chars,
             ))
         return out
+
+
+# ----------------------------------------------------------------------------
+# Batched device flatten.
+# ----------------------------------------------------------------------------
+
+# Square source-tile ladder (each (src, dst) pair is one compiled program;
+# the ladder bounds the compile set).
+_FLATTEN_SRC_LADDER = (128, 192, 256, 384, 512, 768, 1024, 1536)
+
+
+def _ladder_tile(size: int) -> int:
+    for t in _FLATTEN_SRC_LADDER:
+        if size <= t:
+            return t
+    return ((size + 127) // 128) * 128
+
+
+def flatten_text_regions_on_device(
+    image: Image,
+    flattener: TextRegionFlattener,
+    specs: Sequence[Tuple[int, float, int]],
+) -> List[FlattenedTextRegion]:
+    """Flatten the selected regions in a FEW device programs.
+
+    ``specs``: (region_idx, scale, post_rotate_angle) per output region.
+    The host path resamples three times per region (flattening rotate,
+    resize to the char-height band, optional post-rotate by a multiple of
+    90°); rotations compose, so all three fold into ONE affine per region
+    and regions batch through the two-shear MXU program per source-tile
+    bucket (ops/region.batch_flatten_regions).  Labels co-transform
+    analytically through the same mats.  Output rasters differ from the
+    host chain only by the single-resample filter shape; geometry and
+    coordinate frames match (trim = warped-mask bbox, exactly the host's
+    trim semantics).
+
+    Behavioral spec: vkit/pipeline/text_detection/page_text_region.py:
+    561-730 (flatten + resize) and :139-157 (post rotate).
+    """
+    import jax.numpy as jnp
+
+    from ...ops.region import batch_flatten_regions, region_flatten_point_map
+
+    grouped_chars = flattener.grouped_char_polygons
+    typical = set(flattener.typical_indices)
+
+    # Bucket by padded square source tile.
+    buckets: Dict[int, List[int]] = {}
+    windows = []
+    patches = []
+    for pos, (idx, scale, post_angle) in enumerate(specs):
+        wmask = flattener.bounding_extended_text_region_masks[idx]
+        assert wmask.box is not None
+        windows.append(wmask.box)
+        patches.append(wmask.extract_image(image).mat)
+        tile = _ladder_tile(max(wmask.box.height, wmask.box.width))
+        buckets.setdefault(tile, []).append(pos)
+
+    out: List[Optional[FlattenedTextRegion]] = [None] * len(specs)
+    for tile, positions in sorted(buckets.items()):
+        angles = []
+        scales = []
+        extents = []
+        stack = np.zeros((len(positions), tile, tile, 4), dtype=np.float32)
+        for row, pos in enumerate(positions):
+            idx, scale, post_angle = specs[pos]
+            window = windows[pos]
+            wmask = flattener.bounding_extended_text_region_masks[idx]
+            stack[row, :window.height, :window.width, :3] = patches[pos]
+            stack[row, :window.height, :window.width, 3] = wmask.mat
+            # The flattening rotate and the post rotate compose (both are
+            # rotations about arbitrary centers; translation re-zeroing
+            # makes the center irrelevant).
+            angles.append(
+                float(flattener.flattening_rotate_angles[idx] + post_angle)
+            )
+            scales.append(float(scale))
+            extents.append((window.height, window.width))
+
+        dst_need = 0
+        from ...ops.region import plan_region_flatten
+        _, need = plan_region_flatten(
+            angles, scales, tile, 1 << 30,
+            content_extents=np.asarray(extents),
+        )
+        dst_need = int(need.max())
+        dst_tile = ((dst_need + 127) // 128) * 128
+
+        warped, w_extents, mats = batch_flatten_regions(
+            jnp.asarray(stack), angles, scales, dst_tile,
+            content_extents=np.asarray(extents), return_mats=True,
+        )
+        warped = np.asarray(warped)
+
+        for row, pos in enumerate(positions):
+            idx, scale, post_angle = specs[pos]
+            window = windows[pos]
+            eh, ew = (int(v) for v in w_extents[row])
+            mask_f = warped[row, :eh, :ew, 3]
+            np_mask = (mask_f > 0.5).astype(np.uint8)
+            ys, xs = np.nonzero(np_mask)
+            if not len(ys):
+                # Degenerate (mask rounded away): keep the full extent.
+                trim = Box(0, max(eh - 1, 0), 0, max(ew - 1, 0))
+            else:
+                trim = Box(int(ys.min()), int(ys.max()),
+                           int(xs.min()), int(xs.max()))
+            img = np.clip(
+                np.round(warped[row, trim.up:trim.down + 1,
+                                trim.left:trim.right + 1, :3]),
+                0, 255,
+            ).astype(np.uint8)
+            msk = np_mask[trim.up:trim.down + 1, trim.left:trim.right + 1]
+
+            flattened_chars = None
+            if grouped_chars is not None and grouped_chars[idx]:
+                chars = grouped_chars[idx]
+                counts = [p.num_points for p in chars]
+                xy = np.concatenate([p.np_xy for p in chars], axis=0)
+                # Page coords -> window-tile coords -> flattened coords.
+                xy = xy - np.asarray([window.left, window.up], np.float64)
+                mapped = region_flatten_point_map(
+                    mats[row:row + 1], np.zeros(len(xy), np.int64), xy
+                )
+                mapped -= np.asarray([trim.left, trim.up], np.float64)
+                flattened_chars = []
+                at = 0
+                for count in counts:
+                    flattened_chars.append(
+                        Polygon.from_np_xy(mapped[at:at + count])
+                    )
+                    at += count
+
+            out[pos] = FlattenedTextRegion(
+                is_typical=(idx in typical),
+                text_region_polygon=(
+                    flattener.original_text_region_polygons[idx]
+                ),
+                text_region_image=Image(mat=patches[pos]),
+                bounding_extended_text_region_mask=(
+                    flattener.bounding_extended_text_region_masks[idx]
+                ),
+                flattening_rotate_angle=(
+                    flattener.flattening_rotate_angles[idx]
+                ),
+                shape_before_trim=(eh, ew),
+                rotated_trimmed_box=trim,
+                shape_before_resize=(window.height, window.width),
+                post_rotate_angle=post_angle,
+                flattened_image=Image(mat=img),
+                flattened_mask=Mask(mat=msk),
+                flattened_char_polygons=flattened_chars,
+            )
+    return [ftr for ftr in out if ftr is not None]
 
 
 # ----------------------------------------------------------------------------
@@ -681,7 +844,10 @@ class PageTextRegionStep(
             text_region_polygons=region_polygons,
             grouped_char_polygons=grouped_chars,
             is_training=True,
+            defer_flatten=cfg.enable_device_flatten,
         )
+        if cfg.enable_device_flatten:
+            return self._build_flattened_device(page_image, flattener, rng)
 
         positives: List[FlattenedTextRegion] = []
         ref_heights: List[float] = []
@@ -722,6 +888,91 @@ class PageTextRegionStep(
                 negatives.append(self._rescale_and_spin(ftr, scale, rng))
 
         return (*positives, *negatives)
+
+    @staticmethod
+    def _rotated_extent(height: int, width: int, angle_deg: float):
+        """Analytic rotated-rect extent — the flattened (pre-resize) shape
+        the host chain would measure after its trim, up to the mask's
+        rasterized support (<= 2 px)."""
+        rad = math.radians(angle_deg)
+        c, s = abs(math.cos(rad)), abs(math.sin(rad))
+        eh = int(math.ceil((height - 1) * c + (width - 1) * s - 1e-6)) + 1
+        ew = int(math.ceil((width - 1) * c + (height - 1) * s - 1e-6)) + 1
+        return eh, ew
+
+    def _build_flattened_device(
+        self,
+        page_image: Image,
+        flattener: TextRegionFlattener,
+        rng: RandomGenerator,
+    ) -> Sequence[FlattenedTextRegion]:
+        """The host selection logic (single-char drop, char-height-median
+        scale targets, negative scale borrowing, post-rotate draws) with
+        the three per-region host resamples replaced by the batched device
+        flatten.  Same rng draw order as the host path; scale targets use
+        the char quads' rectangular heights, which rotations preserve, so
+        the medians match the host path's post-flatten medians exactly."""
+        cfg = self.config
+        grouped_chars = flattener.grouped_char_polygons
+        assert grouped_chars is not None
+        typical = set(flattener.typical_indices)
+        count = len(flattener.bounding_extended_text_region_masks)
+
+        def pre_resize_extent(idx: int):
+            window = flattener.bounding_extended_text_region_masks[idx].box
+            assert window is not None
+            return self._rotated_extent(
+                window.height, window.width,
+                flattener.flattening_rotate_angles[idx],
+            )
+
+        specs: List[Tuple[int, float, int]] = []
+        ref_heights: List[float] = []
+        ref_widths: List[float] = []
+        num_negatives = 0
+        for idx in range(count):
+            chars = grouped_chars[idx]
+            if not chars:
+                num_negatives += 1
+                continue
+            if len(chars) == 1 \
+                    and rng.random() < cfg.prob_drop_single_char_page_text_region_info:
+                continue
+            target = int(rng.integers(
+                cfg.text_region_resize_char_height_median_min,
+                cfg.text_region_resize_char_height_median_max + 1,
+            ))
+            median = statistics.median(
+                p.get_rectangular_height() for p in chars
+            )
+            scale = target / median
+            eh, ew = pre_resize_extent(idx)
+            ref_heights.append(round(eh * scale))
+            ref_widths.append(round(ew * scale))
+            angle = self._sample_post_rotate_angle(idx in typical, rng)
+            specs.append((idx, scale, angle))
+
+        if num_negatives and ref_heights:
+            borrowed_heights = list(rng_choice_with_size(
+                rng, ref_heights, size=num_negatives,
+                replace=num_negatives > len(ref_heights),
+            ))
+            height_cap = max(ref_heights)
+            width_cap = max(ref_widths)
+            for idx in range(count):
+                if grouped_chars[idx]:
+                    continue
+                eh, ew = pre_resize_extent(idx)
+                scale = borrowed_heights.pop() / eh
+                if round(eh * scale) > height_cap \
+                        or round(ew * scale) > width_cap:
+                    continue
+                angle = self._sample_post_rotate_angle(idx in typical, rng)
+                specs.append((idx, scale, angle))
+
+        if not specs:
+            return ()
+        return flatten_text_regions_on_device(page_image, flattener, specs)
 
     def _post_rotate(self, image, active_mask, char_polygons,
                      text_region_polygons, rng: RandomGenerator):

@@ -353,10 +353,10 @@ def bench_synth_end_to_end() -> float:
     on host (overlapped), glyph compositing + photometric + geometric
     warp of image AND label rasters + height correction on device.
 
-    The reference's 17-step pipeline cannot run here (missing external
-    assets), so there is no reference-measured baseline for this row;
-    the comparable in-repo host path (the 17-step pipeline at 640^2)
-    runs at ~0.12 samples/s/core.
+    Reference baseline: the ACTUAL 17-step vkit pipeline measured at
+    0.106 pages/s/core by tools/measure_reference_pipeline.py (via
+    tools/refshims for the uninstallable deps; BASELINE_REF.json,
+    `reference_pipeline_17step_samples_per_sec`).
     """
     import sys as _sys
     from pathlib import Path as _Path

@@ -94,6 +94,11 @@ def enable_compilation_cache(cache_dir=None):
     except Exception:  # noqa: BLE001 - flag names vary across jax versions
         pass
     tune_host_allocator()
+    # Every production entry point that warms the compile cache also arms
+    # the pre-flight dispatch guard (round-3 tunnel-wedge postmortem).
+    from .guard import install_program_size_guard
+
+    install_program_size_guard()
     _COMPILE_CACHE_ENABLED = True
 
 

@@ -832,7 +832,22 @@ def lattice_node_maps(plan, ys, xs):
     return cy, cx
 
 
-def _build_coarse_nodes(map_list, shapes, canvas, node_step: int = 8):
+# Coarse-node spacing of the banded/gather warp paths.  The node arrays
+# are per-draw jit ARGUMENTS, so on a slow host<->device link their
+# transfer dominates the randomized warp step (~2 MB/step at 8 px on a
+# 704^2 canvas).  16 px keeps the documented fidelity bars on
+# production-size canvases (max <= 24 LSB at isolated high-gradient
+# pixels, mean <= 1 LSB — the catalog's fields are piecewise-projective
+# per lattice cell with grid_size >= 16, re-verified by
+# tests/ops/test_dense_warp at this spacing) at a 4x transfer/planning
+# cut.  Small canvases keep the 8-px grid: their fields bend faster
+# relative to the node spacing (same lattice curvature over far fewer
+# nodes), and their node arrays are tiny anyway.
+COARSE_NODE_STEP = 16
+_FINE_NODE_CANVAS = 320      # min(canvas) below this -> 8-px nodes
+
+
+def _build_coarse_nodes(map_list, shapes, canvas, node_step: Optional[int] = None):
     """Sample every sample's backward field at shared coarse nodes.
 
     ``map_list`` entries are either (map_y, map_x) full-res arrays
@@ -840,6 +855,10 @@ def _build_coarse_nodes(map_list, shapes, canvas, node_step: int = 8):
     analytically at the nodes, valid beyond the dst canvas too).
     Returns (coarse_y, coarse_x, ys, xs) with linear extension beyond
     each sample's own canvas."""
+    if node_step is None:
+        node_step = (
+            8 if min(canvas) < _FINE_NODE_CANVAS else COARSE_NODE_STEP
+        )
     h_max, w_max = canvas
     n = len(map_list)
     ys = np.round(
@@ -907,7 +926,7 @@ def _build_coarse_nodes(map_list, shapes, canvas, node_step: int = 8):
 
 
 def _coarse_gather_warp(images, map_list, shapes, canvas, border_value,
-                        node_step: int = 8, nodes=None):
+                        node_step: Optional[int] = None, nodes=None):
     """Gather-warp a batch from node-sampled backward maps (the fallback
     device program when the segmented two-pass rejects the field)."""
     h_max, w_max = canvas
@@ -950,6 +969,61 @@ def _scatter_samples(out, idx, values):
     return out.at[idx].set(values)
 
 
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=('canvas', 'taps', 'border_value', 'init'),
+    donate_argnums=(0,),
+)
+def _banded_group_scatter(out, x, idx, plan, flip_v, flip_h,
+                          canvas, taps, border_value, init):
+    """ONE dispatch per tap-homogeneous group: gather the sub-batch,
+    run both banded passes + unflip, scatter into the batch canvas.
+    ``init`` builds the canvas inside the program (saves the eager
+    jnp.zeros dispatch for the first group)."""
+    from ..ops.warp_banded import banded_warp_body
+
+    sub = jnp.take(x, idx, axis=0)
+    res = banded_warp_body(sub, plan, canvas, taps,
+                           flips=(flip_v, flip_h),
+                           border_value=border_value)
+    if init:
+        h, w = canvas
+        out = jnp.zeros((x.shape[0], h, w) + x.shape[3:], res.dtype)
+    return out.at[idx].set(res)
+
+
+@_functools.partial(jax.jit, static_argnames=('n',))
+def _merge_subbatches(idx_a, wa, idx_b, wb, n):
+    """Scatter two warped sub-batches onto one zeroed batch canvas in a
+    single program (was: zeros + two eager scatters = three dispatches)."""
+    out = jnp.zeros((n,) + tuple(wa.shape[1:]), dtype=wa.dtype)
+    return out.at[idx_a].set(wa).at[idx_b].set(wb.astype(wa.dtype))
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=('statics', 'border_value', 'gather', 'use_quads'),
+)
+def _affine_sub_warp(x, idx, quads, aplan, statics, border_value,
+                     gather, use_quads):
+    """ONE dispatch for the affine sub-batch: optional gather + the exact
+    two-shear warp (with per-sample rot90 conditioning when any quadrant
+    reduction fired)."""
+    from ..ops.warp_mxu import apply_affine_warp, apply_affine_warp_quad
+
+    sub = jnp.take(x, idx, axis=0) if gather else x
+    if use_quads:
+        return apply_affine_warp_quad(
+            sub, quads, aplan, statics, border_value=border_value
+        )
+    return apply_affine_warp(
+        sub, aplan, statics, border_value=border_value
+    )
+
+
 @jax.jit
 def _mean_pool2(x):
     """(N, H, W, ...) -> (N, H/2, W/2, ...) 2x2 mean pool."""
@@ -987,7 +1061,7 @@ class LazyCoverages:
 
 
 def _bucket_pad(idx: np.ndarray, n: int,
-                ladder=(8, 16, 24, 32, 48, 64)) -> np.ndarray:
+                ladder=(8, 16, 32, 64)) -> np.ndarray:
     """Pad an index subset to a fixed bucket-size ladder (each sub-batch
     size is a distinct compiled program; padding repeats the first index,
     whose duplicate scatter writes are identical values)."""
@@ -1037,13 +1111,13 @@ def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
     acc = np.asarray(
         [i for i in range(n) if i not in reject_set], dtype=np.int64
     )
-    low = acc[needs[acc] <= 48]
-    high = acc[needs[acc] > 48]
-    if len(high) == 0 or len(low) < 6:
-        groups = [(acc, _quantize_taps(int(needs[acc].max())))] \
-            if len(acc) else []
-    else:
-        groups = [(low, 48), (high, _quantize_taps(int(needs[high].max())))]
+    # ONE tap group.  A low/high split saved ~(taps_hi - 48) tap rounds
+    # for the light half, but every (bucket, taps) pair is a distinct
+    # fused program and randomized-policy draws walked the whole product
+    # set — recompiles cost seconds/step on a tunneled backend versus a
+    # few ms of extra taps (~0.14 ms/tap per 32-batch pass).
+    groups = [(acc, _quantize_taps(int(needs[acc].max())))] \
+        if len(acc) else []
 
     if len(groups) == 1 and len(groups[0][0]) == n:
         warped = apply_banded_warp(
@@ -1051,21 +1125,19 @@ def _coarse_mxu_warp(images, nodes, src_shape, canvas, border_value,
             border_value=border_value,
         )
     else:
-        h_max, w_max = canvas
-        warped = jnp.zeros(
-            (n, h_max, w_max) + x.shape[3:], dtype=jnp.float32
-        )
-        for gidx, gtaps in groups:
+        # First group's program zero-inits its own canvas; the dummy
+        # placeholder must NOT alias x (arg 0 is donated).
+        warped = jnp.zeros((0,), dtype=jnp.float32)
+        for pos, (gidx, gtaps) in enumerate(groups):
             gpad = _bucket_pad(gidx, n)
-            sub = jnp.take(x, jnp.asarray(gpad), axis=0)
-            res = apply_banded_warp(
-                sub, slice_banded_plan(plan, gpad), canvas, gtaps,
-                flips=(flips[0][gpad], flips[1][gpad]),
-                border_value=border_value,
+            warped = _banded_group_scatter(
+                warped, x, jnp.asarray(gpad),
+                slice_banded_plan(plan, gpad),
+                jnp.asarray(flips[0][gpad]), jnp.asarray(flips[1][gpad]),
+                tuple(canvas), gtaps, border_value, pos == 0,
             )
-            warped = _scatter_samples(warped, jnp.asarray(gpad), res)
     if len(rejects):
-        ridx = _bucket_pad(rejects, n, ladder=(4, 8, 16))
+        ridx = _bucket_pad(rejects, n, ladder=(8, 16))
         done = False
         h2, w2 = src_shape[0] // 2, src_shape[1] // 2
         if src_shape[0] % 2 == 0 and src_shape[1] % 2 == 0:
@@ -1235,24 +1307,17 @@ def batched_plan_warp(
     if mode == 'auto' and aff_sel.any() and aplan is not None:
         coverages = LazyCoverages(plans)
         quads_p = aff_quads[aff_idx_p]
-        if len(aff_idx_p) == n and aff_sel.all() \
-                and np.array_equal(aff_idx_p, np.arange(n)):
-            sub = images
-        else:
-            sub = jnp.take(jnp.asarray(images), jnp.asarray(aff_idx_p),
-                           axis=0)
-        if (quads_p == 0).all():
-            fn = _jax.jit(
-                apply_affine_warp,
-                static_argnames=('statics', 'border_value'),
-            )
-            wa = fn(sub, aplan, statics=astatics,
-                    border_value=border_value)
-        else:
-            wa = apply_affine_warp_quad(
-                sub, jnp.asarray(quads_p), aplan, statics=astatics,
-                border_value=border_value,
-            )
+        direct = (
+            len(aff_idx_p) == n and aff_sel.all()
+            and np.array_equal(aff_idx_p, np.arange(n))
+        )
+        wa = _affine_sub_warp(
+            jnp.asarray(images),
+            (jnp.zeros((0,), jnp.int32) if direct
+             else jnp.asarray(aff_idx_p)),
+            jnp.asarray(quads_p), aplan, astatics, border_value,
+            not direct, not (quads_p == 0).all(),
+        )
 
         if aff_sel.all():
             if return_maps:
@@ -1303,11 +1368,9 @@ def batched_plan_warp(
                 sub_r, [None] * len(rest_idx_p), None, (h_max, w_max),
                 border_value, nodes=rest_nodes,
             )
-        out = jnp.zeros(
-            (n,) + tuple(wa.shape[1:]), dtype=wa.dtype
+        out = _merge_subbatches(
+            jnp.asarray(aff_idx_p), wa, jnp.asarray(rest_idx_p), wr, n
         )
-        out = _scatter_samples(out, jnp.asarray(aff_idx_p), wa)
-        out = _scatter_samples(out, jnp.asarray(rest_idx_p), wr)
         if return_maps:
             cy, cx, nys, nxs = nodes_all
             dev_maps = _upsample_node_maps(

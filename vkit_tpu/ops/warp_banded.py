@@ -232,9 +232,12 @@ def plan_banded_pass(
 def _quantize_taps(taps: int) -> int:
     """Coarse ladder — each value is a distinct compiled program.  Taps
     are nearly free in the kernel (~0.14ms per tap per 32-batch pass), so
-    the ladder runs high: the band must cover |slope - 1| * 128 for the
-    pass's local axis scale, which reaches ~100 for strong rotations."""
-    for q in (16, 32, 48, 64, 96, 128):
+    the ladder runs high (the band must cover |slope - 1| * 128 for the
+    pass's local axis scale, which reaches ~100 for strong rotations) and
+    SPARSE: randomized-policy workloads draw a new tap need every batch,
+    and each ladder rung is a fresh XLA program — three rungs keep the
+    compile set tiny at a few ms of extra tap work per step."""
+    for q in (32, 64, 128):
         if taps <= q:
             return q
     return taps
@@ -424,9 +427,8 @@ def slice_banded_plan(plan: BandedWarpPlan, idx: np.ndarray):
     )
 
 
-@partial(jax.jit, static_argnames=('taps', 'border_value', 'pre', 'post'))
-def _banded_pass(x, plan: BandedPassPlan, taps, border_value,
-                 pre=None, post=None):
+def _banded_pass_body(x, plan: BandedPassPlan, taps, border_value,
+                      pre=None, post=None):
     from .pallas_kernels import banded_line_resample
 
     if pre is not None:
@@ -443,8 +445,12 @@ def _banded_pass(x, plan: BandedPassPlan, taps, border_value,
     return out
 
 
-@partial(jax.jit, static_argnames=('h_out', 'w_out'))
-def _unflip_crop(out, flip_v, flip_h, h_out, w_out):
+_banded_pass = partial(jax.jit, static_argnames=(
+    'taps', 'border_value', 'pre', 'post'
+))(_banded_pass_body)
+
+
+def _unflip_crop_body(out, flip_v, flip_h, h_out, w_out):
     # Flipped samples carry their content in [0, h_out) of the FLIPPED
     # padded axis; reversing the padded axis puts it at [jp - h_out, jp),
     # the roll brings it back to the front.
@@ -455,6 +461,57 @@ def _unflip_crop(out, flip_v, flip_h, h_out, w_out):
     return out
 
 
+def banded_warp_body(
+    images,
+    plan: BandedWarpPlan,
+    dst_shape: Tuple[int, int],
+    taps: int,
+    flips=None,
+    border_value: float = 0.0,
+):
+    """TRACEABLE banded two-pass warp: both passes + the unflip crop as
+    one fusable computation.  Callers embed this inside their own jitted
+    programs (mechanism/batched.py fuses gather + warp + scatter per
+    sub-batch) so a randomized-draw step costs ONE dispatch instead of
+    three-plus — on a tunneled backend each dispatch is a host RPC."""
+    h_out, w_out = dst_shape
+    had_c = images.ndim == 4
+    if not had_c:
+        images = images[..., None]
+    x = images.astype(jnp.float32)
+
+    tmp = _banded_pass_body(
+        x, plan.pass_v, taps, border_value,
+        pre=(0, 2, 3, 1),                  # (N, W_in, C, H_in): j = dst rows
+    )                                      # (N, W_in, C, JP_v)
+    out = _banded_pass_body(
+        tmp, plan.pass_h, taps, border_value,
+        pre=(0, 3, 2, 1),                  # (N, JP_v, C, W_in): j = dst cols
+        post=(0, 1, 3, 2),                 # (N, JP_v, JP_h, C)
+    )
+    if flips is not None:
+        out = _unflip_crop_body(out, flips[0], flips[1], h_out, w_out)
+    else:
+        out = out[:, :h_out, :w_out]
+    if not had_c:
+        out = out[..., 0]
+    return out
+
+
+@partial(jax.jit, static_argnames=('dst_shape', 'taps', 'border_value'))
+def _banded_warp_flips_jit(images, plan, flip_v, flip_h, dst_shape, taps,
+                           border_value):
+    return banded_warp_body(images, plan, dst_shape, taps,
+                            flips=(flip_v, flip_h),
+                            border_value=border_value)
+
+
+@partial(jax.jit, static_argnames=('dst_shape', 'taps', 'border_value'))
+def _banded_warp_noflips_jit(images, plan, dst_shape, taps, border_value):
+    return banded_warp_body(images, plan, dst_shape, taps,
+                            border_value=border_value)
+
+
 def apply_banded_warp(
     images,
     plan: BandedWarpPlan,
@@ -463,30 +520,14 @@ def apply_banded_warp(
     flips=None,
     border_value: float = 0.0,
 ):
-    """Warp (N, H, W, C) by a banded two-pass plan -> (N, H', W', C) f32.
-
-    Two separately-jitted passes, async-queued; the transposes between
-    passes relayout through HBM anyway.  ``flips``: per-sample
-    (flip_rows, flip_cols) bool arrays from the planner."""
-    h_out, w_out = dst_shape
-    had_c = images.ndim == 4
-    if not had_c:
-        images = images[..., None]
-    x = images.astype(jnp.float32)
-
-    tmp = _banded_pass(
-        x, plan.pass_v, taps, border_value,
-        pre=(0, 2, 3, 1),                  # (N, W_in, C, H_in): j = dst rows
-    )                                      # (N, W_in, C, JP_v)
-    out = _banded_pass(
-        tmp, plan.pass_h, taps, border_value,
-        pre=(0, 3, 2, 1),                  # (N, JP_v, C, W_in): j = dst cols
-        post=(0, 1, 3, 2),                 # (N, JP_v, JP_h, C)
+    """Warp (N, H, W, C) by a banded two-pass plan -> (N, H', W', C) f32,
+    as ONE jitted program.  ``flips``: per-sample (flip_rows, flip_cols)
+    bool arrays from the planner."""
+    if flips is None:
+        return _banded_warp_noflips_jit(
+            images, plan, tuple(dst_shape), taps, border_value
+        )
+    return _banded_warp_flips_jit(
+        images, plan, jnp.asarray(flips[0]), jnp.asarray(flips[1]),
+        tuple(dst_shape), taps, border_value,
     )
-    if flips is not None:
-        out = _unflip_crop(out, flips[0], flips[1], h_out, w_out)
-    else:
-        out = out[:, :h_out, :w_out]
-    if not had_c:
-        out = out[..., 0]
-    return out

@@ -10,6 +10,12 @@ which remains the behavioral reference.
 """
 from .prep import SynthPlanner, SynthPlannerConfig, HostPage
 from .device import CropConfig, SynthBatchResult, synthesize_page_batch, synthesize_stream
+from .region import (
+    CharRegression,
+    RegionBatchResult,
+    RegionStreamConfig,
+    stack_text_regions,
+)
 
 __all__ = [
     'SynthPlanner',
@@ -19,4 +25,8 @@ __all__ = [
     'synthesize_stream',
     'SynthBatchResult',
     'CropConfig',
+    'CharRegression',
+    'RegionBatchResult',
+    'RegionStreamConfig',
+    'stack_text_regions',
 ]

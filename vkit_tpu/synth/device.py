@@ -124,6 +124,10 @@ class SynthBatchResult(NamedTuple):
     # Per-char gaussian heatmaps (char_heatmap engine semantics, rendered
     # ON DEVICE from the post-warp char quads); None unless requested.
     char_gaussian_maps: Optional[np.ndarray] = None  # (N, out_h, out_w) f32
+    # The adaptive-scaling output family (synth/region.py): stacked
+    # region pages + char regression labels + region crops; None unless
+    # a RegionStreamConfig was passed.
+    text_regions: Optional[object] = None  # RegionBatchResult
 
 
 def _char_gaussian_maps(char_polygons, out_shape, tile: int = 64):
@@ -373,6 +377,7 @@ def synthesize_page_batch(
     placement_bucket: int = 1024,
     crop_config: Optional[CropConfig] = None,
     emit_char_gaussians: bool = False,
+    region_config=None,
 ) -> SynthBatchResult:
     """Run the device synthesis program over N host-prepped pages.
 
@@ -533,7 +538,7 @@ def synthesize_page_batch(
             crop_page_ids = sids
             crop_windows = np.stack([c_ups, c_lefts], axis=1)
 
-    return SynthBatchResult(
+    result = SynthBatchResult(
         images=images_np,
         label_stack=label_np,
         active_masks=active_np,
@@ -547,6 +552,13 @@ def synthesize_page_batch(
         crop_windows=crop_windows,
         char_gaussian_maps=gaussians,
     )
+    if region_config is not None:
+        from .region import stack_text_regions
+
+        result = result._replace(
+            text_regions=stack_text_regions(result, region_config, rng)
+        )
+    return result
 
 
 def synthesize_stream(
@@ -559,6 +571,7 @@ def synthesize_stream(
     prefetch: int = 2,
     crop_config: Optional[CropConfig] = None,
     emit_char_gaussians: bool = False,
+    region_config=None,
 ):
     """Generator of SynthBatchResults with host prep overlapped against
     device work: a background thread keeps up to ``prefetch`` prepared
@@ -602,6 +615,7 @@ def synthesize_stream(
                 pages, level=level, rng=level_rngs[idx],
                 out_shape=out_shape, crop_config=crop_config,
                 emit_char_gaussians=emit_char_gaussians,
+                region_config=region_config,
             )
             idx += 1
     finally:

@@ -431,11 +431,27 @@ class AtlasPack:
         for num_glyphs, _, _ in snaps:
             offsets.append(total)
             total += num_glyphs
-        total = -(-total // 64) * 64
+        # Next power of two (min 64): the tile-stack length is part of the
+        # compositor's compiled signature, and rounding to 64-multiples
+        # recompiled composite_glyphs nearly every batch while the atlas
+        # grew — powers of two reach a stable shape after a few batches.
+        padded = 64
+        while padded < total:
+            padded *= 2
+        total = padded
         tiles = np.zeros((total, tile, tile), dtype=np.float32)
         for (_, _, src), off in zip(snaps, offsets):
             tiles[off:off + src.shape[0], :src.shape[1], :src.shape[2]] = src
         return tiles, (lambda key: offsets[key[0]] + key[1])
+
+
+def _quantize_out_tile(max_extent: int) -> int:
+    """Static compositor patch size: sparse ladder (each value is a
+    distinct compiled program; 32-multiples recompiled per random draw)."""
+    for t in (32, 64, 128, 256, 512):
+        if max_extent <= t:
+            return t
+    return -(-max_extent // 512) * 512
 
 
 def pack_placements(
@@ -473,7 +489,7 @@ def pack_placements(
         row['glyph_id'] = resolve(key)
         rows.append(row)
 
-    out_tile = -(-max_extent // 32) * 32
+    out_tile = _quantize_out_tile(max_extent)
     return build_placements(rows, num_channels=3, bucket=bucket), tiles, out_tile
 
 
@@ -510,5 +526,5 @@ def placements_for_text_lines(
             })
             max_extent = max(max_extent, cb.height, cb.width)
 
-    out_tile = -(-max_extent // 32) * 32
+    out_tile = _quantize_out_tile(max_extent)
     return build_placements(rows, num_channels=3, bucket=bucket), out_tile

@@ -329,11 +329,22 @@ def batched_fog(
 # ---------------------------------------------------------------------------
 
 
+# Shared blur-kernel widths: the padded width is a compiled-program
+# static, and batch-max padding drew a fresh width (hence a fresh XLA
+# program) nearly every randomized-policy batch.  A sparse odd ladder
+# keeps the compile set tiny; extra taps are zeros (a few ms of conv).
+_KERNEL_WIDTH_LADDER = (5, 9, 17, 33, 65)
+
+
 def _padded_kernels(kernels):
-    """Pad per-sample 2D kernels to a shared odd width."""
+    """Pad per-sample 2D kernels to a shared odd LADDER width."""
     ksize = max(k.shape[0] for k in kernels)
     if ksize % 2 == 0:
         ksize += 1
+    for q in _KERNEL_WIDTH_LADDER:
+        if ksize <= q:
+            ksize = q
+            break
     out = np.zeros((len(kernels), ksize, ksize), dtype=np.float32)
     for idx, k in enumerate(kernels):
         off_y = (ksize - k.shape[0]) // 2
@@ -2029,7 +2040,12 @@ def _concentric_box_array(configs, shape, max_boxes_round: int = 8):
             (b.up, b.down, b.left, b.right) for b in boxes
         ])
     b_max = max((len(b) for b in per_sample), default=1)
-    b_max = max(1, -(-b_max // max_boxes_round) * max_boxes_round)
+    # Power-of-two padding (min one round): the box count is a compiled
+    # static via the scan length.
+    padded = max_boxes_round
+    while padded < b_max:
+        padded *= 2
+    b_max = padded
     out = np.full((n, b_max, 4), -1e6, dtype=np.float32)
     for i, boxes in enumerate(per_sample):
         if boxes:

@@ -14,4 +14,10 @@ from .pool import Pool, PoolConfig
 from .structure import dyn_structure, get_generic_classes, is_attrs_class, read_json_file
 from .type import PathType
 from .profiling import (StepTimer, device_trace, enable_compilation_cache, tune_host_allocator)
-from .guard import ProgramSizeError, install_program_size_guard
+from .guard import (
+    ProgramSizeError,
+    compile_count,
+    install_program_size_guard,
+    recent_compile_names,
+    reset_compile_log,
+)

@@ -35,6 +35,28 @@ _installed = False
 # tighten/restore the budget without reinstalling.
 _state = {'max_bytes': _DEFAULT_BUDGET_BYTES, 'guard_cpu': False}
 
+# Process-wide compile telemetry (benchmarks assert steady state: zero
+# compiles after warmup).  Incremented by the guard wrapper on EVERY
+# compile_or_get_cached call, i.e. every program XLA was asked to build
+# (persistent-cache hits included — each one still costs a backend round
+# trip on a tunneled device).
+_compile_log = {'count': 0, 'names': []}
+
+
+def compile_count() -> int:
+    """Number of XLA compile requests since process start (or last reset)."""
+    return _compile_log['count']
+
+
+def recent_compile_names(limit: int = 20):
+    """Names of the most recent compiled modules (diagnostics)."""
+    return list(_compile_log['names'][-limit:])
+
+
+def reset_compile_log() -> None:
+    _compile_log['count'] = 0
+    _compile_log['names'].clear()
+
 
 class ProgramSizeError(RuntimeError):
     """A lowered program exceeded the pre-flight dispatch budget."""
@@ -78,6 +100,13 @@ def install_program_size_guard(max_bytes=None, guard_cpu=False):
 
     def guarded_compile_or_get_cached(backend, computation, *args, **kwargs):
         platform = getattr(backend, 'platform', '')
+        _compile_log['count'] += 1
+        try:
+            _compile_log['names'].append(_module_name(computation))
+            if len(_compile_log['names']) > 512:
+                del _compile_log['names'][:256]
+        except Exception:  # noqa: BLE001 - telemetry must never block
+            pass
         budget = _state['max_bytes']
         if budget and (_state['guard_cpu'] or platform != 'cpu'):
             try:

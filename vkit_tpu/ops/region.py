@@ -237,10 +237,99 @@ def batch_char_heatmaps(
     char_radius: int = 25,
     distance_factor: float = 2.25,
 ):
-    """Host-plan + device-evaluate all char bump tiles in one program."""
+    """Host-plan + device-evaluate all char bump tiles in one program.
+
+    The tile count pads to a power of two (min 64): it is part of the
+    compiled signature, and every synthesized batch carries a different
+    char count — without the pad this program would recompile per batch.
+    Padded rows are identity bumps; callers index only the real rows."""
     mats_inv = plan_char_heatmap_mats(quads_xy, char_radius)
+    count = len(mats_inv)
+    padded = 64
+    while padded < count:
+        padded *= 2
+    if padded > count:
+        fill = np.broadcast_to(
+            np.eye(3, dtype=np.float64), (padded - count, 3, 3)
+        )
+        mats_inv = np.concatenate([mats_inv, fill], axis=0)
     return char_heatmap_tiles(
         jnp.asarray(mats_inv, dtype=jnp.float32),
         tile=tile, char_radius=char_radius,
         distance_factor=distance_factor,
     )
+
+
+# ---------------------------------------------------------------------------
+# Region window gather: device slices of the warped page batch.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('tile',))
+def gather_region_windows(
+    images,
+    active,
+    sids,
+    ups,
+    lefts,
+    heights,
+    widths,
+    quads_xy,
+    tile: int,
+):
+    """One device program building every region's source patch in place.
+
+    Replaces the host loop that sliced each window out of a FETCHED page
+    batch and re-uploaded the region stacks (synth/region.py round 4):
+    the pages never leave the device.  Per region: dynamic-slice a
+    (tile, tile) window at (up, left) of page ``sid``, gate the rgb to
+    the window extent, and build the alpha as the page active raster
+    intersected with the region's dilated word polygon (crossing-number
+    test in window-relative coords — the reference masks flattened
+    regions to the extended region polygon,
+    vkit/pipeline/text_detection/page_text_region.py:478-558).
+
+    ``quads_xy``: (R, 4, 2) f32 polygon corners relative to each window's
+    origin.  Returns (R, tile, tile, 4) float32 (rgb + alpha).
+    """
+    imgs = images.astype(jnp.float32)
+    act = active.astype(jnp.float32)
+    # Pad pages so edge windows never clamp (dynamic_slice shifts starts
+    # that overrun, which would misalign window-relative coordinates).
+    imgs = jnp.pad(imgs, ((0, 0), (0, tile), (0, tile), (0, 0)))
+    act = jnp.pad(act, ((0, 0), (0, tile), (0, tile)))
+    ys = jnp.arange(tile, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(tile, dtype=jnp.float32)[None, :]
+
+    def inside_poly(quad):
+        x0 = quad[:, 0][:, None, None]
+        y0 = quad[:, 1][:, None, None]
+        x1 = jnp.roll(quad[:, 0], -1)[:, None, None]
+        y1 = jnp.roll(quad[:, 1], -1)[:, None, None]
+        y = ys[None]
+        x = xs[None]
+        crossing = ((y0 <= y) & (y1 > y)) | ((y1 <= y) & (y0 > y))
+        dy = jnp.where(jnp.abs(y1 - y0) < 1e-12, 1e-12, y1 - y0)
+        cx = x0 + (y - y0) / dy * (x1 - x0)
+        hits = (crossing & (x < cx)).astype(jnp.int32).sum(axis=0)
+        return (hits % 2 == 1).astype(jnp.float32)
+
+    def body(_, row):
+        sid, up, left, h, w, quad = row
+        img = jax.lax.dynamic_slice(
+            imgs, (sid, up, left, 0), (1, tile, tile, imgs.shape[3])
+        )[0]
+        a = jax.lax.dynamic_slice(act, (sid, up, left), (1, tile, tile))[0]
+        in_extent = ((ys < h) & (xs < w)).astype(jnp.float32)
+        alpha = a * inside_poly(quad) * in_extent
+        rgb = img * in_extent[..., None]
+        return 0, jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+    _, out = jax.lax.scan(
+        body, 0,
+        (jnp.asarray(sids, jnp.int32), jnp.asarray(ups, jnp.int32),
+         jnp.asarray(lefts, jnp.int32),
+         jnp.asarray(heights, jnp.float32), jnp.asarray(widths, jnp.float32),
+         jnp.asarray(quads_xy, jnp.float32)),
+    )
+    return out

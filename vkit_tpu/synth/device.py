@@ -121,6 +121,10 @@ class SynthBatchResult(NamedTuple):
     crop_active: Optional[np.ndarray] = None    # (M, S, S) uint8
     crop_page_ids: Optional[np.ndarray] = None  # (M,) int32
     crop_windows: Optional[np.ndarray] = None   # (M, 2) int32 (up, left)
+    # Real crop count: with keep_on_device the crop tensors stay PADDED
+    # to a power of two on device (static compiled shapes) and rows
+    # beyond num_crops are duplicates of row 0.
+    num_crops: int = 0
     # Per-char gaussian heatmaps (char_heatmap engine semantics, rendered
     # ON DEVICE from the post-warp char quads); None unless requested.
     char_gaussian_maps: Optional[np.ndarray] = None  # (N, out_h, out_w) f32
@@ -130,7 +134,8 @@ class SynthBatchResult(NamedTuple):
     text_regions: Optional[object] = None  # RegionBatchResult
 
 
-def _char_gaussian_maps(char_polygons, out_shape, tile: int = 64):
+def _char_gaussian_maps(char_polygons, out_shape, tile: int = 64,
+                        keep_on_device: bool = False):
     """One device program: analytic gaussian bumps through each post-warp
     char quad (ops/region.batch_char_heatmaps) max-accumulated onto the
     page canvas (ops/glyph.accumulate_glyph_alpha).  The reference warps a
@@ -157,7 +162,7 @@ def _char_gaussian_maps(char_polygons, out_shape, tile: int = 64):
                          int(np.ceil(h)), int(np.ceil(w))))
     canvas = jnp.zeros((n,) + tuple(out_shape), dtype=jnp.float32)
     if not rows:
-        return np.asarray(canvas)
+        return canvas if keep_on_device else np.asarray(canvas)
     quads_np = np.stack(quads)
     tiles = batch_char_heatmaps(quads_np, tile=tile)
 
@@ -184,7 +189,7 @@ def _char_gaussian_maps(char_polygons, out_shape, tile: int = 64):
         valids=arr([1.0] * len(rows), np.float32),
     )
     out = accumulate_glyph_alpha(canvas, tiles, placements, out_tile=tile)
-    return np.asarray(out)
+    return out if keep_on_device else np.asarray(out)
 
 
 class CropConfig(NamedTuple):
@@ -378,15 +383,24 @@ def synthesize_page_batch(
     crop_config: Optional[CropConfig] = None,
     emit_char_gaussians: bool = False,
     region_config=None,
+    keep_on_device: bool = False,
 ) -> SynthBatchResult:
     """Run the device synthesis program over N host-prepped pages.
 
     ``out_shape`` (default: the page shape) is the STATIC output canvas;
     every randomized geometric draw folds its resize into the warp plan so
     one compiled program serves all batches.
+
+    ``keep_on_device``: leave every raster output (pages, label stack,
+    active masks, crops, region family) as DEVICE arrays — nothing
+    round-trips to host except analytic metadata.  Training consumers
+    hand these straight to synth_to_train_batch; the reference instead
+    pickles full sample dicts across its process pool
+    (vkit/utility/pool.py:162-184).
     """
     from ..mechanism.distortion.warp_plan import (
         nop_plan,
+        plan_content_box,
         rescale_plan_to,
         warp_active_mask,
     )
@@ -452,7 +466,8 @@ def synthesize_page_batch(
     )
     assert warped.shape[1:3] == out_shape
 
-    active = np.zeros((n,) + out_shape, dtype=np.float32)
+    # uint8 upload (4x smaller over the tunnel than the former float32).
+    active = np.zeros((n,) + out_shape, dtype=np.uint8)
     for idx, plan in enumerate(plans):
         active[idx] = warp_active_mask(plan).mat
 
@@ -474,15 +489,13 @@ def synthesize_page_batch(
 
     # Host: analytic polygon co-transform + content boxes (the reference's
     # corner-point trim folded into per-sample boxes; the rescaled plans
-    # already map into output coordinates).
-    images_np = np.asarray(images)
-    label_np = np.asarray(label_stack)
-    active_np = np.asarray(active_u8)
-
+    # already map into output coordinates).  Content boxes come from the
+    # plan geometry (plan_content_box, within +-1 px of the raster scan),
+    # so nothing blocks on a device fetch.
     word_polygons: List[List[Polygon]] = []
     char_polygons: List[List[Polygon]] = []
     content_boxes: List[Box] = []
-    for idx, (plan, page) in enumerate(zip(plans, pages)):
+    for plan, page in zip(plans, pages):
         def transform(polygons):
             return [
                 Polygon.from_np_array(plan.map_points(p.to_np_array()))
@@ -491,32 +504,30 @@ def synthesize_page_batch(
 
         word_polygons.append(transform(page.word_polygons))
         char_polygons.append(transform(page.char_polygons))
+        content_boxes.append(plan_content_box(plan))
 
-        row_any = active_np[idx].any(axis=1)
-        col_any = active_np[idx].any(axis=0)
-        if row_any.any():
-            rows = np.flatnonzero(row_any)
-            cols = np.flatnonzero(col_any)
-            content_boxes.append(
-                Box(int(rows[0]), int(rows[-1]), int(cols[0]), int(cols[-1]))
-            )
-        else:
-            content_boxes.append(
-                Box(0, out_shape[0] - 1, 0, out_shape[1] - 1)
-            )
+    if keep_on_device:
+        images_np, label_np, active_np = images, label_stack, active_u8
+    else:
+        images_np = np.asarray(images)
+        label_np = np.asarray(label_stack)
+        active_np = np.asarray(active_u8)
 
     gaussians = None
     if emit_char_gaussians:
-        gaussians = _char_gaussian_maps(char_polygons, out_shape)
+        gaussians = _char_gaussian_maps(
+            char_polygons, out_shape, keep_on_device=keep_on_device
+        )
 
     crop_images = crop_labels = crop_active = crop_page_ids = None
     crop_windows = None
+    num_crops = 0
     if crop_config is not None:
         sids, c_ups, c_lefts = _sample_crop_windows(
             out_shape, content_boxes, word_polygons, crop_config, rng
         )
         if len(sids):
-            count = len(sids)
+            count = num_crops = len(sids)
             bucket = 8
             while bucket < count:
                 bucket *= 2
@@ -532,9 +543,12 @@ def synthesize_page_batch(
                 _pad(sids), _pad(c_ups), _pad(c_lefts),
                 size=crop_config.core_size,
             )
-            crop_images = np.asarray(imgs)[:count]
-            crop_labels = np.asarray(labs)[:count]
-            crop_active = np.asarray(acts)[:count]
+            if keep_on_device:
+                crop_images, crop_labels, crop_active = imgs, labs, acts
+            else:
+                crop_images = np.asarray(imgs)[:count]
+                crop_labels = np.asarray(labs)[:count]
+                crop_active = np.asarray(acts)[:count]
             crop_page_ids = sids
             crop_windows = np.stack([c_ups, c_lefts], axis=1)
 
@@ -551,12 +565,15 @@ def synthesize_page_batch(
         crop_page_ids=crop_page_ids,
         crop_windows=crop_windows,
         char_gaussian_maps=gaussians,
+        num_crops=num_crops,
     )
     if region_config is not None:
         from .region import stack_text_regions
 
         result = result._replace(
-            text_regions=stack_text_regions(result, region_config, rng)
+            text_regions=stack_text_regions(
+                result, region_config, rng, keep_on_device=keep_on_device
+            )
         )
     return result
 
@@ -572,6 +589,7 @@ def synthesize_stream(
     crop_config: Optional[CropConfig] = None,
     emit_char_gaussians: bool = False,
     region_config=None,
+    keep_on_device: bool = False,
 ):
     """Generator of SynthBatchResults with host prep overlapped against
     device work: a background thread keeps up to ``prefetch`` prepared
@@ -616,6 +634,7 @@ def synthesize_stream(
                 out_shape=out_shape, crop_config=crop_config,
                 emit_char_gaussians=emit_char_gaussians,
                 region_config=region_config,
+                keep_on_device=keep_on_device,
             )
             idx += 1
     finally:

@@ -36,7 +36,6 @@ import numpy as np
 from numpy.random import Generator as RandomGenerator
 
 from ..element import Box, Polygon
-from .. import geometry
 
 TWO_PI = 2.0 * math.pi
 
@@ -76,6 +75,13 @@ class CharRegression(NamedTuple):
 
 
 class RegionBatchResult(NamedTuple):
+    """Stacked region pages + labels.
+
+    With ``keep_on_device`` the raster fields are DEVICE arrays padded to
+    a power-of-two page count (static compiled shapes); ``num_pages`` is
+    the real count and rows beyond it are blank canvases.  Host-fetched
+    results are sliced to the real count and ``num_pages`` matches
+    ``len(images)``."""
     images: np.ndarray                 # (M, S, S, 3) uint8 stacked pages
     active_masks: np.ndarray           # (M, S, S) uint8
     gaussian_maps: np.ndarray          # (M, S, S) float32
@@ -86,6 +92,8 @@ class RegionBatchResult(NamedTuple):
     crop_gaussians: Optional[np.ndarray] = None  # (K, C, C) float32
     crop_active: Optional[np.ndarray] = None     # (K, C, C) uint8
     crop_page_ids: Optional[np.ndarray] = None   # (K,) int32
+    num_pages: int = 0
+    num_crops: int = 0
 
 
 def char_regression_encodings(
@@ -187,6 +195,7 @@ class _Region(NamedTuple):
     angle_deg: float
     scale: float
     char_idxs: List[int]
+    poly_xy: np.ndarray  # word polygon (page coords) masking the region
 
 
 def _ladder(size: int) -> int:
@@ -229,10 +238,15 @@ def collect_regions(
             if median < 1.0:
                 continue
             scale = config.target_char_height / median
-            # Bound the flattened extent by the tile budget (the packer
-            # canvas is static; a pathological region scales down).
+            # Bound the flattened extent by the tile budget AND the packer
+            # slot (usable canvas minus inner pads): the packer clamps its
+            # slot to the usable canvas, so an extent larger than that
+            # would overpaint neighboring regions on the same shelf.
             span = math.hypot(window.height, window.width)
-            limit = (config.dst_tile_max - 2) / max(span, 1.0)
+            usable = config.page_size - 2 * config.page_pad
+            cap = min(config.dst_tile_max,
+                      usable - 2 * config.region_pad)
+            limit = (cap - 2) / max(span, 1.0)
             scale = float(min(scale, limit))
             if scale <= 0:
                 continue
@@ -240,22 +254,39 @@ def collect_regions(
                 page_id=pid, window=window,
                 angle_deg=_flatten_angle_deg(words[word_idx]),
                 scale=scale, char_idxs=char_idxs,
+                poly_xy=xy.astype(np.float64),
             ))
     return regions
+
+
+_DST_TILE_LADDER = (128, 256, 512)
 
 
 def stack_text_regions(
     result,
     config: RegionStreamConfig,
     rng: RandomGenerator,
+    keep_on_device: bool = False,
 ) -> Optional[RegionBatchResult]:
     """The full adaptive-scaling post-pass over one SynthBatchResult.
+
+    Device-resident: the warped pages never round-trip to host — region
+    windows gather on device (ops/region.gather_region_windows), flatten,
+    composite, label and crop there too; only the training outputs fetch
+    (or nothing at all with ``keep_on_device``).  Every array shape on
+    the device path quantizes to a ladder or power of two, so the
+    compiled-program set is bounded across randomized batches.
 
     Returns None when the batch carries no usable text region."""
     import jax.numpy as jnp
 
     from ..ops.glyph import build_placements, composite_patches
-    from ..ops.region import batch_flatten_regions, region_flatten_point_map
+    from ..ops.region import (
+        batch_flatten_regions,
+        gather_region_windows,
+        plan_region_flatten,
+        region_flatten_point_map,
+    )
     from .device import _char_gaussian_maps, _extract_crops_program
     from ..geometry.packing import pack_rectangles
     from ..pipeline.text_detection.page_text_region import (
@@ -266,51 +297,85 @@ def stack_text_regions(
     if not regions:
         return None
 
+    images_dev = jnp.asarray(result.images)
+    active_dev = jnp.asarray(result.active_masks)
+
     # ------------------------------------------------------------------
-    # Flatten: one device program per source-tile bucket.
+    # Flatten: gather + warp, a few device programs per source-tile
+    # bucket, row counts padded to powers of two.
     # ------------------------------------------------------------------
     buckets: Dict[int, List[int]] = {}
     for pos, region in enumerate(regions):
         tile = _ladder(max(region.window.height, region.window.width))
         buckets.setdefault(tile, []).append(pos)
 
-    flat_images: List[Optional[np.ndarray]] = [None] * len(regions)
+    flat_warped: Dict[int, object] = {}      # tile -> device (R, d, d, 4)
     flat_extents: List[Optional[Tuple[int, int]]] = [None] * len(regions)
     flat_chars: List[List[Polygon]] = [[] for _ in regions]
+    bucket_dst_tile: Dict[int, int] = {}
 
     for tile, positions in sorted(buckets.items()):
-        stack = np.zeros((len(positions), tile, tile, 4), dtype=np.float32)
-        angles, scales, extents = [], [], []
+        count = len(positions)
+        rpad = 8
+        while rpad < count:
+            rpad *= 2
+
+        sids = np.zeros(rpad, np.int32)
+        ups = np.zeros(rpad, np.int32)
+        lefts = np.zeros(rpad, np.int32)
+        hs = np.ones(rpad, np.float32)
+        ws = np.ones(rpad, np.float32)
+        quads = np.zeros((rpad, 4, 2), np.float32)
+        angles = np.zeros(rpad, np.float64)
+        scales = np.ones(rpad, np.float64)
+        extents = np.ones((rpad, 2), np.int64)
         for row, pos in enumerate(positions):
             region = regions[pos]
             w = region.window
-            stack[row, :w.height, :w.width, :3] = (
-                result.images[region.page_id,
-                              w.up:w.down + 1, w.left:w.right + 1]
-            )
-            # Region mask: the page's active raster inside the window
-            # (the synth twin of the bounding extended region mask).
-            stack[row, :w.height, :w.width, 3] = (
-                result.active_masks[region.page_id,
-                                    w.up:w.down + 1, w.left:w.right + 1]
-            )
-            angles.append(region.angle_deg)
-            scales.append(region.scale)
-            extents.append((w.height, w.width))
+            sids[row] = region.page_id
+            ups[row] = w.up
+            lefts[row] = w.left
+            hs[row] = w.height
+            ws[row] = w.width
+            # Dilated word polygon, window-relative (the region mask —
+            # a raw bbox window would composite ink from neighboring
+            # words whose chars carry no labels on this region's copy;
+            # the reference masks to the extended region polygon,
+            # page_text_region.py:478-558).
+            xy = region.poly_xy
+            if xy.shape[0] == 4:
+                rel = xy - np.asarray([w.left, w.up], np.float64)
+            else:  # non-quad word outline: fall back to the window bbox
+                rel = np.asarray([
+                    (0, 0), (w.width - 1.0, 0),
+                    (w.width - 1.0, w.height - 1.0), (0, w.height - 1.0),
+                ])
+            center = rel.mean(axis=0)
+            quads[row] = center + (rel - center) * (1.0 + config.dilate_ratio)
+            angles[row] = region.angle_deg
+            scales[row] = region.scale
+            extents[row] = (w.height, w.width)
 
-        from ..ops.region import plan_region_flatten
+        stack_dev = gather_region_windows(
+            images_dev, active_dev, sids, ups, lefts, hs, ws, quads,
+            tile=tile,
+        )
+
         _, need = plan_region_flatten(
-            angles, scales, tile, 1 << 30,
-            content_extents=np.asarray(extents),
+            angles, scales, tile, 1 << 30, content_extents=extents,
         )
-        dst_tile = min(
-            ((int(need.max()) + 127) // 128) * 128, config.dst_tile_max
+        need_max = int(need[:count].max())
+        dst_tile = config.dst_tile_max
+        for cand in _DST_TILE_LADDER:
+            if need_max <= cand <= config.dst_tile_max:
+                dst_tile = cand
+                break
+        bucket_dst_tile[tile] = dst_tile
+        warped_dev, w_extents, mats = batch_flatten_regions(
+            stack_dev, angles, scales, dst_tile,
+            content_extents=extents, return_mats=True,
         )
-        warped, w_extents, mats = batch_flatten_regions(
-            jnp.asarray(stack), angles, scales, dst_tile,
-            content_extents=np.asarray(extents), return_mats=True,
-        )
-        warped = np.asarray(warped)
+        flat_warped[tile] = warped_dev
 
         # Char polygons through the SAME mats, one einsum for the bucket.
         groups, points, counts_per_pos = [], [], []
@@ -334,13 +399,12 @@ def stack_text_regions(
         at = 0
         for row, pos in enumerate(positions):
             eh, ew = (int(v) for v in w_extents[row])
-            flat_images[pos] = warped[row]
             flat_extents[pos] = (eh, ew)
-            for count in counts_per_pos[row]:
+            for count_ in counts_per_pos[row]:
                 flat_chars[pos].append(
-                    Polygon.from_np_xy(mapped[at:at + count])
+                    Polygon.from_np_xy(mapped[at:at + count_])
                 )
-                at += count
+                at += count_
 
     # ------------------------------------------------------------------
     # Pack: shelf-pack flattened extents onto static canvases.
@@ -355,39 +419,45 @@ def stack_text_regions(
                       min(eh + 2 * inner, usable)))
     placements = pack_rectangles(sizes, usable)
 
-    # Split the one tall shelf stack into page-sized canvases.
+    # Split the one tall shelf stack into page-sized canvases.  Regions
+    # sharing a packed y form one shelf; the shelf height is the MAX rect
+    # height on that shelf (not the first-seen rect's — the packer places
+    # the tallest rect at x=0, which need not be the lowest index), so
+    # the next shelf's base never lands inside the previous one.
     page_of: List[int] = [0] * len(regions)
     offset_of: List[Tuple[int, int]] = [(0, 0)] * len(regions)
-    # Shelf rows come back sorted by y; group whole shelves per canvas so
-    # regions never straddle a canvas boundary.
-    order = sorted(range(len(regions)), key=lambda i: placements[i][1])
-    canvas_idx, base_y, next_free = 0, 0, 0
-    current_shelf_y = None
-    for i in order:
-        x, y = placements[i]
-        w, h = sizes[i]
-        if current_shelf_y is None or y != current_shelf_y:
-            # New shelf: does it fit on the current canvas?
-            shelf_h = h  # first (tallest) rect of the shelf
-            if next_free + shelf_h > usable and next_free > 0:
-                canvas_idx += 1
-                next_free = 0
-            base_y = next_free
-            current_shelf_y = y
-            shelf_base = base_y
-            next_free = base_y + shelf_h
-        page_of[i] = canvas_idx
-        offset_of[i] = (x, shelf_base)
+    shelf_members: Dict[int, List[int]] = {}
+    for i in range(len(regions)):
+        shelf_members.setdefault(placements[i][1], []).append(i)
+    canvas_idx, next_free = 0, 0
+    for y in sorted(shelf_members):
+        members = shelf_members[y]
+        shelf_h = max(sizes[i][1] for i in members)
+        # New shelf: does it fit on the current canvas?
+        if next_free + shelf_h > usable and next_free > 0:
+            canvas_idx += 1
+            next_free = 0
+        shelf_base = next_free
+        next_free = shelf_base + shelf_h
+        for i in members:
+            page_of[i] = canvas_idx
+            offset_of[i] = (placements[i][0], shelf_base)
     num_pages = canvas_idx + 1
+    # Canvas count is a compiled static: pad to a power of two; rows
+    # beyond num_pages stay blank background.
+    m_pad = 1
+    while m_pad < num_pages:
+        m_pad *= 2
 
     background = build_background_image_for_stacking(s, s).mat
-    canvases = np.broadcast_to(
-        background, (num_pages, s, s, 3)
-    ).copy()
+    canvases = np.broadcast_to(background, (m_pad, s, s, 3)).copy()
 
     # ------------------------------------------------------------------
-    # Composite: one device scan program per tile bucket.
+    # Composite: one device scan program per tile bucket (rgb + active
+    # coverage together; nothing fetches).
     # ------------------------------------------------------------------
+    from ..ops.glyph import accumulate_glyph_alpha
+
     region_boxes: List[List[Box]] = [[] for _ in range(num_pages)]
     page_chars: List[List[Polygon]] = [[] for _ in range(num_pages)]
     box_targets: List[Box] = []
@@ -406,21 +476,14 @@ def stack_text_regions(
             )
 
     out = jnp.asarray(canvases)
-    active = np.zeros((num_pages, s, s), dtype=np.uint8)
+    active_acc = jnp.zeros((m_pad, s, s), dtype=jnp.float32)
     for tile, positions in sorted(buckets.items()):
-        # The flattened dst tiles of this bucket share one canvas size.
-        dst_tile = flat_images[positions[0]].shape[0]
-        tiles_a = np.zeros((len(positions), dst_tile, dst_tile), np.float32)
-        tiles_rgb = np.zeros(
-            (len(positions), dst_tile, dst_tile, 3), np.float32
-        )
+        dst_tile = bucket_dst_tile[tile]
+        warped_dev = flat_warped[tile]
+        tiles_a = (warped_dev[..., 3] > 0.5).astype(jnp.float32)
+        tiles_rgb = jnp.clip(warped_dev[..., :3], 0, 255)
         rows = []
         for row, pos in enumerate(positions):
-            mat = flat_images[pos]
-            eh, ew = flat_extents[pos]
-            mask = (mat[..., 3] > 0.5).astype(np.float32)
-            tiles_a[row] = mask
-            tiles_rgb[row] = np.clip(mat[..., :3], 0, 255)
             target = box_targets[pos]
             th = target.down - target.up + 1
             tw = target.right - target.left + 1
@@ -431,23 +494,23 @@ def stack_text_regions(
                 'src_h': float(th), 'src_w': float(tw),
                 'color': np.zeros(3, np.float32),
             })
-            active[page_of[pos], target.up:target.down + 1,
-                   target.left:target.right + 1] = (
-                mask[:th, :tw] > 0.5
-            )
         placements_dev = build_placements(rows, bucket=8)
         use_rgbs = np.ones(placements_dev.num_rows, dtype=np.float32)
         out = composite_patches(
-            out, jnp.asarray(tiles_a), jnp.asarray(tiles_rgb),
+            out, tiles_a, tiles_rgb,
             jnp.asarray(use_rgbs), placements_dev, out_tile=dst_tile,
         )
-    images = np.asarray(out)
+        active_acc = accumulate_glyph_alpha(
+            active_acc, tiles_a, placements_dev, out_tile=dst_tile
+        )
+    active = (active_acc > 0.5).astype(jnp.uint8)
 
     # ------------------------------------------------------------------
     # Labels: device gaussians + vectorized regression encodings.
     # ------------------------------------------------------------------
     gaussians = _char_gaussian_maps(
-        page_chars, (s, s), tile=config.gaussian_tile
+        page_chars + [[] for _ in range(m_pad - num_pages)], (s, s),
+        tile=config.gaussian_tile, keep_on_device=True,
     )
     regression: List[CharRegression] = []
     for polys in page_chars:
@@ -465,6 +528,7 @@ def stack_text_regions(
     # Crops (page_text_region_cropping.py windows, device extraction).
     # ------------------------------------------------------------------
     crop_images = crop_gaussians = crop_active = crop_page_ids = None
+    num_crops = 0
     if config.num_crops_per_page > 0 and s >= config.crop_size:
         c = config.crop_size
         sids, ups, lefts = [], [], []
@@ -489,29 +553,34 @@ def stack_text_regions(
                 ups.append(up)
                 lefts.append(left)
         if sids:
-            count = len(sids)
+            num_crops = len(sids)
             bucket = 8
-            while bucket < count:
+            while bucket < num_crops:
                 bucket *= 2
-            pad = bucket - count
+            pad = bucket - num_crops
 
             def _pad(arr):
                 a = np.asarray(arr, np.int32)
                 return jnp.asarray(np.concatenate([a, np.repeat(a[:1], pad)]))
 
-            imgs, labs, acts = _extract_crops_program(
-                jnp.asarray(images),
-                jnp.asarray(gaussians[..., None]),
-                jnp.asarray(active),
+            crop_images, labs, crop_active = _extract_crops_program(
+                out, gaussians[..., None], active,
                 _pad(sids), _pad(ups), _pad(lefts), size=c,
             )
-            crop_images = np.asarray(imgs)[:count]
-            crop_gaussians = np.asarray(labs)[:count, ..., 0]
-            crop_active = np.asarray(acts)[:count]
+            crop_gaussians = labs[..., 0]
             crop_page_ids = np.asarray(sids, np.int32)
 
+    if not keep_on_device:
+        out = np.asarray(out)[:num_pages]
+        active = np.asarray(active)[:num_pages]
+        gaussians = np.asarray(gaussians)[:num_pages]
+        if crop_images is not None:
+            crop_images = np.asarray(crop_images)[:num_crops]
+            crop_gaussians = np.asarray(crop_gaussians)[:num_crops]
+            crop_active = np.asarray(crop_active)[:num_crops]
+
     return RegionBatchResult(
-        images=images,
+        images=out,
         active_masks=active,
         gaussian_maps=gaussians,
         region_boxes=region_boxes,
@@ -521,4 +590,6 @@ def stack_text_regions(
         crop_gaussians=crop_gaussians,
         crop_active=crop_active,
         crop_page_ids=crop_page_ids,
+        num_pages=num_pages,
+        num_crops=num_crops,
     )

@@ -48,9 +48,10 @@ def test_compiled_matches_eager(name):
     ]
     # Static/shape params must agree for a shared batched apply.
     from vkit_tpu.mechanism.batched_random import _static_signature
-    sig0 = _static_signature(configs[0])
+    sig0 = _static_signature(name, configs[0])
     configs = [
-        c if _static_signature(c) == sig0 else configs[0] for c in configs
+        c if _static_signature(name, c) == sig0 else configs[0]
+        for c in configs
     ]
     if name in ('pixelation', 'zoom_in_blur'):
         configs = [configs[0]] * 3

@@ -44,9 +44,10 @@ def test_mega_matches_per_name(name):
         np.random.default_rng(0).integers(0, 256, (n, 48, 64, 3), dtype=np.uint8)
     )
     configs = [policy.sample_config(5, (48, 64), rng) for _ in range(n)]
-    sig0 = _static_signature(configs[0])
+    sig0 = _static_signature(name, configs[0])
     configs = [
-        c if _static_signature(c) == sig0 else configs[0] for c in configs
+        c if _static_signature(name, c) == sig0 else configs[0]
+        for c in configs
     ]
 
     key = jax.random.PRNGKey(11)

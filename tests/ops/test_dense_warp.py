@@ -177,3 +177,78 @@ def test_batched_grid_warp_mls():
         # approximate (see the camera test above).
         assert diff[core].mean() <= 1.0, diff[core].mean()
         assert diff[core].max() <= 24, diff[core].max()
+
+
+def test_coarse_nodes_16px_fidelity():
+    """The documented dense-warp fidelity bar (max <= 24 LSB, mean <= 1)
+    enforced AT THE PRODUCTION NODE SPACING: a >= 320 px canvas routes
+    _build_coarse_nodes through COARSE_NODE_STEP = 16 (batched.py), and
+    this test pins the bound to that constant — advisor r4: the 8-px
+    small-canvas tests left the 16-px bar unenforced."""
+    from scipy.ndimage import binary_erosion, gaussian_filter
+
+    from vkit_tpu.element import Image
+    from vkit_tpu.mechanism import batched
+    from vkit_tpu.mechanism.batched import batched_grid_warp
+    from vkit_tpu.mechanism.distortion import (
+        CameraCubicCurveConfig,
+        CameraModelConfig,
+        camera_cubic_curve,
+    )
+
+    rng = np.random.default_rng(0)
+    h = w = 384
+    assert min(h, w) >= batched._FINE_NODE_CANVAS, (
+        'canvas no longer exercises the coarse 16-px node grid; '
+        'update the test alongside _FINE_NODE_CANVAS'
+    )
+    assert batched.COARSE_NODE_STEP == 16, (
+        'node spacing changed: re-verify the <= 24 LSB / mean <= 1 bar '
+        'at the new spacing and update PARITY.md'
+    )
+    img = gaussian_filter(rng.random((h, w, 3)) * 255, sigma=2).astype(np.uint8)
+
+    configs = [
+        CameraCubicCurveConfig(
+            curve_alpha=-18, curve_beta=-18,
+            curve_direction=0.0, curve_scale=1.0,
+            camera_model_config=CameraModelConfig(
+                rotation_unit_vec=[1.0, 0.0, 0.0], rotation_theta=12,
+            ),
+            grid_size=10,
+        ),
+        CameraCubicCurveConfig(
+            curve_alpha=12, curve_beta=20,
+            curve_direction=30.0, curve_scale=1.0,
+            camera_model_config=CameraModelConfig(
+                rotation_unit_vec=[0.0, 1.0, 0.0], rotation_theta=8,
+            ),
+            grid_size=10,
+        ),
+    ]
+    imgs = jnp.asarray(np.stack([img] * len(configs)))
+    warped, shapes, covs = batched_grid_warp(
+        camera_cubic_curve, configs, imgs, rng=np.random.default_rng(1)
+    )
+    warped = np.asarray(warped)
+    for i, cfg in enumerate(configs):
+        ref = camera_cubic_curve.distort_image(
+            cfg, Image(mat=img), rng=np.random.default_rng(1)
+        )
+        hh, ww = shapes[i]
+        assert ref.shape == (hh, ww)
+        diff = np.abs(
+            warped[i, :hh, :ww].astype(int) - ref.mat.astype(int)
+        )
+        # Interior = one node cell in from the coverage edge: the <= 24
+        # LSB / mean <= 1 bar holds there.  The EDGE BAND (within one
+        # 16-px cell of the coverage boundary) is approximated by the
+        # node field's linear extension and can reach ~140 LSB on strong
+        # camera curves at < 1e-3 pixel frequency — measured and
+        # documented in PARITY.md (tools/measure_warp_tail.py).
+        near = binary_erosion(covs[i], iterations=4)
+        core = binary_erosion(covs[i], iterations=batched.COARSE_NODE_STEP)
+        assert diff[near].mean() <= 1.0, diff[near].mean()
+        assert diff[core].max() <= 24, diff[core].max()
+        frac_big = (diff[near].max(axis=-1) > 24).mean()
+        assert frac_big <= 1e-3, frac_big

@@ -1670,7 +1670,7 @@ def batch_distort_images(name: str, configs: Sequence, images, key=None):
             images,
             _field(configs, 'roughness'),
             key,
-            fog_rgb=_uniform(configs, 'fog_rgb'),
+            fog_rgb=np.asarray(_field(configs, 'fog_rgb'), np.float32),
             ratio_maxs=np.asarray(_field(configs, 'ratio_max'), np.float32),
             ratio_mins=np.asarray(_field(configs, 'ratio_min'), np.float32),
         )
@@ -1728,6 +1728,16 @@ def batch_distort_images(name: str, configs: Sequence, images, key=None):
 def _chan(configs):
     channels = _uniform(configs, 'channels')
     return tuple(channels) if channels is not None else None
+
+
+def _chan_gate3(channels) -> np.ndarray:
+    """Per-channel 0/1 gate for a channels subset (None -> all)."""
+    gate = np.zeros(3, dtype=np.float32)
+    if channels is None:
+        gate[:] = 1.0
+    else:
+        gate[list(channels)] = 1.0
+    return gate
 
 
 def _f32(values):
@@ -1810,17 +1820,21 @@ def _apply_jpeg(images, key, arrays, static):
 
 
 def _prep_fog(configs, shape, key):
+    # fog_rgb rides as a traced (N, 3) array: as a static it keyed a
+    # fresh compiled program on every drawn color (unbounded compile set
+    # across randomized batches — the round-4 steady-state leak).
     return ({
         'roughnesses': _f32(_field(configs, 'roughness')),
         'rmax': _f32(_field(configs, 'ratio_max')),
         'rmin': _f32(_field(configs, 'ratio_min')),
-    }, (tuple(_uniform(configs, 'fog_rgb')),))
+        'fog_rgb': np.asarray(_field(configs, 'fog_rgb'), np.float32),
+    }, ())
 
 
 def _apply_fog(images, key, arrays, static):
     return batched_fog(
         images, arrays['roughnesses'], key,
-        fog_rgb=static[0],
+        fog_rgb=arrays['fog_rgb'],
         ratio_maxs=arrays['rmax'], ratio_mins=arrays['rmin'],
     )
 
@@ -2334,10 +2348,22 @@ _COMPILED_CATALOG = {
         lambda images, key, arrays, static:
             batched_boundary_equalization(images, channels=static[0]),
     ),
+    # Channels ride as a traced per-sample gate: as statics they keyed 8
+    # compiled programs (every subset of {0,1,2} plus None) that trickled
+    # in across randomized batches — a round-4 steady-state compile leak.
+    # Equalizing all 3 channels and gating costs ~1.5x the arithmetic of
+    # the average subset on the rare samples that draw this op.
     'histogram_equalization': (
-        _field_prep((), 'channels'),
-        lambda images, key, arrays, static:
-            batched_histogram_equalization(images, channels=static[0]),
+        lambda configs, shape, key: ({
+            'chan_gate': np.stack([
+                _chan_gate3(getattr(c, 'channels', None)) for c in configs
+            ]),
+        }, ()),
+        lambda images, key, arrays, static: jnp.where(
+            arrays['chan_gate'][:, None, None, :] > 0,
+            batched_histogram_equalization(images),
+            images,
+        ),
     ),
     'complement': (_prep_complement, _apply_complement),
     'posterization': (

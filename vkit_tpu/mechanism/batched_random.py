@@ -40,8 +40,15 @@ _PER_SAMPLE_ONLY = ()
 # batched apply can only share members whose static fields agree.
 _STATIC_FIELDS = ('channels', 'oob_behavior', 'enable_threshold_lte')
 
+# Ops whose former static fields now ride as TRACED arrays (batched.py
+# compiled catalog): members group together regardless of channel subset
+# or drawn color — one dispatch, one compiled program.
+_NO_STATIC_GROUPING = frozenset({'histogram_equalization', 'fog'})
 
-def _static_signature(config) -> tuple:
+
+def _static_signature(name: str, config) -> tuple:
+    if name in _NO_STATIC_GROUPING:
+        return ()
     return tuple(
         (field, repr(getattr(config, field)))
         for field in _STATIC_FIELDS
@@ -164,7 +171,7 @@ def batch_random_photometric_distort(
             else:
                 by_sig = defaultdict(list)
                 for member in members:
-                    by_sig[_static_signature(member[1])].append(member)
+                    by_sig[_static_signature(name, member[1])].append(member)
                 groups = [by_sig[sig] for sig in sorted(by_sig)]
             for group in groups:
                 try:

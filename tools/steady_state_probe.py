@@ -80,7 +80,7 @@ def report(tag, t, extra=''):
     snap()
 
 
-def probe_config5(n_batches=4):
+def probe_config5(n_batches=4, warm=False):
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +105,14 @@ def probe_config5(n_batches=4):
         np.ones((batch, SIDE, SIDE, 2), dtype=np.float32)
     )
     key = jax.random.PRNGKey(0)
+
+    if warm:
+        from vkit_tpu.mechanism.warmup import warmup_random_distortion
+        t0 = time.perf_counter()
+        warmup_random_distortion(
+            batch, (SIDE, SIDE), out_shape, warp_channels=5, level=5
+        )
+        report('[warmup]', time.perf_counter() - t0)
 
     def step():
         photo = batch_random_photometric_distort(images, 5, rng, key=key)
@@ -177,6 +185,10 @@ if __name__ == '__main__':
         t0 = time.perf_counter()
         probe_config5()
         print(f'config5 total {time.perf_counter() - t0:.1f}s')
+    if which == '5w':
+        t0 = time.perf_counter()
+        probe_config5(warm=True)
+        print(f'config5+warm total {time.perf_counter() - t0:.1f}s')
     if which in ('6', 'both'):
         t0 = time.perf_counter()
         probe_config6()

@@ -101,3 +101,34 @@ def test_area_resize_upscale_matches_cv2():
         mine = resize_np(img, dsize, Interpolation.AREA)
         ref = cv2.resize(img, (dsize[1], dsize[0]), interpolation=cv2.INTER_AREA)
         assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_row_shift_smem_chunking():
+    """Batches whose (B, L) starts array exceeds the SMEM prefetch budget
+    must chunk along B (region flatten stacks thousands of rows — the
+    unchunked call failed server-side with 'would exceed memory
+    (space=smem)' on v5e).  Chunked output must equal the per-row gather."""
+    from vkit_tpu.ops.pallas_kernels import (
+        _SMEM_STARTS_ELEMS,
+        _b_chunks,
+        row_shift_window_slab,
+    )
+
+    rng = np.random.default_rng(1)
+    b, l, c, iw, ow = 600, 128, 2, 300, 256
+    assert b * l > _SMEM_STARTS_ELEMS  # would have overflowed SMEM
+    assert len(_b_chunks(b, l)) > 1
+    x = jnp.asarray(rng.random((b, l, c, iw), dtype=np.float32))
+    starts = rng.integers(-40, 200, (b, l))
+    out = np.asarray(row_shift_window_slab(
+        x, jnp.asarray(starts, jnp.int32), ow, border_value=0.5
+    ))
+    xs = np.asarray(x)
+    for bi in (0, 109, 599):  # rows spanning several chunks
+        for li in (0, 63, 127):
+            s = int(starts[bi, li])
+            ref = np.full((c, ow), 0.5, np.float32)
+            lo, hi = max(s, 0), min(s + ow, iw)
+            if hi > lo:
+                ref[:, lo - s:hi - s] = xs[bi, li, :, lo:hi]
+            assert np.array_equal(out[bi, li], ref), (bi, li)

@@ -164,3 +164,39 @@ def test_region_pages_carry_region_content(planner):
             assert not (
                 ((content == 0) | (content == 255)).all()
             ), 'region window still shows only background'
+
+
+def test_chunked_flatten_matches_single_chunk(planner, monkeypatch):
+    """Forcing the multi-chunk flatten path (tiny per-chunk budget) must
+    reproduce the single-chunk result exactly: an 8-page full-content
+    batch stacks thousands of regions, and one whole-bucket program
+    materialized a 25.8 GB intermediate on v5e — the chunked path is the
+    production path, so pin its equivalence here."""
+    from vkit_tpu.synth import region as region_mod
+    from vkit_tpu.synth import synthesize_page_batch
+
+    rng = np.random.default_rng(13)
+    pages = planner.prepare_batch(2, rng)
+    config = RegionStreamConfig(page_size=320, target_char_height=24)
+
+    def run():
+        res = synthesize_page_batch(
+            pages, 3, np.random.default_rng(5),
+            region_config=config,
+        )
+        return res.text_regions
+
+    base = run()
+    assert base is not None and base.num_pages >= 1
+    # Force 64-row chunks (the minimum) so any bucket with > 64 regions
+    # splits; verify at least one bucket actually chunked.
+    monkeypatch.setattr(region_mod, '_CHUNK_BUDGET_BYTES', 1)
+    assert region_mod._chunk_rows(128) == 64
+    chunked = run()
+    assert chunked is not None
+    assert chunked.num_pages == base.num_pages
+    np.testing.assert_array_equal(chunked.images, base.images)
+    np.testing.assert_array_equal(chunked.active_masks, base.active_masks)
+    np.testing.assert_allclose(
+        chunked.gaussian_maps, base.gaussian_maps, atol=1e-5
+    )

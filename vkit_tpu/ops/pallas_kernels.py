@@ -66,26 +66,33 @@ def row_shift(
     kernel = functools.partial(
         _row_shift_kernel, rows_per_block=rows_per_block, out_width=out_width
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, L_padded // rows_per_block),
-        in_specs=[
-            pl.BlockSpec(
-                (1, rows_per_block, Mpad),
+    starts = starts.astype(jnp.int32)
+    chunks = []
+    for b0, b1 in _b_chunks(B, L_padded):
+        nb = b1 - b0
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, L_padded // rows_per_block),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows_per_block, Mpad),
+                    lambda b, lb, starts: (b, lb, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_per_block, out_width),
                 lambda b, lb, starts: (b, lb, 0),
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rows_per_block, out_width),
-            lambda b, lb, starts: (b, lb, 0),
-        ),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, L_padded, out_width), x_padded.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(starts.astype(jnp.int32), x_padded)
+        )
+        chunks.append(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb, L_padded, out_width), x_padded.dtype
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(starts[b0:b1], x_padded[b0:b1]))
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
     if pad_l:
         out = out[:, :L]
     return out
@@ -109,6 +116,21 @@ def row_shift_auto(x_padded, starts, out_width: int, rows_per_block: int = 128):
 # ---------------------------------------------------------------------------
 
 _WINDOW2 = 2048
+
+# The scalar-prefetch operand (per-row starts) lives in SMEM, which is
+# 1 MiB on v5e — one whole (B, L) int32 array per pallas_call.  Region
+# flatten stacks batch THOUSANDS of rows (region rows pad to powers of
+# two), and a (2048, 512) starts array is 4 MiB: the compile fails with
+# 'Allocation would exceed memory (space=smem)'.  Calls are therefore
+# CHUNKED along B so each pallas_call prefetches at most this many
+# int32s (256 KiB — headroom for Mosaic's own SMEM use); the chunks
+# still lower into ONE XLA program, so dispatch count is unchanged.
+_SMEM_STARTS_ELEMS = 65536
+
+
+def _b_chunks(b: int, l_padded: int):
+    chunk = max(1, _SMEM_STARTS_ELEMS // max(l_padded, 1))
+    return [(i, min(i + chunk, b)) for i in range(0, b, chunk)]
 
 
 def _row_shift_window_kernel(
@@ -203,29 +225,34 @@ def row_shift_window_slab(
         border_value=border_value,
         unroll=unroll,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, L_padded // rows_per_block),
-        in_specs=[
-            pl.BlockSpec(
-                (1, rows_per_block, C, in_width),
+    starts = starts.astype(jnp.int32)
+    chunks = []
+    for b0, b1 in _b_chunks(B, L_padded):
+        nb = b1 - b0
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, L_padded // rows_per_block),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows_per_block, C, in_width),
+                    lambda b, lb, starts: (b, lb, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_per_block, C, out_width),
                 lambda b, lb, starts: (b, lb, 0, 0),
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rows_per_block, C, out_width),
-            lambda b, lb, starts: (b, lb, 0, 0),
-        ),
-        scratch_shapes=[pltpu.VMEM((C, _WINDOW2), x.dtype)],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, L_padded, C, out_width), x.dtype
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(starts.astype(jnp.int32), x)
+            scratch_shapes=[pltpu.VMEM((C, _WINDOW2), x.dtype)],
+        )
+        chunks.append(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb, L_padded, C, out_width), x.dtype
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(starts[b0:b1], x[b0:b1]))
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
     if pad_l:
         out = out[:, :L]
     return out
@@ -266,27 +293,34 @@ def row_shift_window(
         out_width=out_width,
         border_value=border_value,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, L_padded // rows_per_block),
-        in_specs=[
-            pl.BlockSpec(
-                (1, rows_per_block, in_width),
+    starts = starts.astype(jnp.int32)
+    chunks = []
+    for b0, b1 in _b_chunks(B, L_padded):
+        nb = b1 - b0
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, L_padded // rows_per_block),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, rows_per_block, in_width),
+                    lambda b, lb, starts: (b, lb, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, rows_per_block, out_width),
                 lambda b, lb, starts: (b, lb, 0),
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, rows_per_block, out_width),
-            lambda b, lb, starts: (b, lb, 0),
-        ),
-        scratch_shapes=[pltpu.VMEM((1, _WINDOW2), x.dtype)],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, L_padded, out_width), x.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(starts.astype(jnp.int32), x)
+            scratch_shapes=[pltpu.VMEM((1, _WINDOW2), x.dtype)],
+        )
+        chunks.append(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb, L_padded, out_width), x.dtype
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(starts[b0:b1], x[b0:b1]))
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
     if pad_l:
         out = out[:, :L]
     return out

@@ -261,6 +261,20 @@ def collect_regions(
 
 _DST_TILE_LADDER = (128, 256, 512)
 
+# Per-chunk budget for the flatten pass intermediate (~rows x tile x
+# window floats); tests lower it to force the multi-chunk path on small
+# fixtures.
+_CHUNK_BUDGET_BYTES = 1 << 30
+
+
+def _chunk_rows(tile: int) -> int:
+    """Power-of-two region rows per flatten/gather program call."""
+    rows = _CHUNK_BUDGET_BYTES // (tile * 12 * 1024)
+    r = 64
+    while r * 2 <= rows and r < 1024:
+        r *= 2
+    return r
+
 
 def stack_text_regions(
     result,
@@ -309,39 +323,25 @@ def stack_text_regions(
         tile = _ladder(max(region.window.height, region.window.width))
         buckets.setdefault(tile, []).append(pos)
 
-    flat_warped: Dict[int, object] = {}      # tile -> device (R, d, d, 4)
+    # Chunked device calls: a full-content 8-page batch yields THOUSANDS
+    # of word regions, and one program over the whole bucket materializes
+    # rows x tile x window intermediates (measured: 25.8 GB HBM for 8192
+    # regions at tile 256 — the compile refused).  Each bucket therefore
+    # runs in fixed-size row chunks (a power-of-two per tile, so the
+    # compiled-program set stays bounded); the dst tile is chosen ONCE
+    # per bucket from the full host plan so all chunks composite alike.
+    flat_warped: Dict[Tuple[int, int], object] = {}  # (tile, chunk) -> dev
+    chunk_of: Dict[int, Tuple[int, int, int]] = {}   # pos -> (tile, ci, row)
     flat_extents: List[Optional[Tuple[int, int]]] = [None] * len(regions)
     flat_chars: List[List[Polygon]] = [[] for _ in regions]
     bucket_dst_tile: Dict[int, int] = {}
 
     for tile, positions in sorted(buckets.items()):
         count = len(positions)
-        rpad = 8
-        while rpad < count:
-            rpad *= 2
 
-        sids = np.zeros(rpad, np.int32)
-        ups = np.zeros(rpad, np.int32)
-        lefts = np.zeros(rpad, np.int32)
-        hs = np.ones(rpad, np.float32)
-        ws = np.ones(rpad, np.float32)
-        quads = np.zeros((rpad, 4, 2), np.float32)
-        angles = np.zeros(rpad, np.float64)
-        scales = np.ones(rpad, np.float64)
-        extents = np.ones((rpad, 2), np.int64)
-        for row, pos in enumerate(positions):
+        def region_row(pos):
             region = regions[pos]
             w = region.window
-            sids[row] = region.page_id
-            ups[row] = w.up
-            lefts[row] = w.left
-            hs[row] = w.height
-            ws[row] = w.width
-            # Dilated word polygon, window-relative (the region mask —
-            # a raw bbox window would composite ink from neighboring
-            # words whose chars carry no labels on this region's copy;
-            # the reference masks to the extended region polygon,
-            # page_text_region.py:478-558).
             xy = region.poly_xy
             if xy.shape[0] == 4:
                 rel = xy - np.asarray([w.left, w.up], np.float64)
@@ -351,60 +351,101 @@ def stack_text_regions(
                     (w.width - 1.0, w.height - 1.0), (0, w.height - 1.0),
                 ])
             center = rel.mean(axis=0)
-            quads[row] = center + (rel - center) * (1.0 + config.dilate_ratio)
-            angles[row] = region.angle_deg
-            scales[row] = region.scale
-            extents[row] = (w.height, w.width)
+            quad = center + (rel - center) * (1.0 + config.dilate_ratio)
+            return region, w, quad
 
-        stack_dev = gather_region_windows(
-            images_dev, active_dev, sids, ups, lefts, hs, ws, quads,
-            tile=tile,
-        )
-
+        # Host plan over the FULL bucket picks one dst tile.
+        angles_all = np.asarray([regions[p].angle_deg for p in positions])
+        scales_all = np.asarray([regions[p].scale for p in positions])
+        extents_all = np.asarray([
+            (regions[p].window.height, regions[p].window.width)
+            for p in positions
+        ], dtype=np.int64)
         _, need = plan_region_flatten(
-            angles, scales, tile, 1 << 30, content_extents=extents,
+            angles_all, scales_all, tile, 1 << 30,
+            content_extents=extents_all,
         )
-        need_max = int(need[:count].max())
+        need_max = int(need.max())
         dst_tile = config.dst_tile_max
         for cand in _DST_TILE_LADDER:
             if need_max <= cand <= config.dst_tile_max:
                 dst_tile = cand
                 break
         bucket_dst_tile[tile] = dst_tile
-        warped_dev, w_extents, mats = batch_flatten_regions(
-            stack_dev, angles, scales, dst_tile,
-            content_extents=extents, return_mats=True,
-        )
-        flat_warped[tile] = warped_dev
 
-        # Char polygons through the SAME mats, one einsum for the bucket.
-        groups, points, counts_per_pos = [], [], []
-        for row, pos in enumerate(positions):
-            region = regions[pos]
-            counts = []
-            for ci in region.char_idxs:
-                xy = result.char_polygons[region.page_id][ci].np_xy
-                rel = xy - np.asarray(
-                    [region.window.left, region.window.up], np.float64
-                )
-                points.append(rel)
-                groups.extend([row] * len(rel))
-                counts.append(len(rel))
-            counts_per_pos.append(counts)
-        mapped = region_flatten_point_map(
-            mats, np.asarray(groups, np.int64),
-            np.concatenate(points, axis=0),
-        ) if points else np.zeros((0, 2))
+        chunk = _chunk_rows(tile)
+        for ci, i0 in enumerate(range(0, count, chunk)):
+            sub = positions[i0:i0 + chunk]
+            rpad = 8
+            while rpad < len(sub):
+                rpad *= 2
+            rpad = min(rpad, chunk)
 
-        at = 0
-        for row, pos in enumerate(positions):
-            eh, ew = (int(v) for v in w_extents[row])
-            flat_extents[pos] = (eh, ew)
-            for count_ in counts_per_pos[row]:
-                flat_chars[pos].append(
-                    Polygon.from_np_xy(mapped[at:at + count_])
-                )
-                at += count_
+            sids = np.zeros(rpad, np.int32)
+            ups = np.zeros(rpad, np.int32)
+            lefts = np.zeros(rpad, np.int32)
+            hs = np.ones(rpad, np.float32)
+            ws = np.ones(rpad, np.float32)
+            quads = np.zeros((rpad, 4, 2), np.float32)
+            angles = np.zeros(rpad, np.float64)
+            scales = np.ones(rpad, np.float64)
+            extents = np.ones((rpad, 2), np.int64)
+            for row, pos in enumerate(sub):
+                # Dilated word polygon, window-relative (the region mask
+                # — a raw bbox window would composite ink from
+                # neighboring words whose chars carry no labels on this
+                # region's copy; the reference masks to the extended
+                # region polygon, page_text_region.py:478-558).
+                region, w, quad = region_row(pos)
+                sids[row] = region.page_id
+                ups[row] = w.up
+                lefts[row] = w.left
+                hs[row] = w.height
+                ws[row] = w.width
+                quads[row] = quad
+                angles[row] = region.angle_deg
+                scales[row] = region.scale
+                extents[row] = (w.height, w.width)
+                chunk_of[pos] = (tile, ci, row)
+
+            stack_dev = gather_region_windows(
+                images_dev, active_dev, sids, ups, lefts, hs, ws, quads,
+                tile=tile,
+            )
+            warped_dev, w_extents, mats = batch_flatten_regions(
+                stack_dev, angles, scales, dst_tile,
+                content_extents=extents, return_mats=True,
+            )
+            flat_warped[(tile, ci)] = warped_dev
+
+            # Char polygons through the SAME mats, one einsum per chunk.
+            groups, points, counts_per_pos = [], [], []
+            for row, pos in enumerate(sub):
+                region = regions[pos]
+                counts = []
+                for cidx in region.char_idxs:
+                    xy = result.char_polygons[region.page_id][cidx].np_xy
+                    rel = xy - np.asarray(
+                        [region.window.left, region.window.up], np.float64
+                    )
+                    points.append(rel)
+                    groups.extend([row] * len(rel))
+                    counts.append(len(rel))
+                counts_per_pos.append(counts)
+            mapped = region_flatten_point_map(
+                mats, np.asarray(groups, np.int64),
+                np.concatenate(points, axis=0),
+            ) if points else np.zeros((0, 2))
+
+            at = 0
+            for row, pos in enumerate(sub):
+                eh, ew = (int(v) for v in w_extents[row])
+                flat_extents[pos] = (eh, ew)
+                for count_ in counts_per_pos[row]:
+                    flat_chars[pos].append(
+                        Polygon.from_np_xy(mapped[at:at + count_])
+                    )
+                    at += count_
 
     # ------------------------------------------------------------------
     # Pack: shelf-pack flattened extents onto static canvases.
@@ -475,15 +516,23 @@ def stack_text_regions(
                 poly.to_shifted_polygon(up, left)
             )
 
+    # Positions grouped per flatten chunk (the tiles arrays are the
+    # chunked device stacks).
+    chunk_members: Dict[Tuple[int, int], List[int]] = {}
+    for pos in range(len(regions)):
+        tile, ci, _ = chunk_of[pos]
+        chunk_members.setdefault((tile, ci), []).append(pos)
+
     out = jnp.asarray(canvases)
     active_acc = jnp.zeros((m_pad, s, s), dtype=jnp.float32)
-    for tile, positions in sorted(buckets.items()):
+    for (tile, ci), members in sorted(chunk_members.items()):
         dst_tile = bucket_dst_tile[tile]
-        warped_dev = flat_warped[tile]
+        warped_dev = flat_warped[(tile, ci)]
         tiles_a = (warped_dev[..., 3] > 0.5).astype(jnp.float32)
         tiles_rgb = jnp.clip(warped_dev[..., :3], 0, 255)
         rows = []
-        for row, pos in enumerate(positions):
+        for pos in members:
+            row = chunk_of[pos][2]
             target = box_targets[pos]
             th = target.down - target.up + 1
             tw = target.right - target.left + 1

@@ -126,3 +126,78 @@ def test_font_collection_filtering():
     metas = collection.filter_font_metas('Hi!')
     assert len(metas) == 2
     assert collection.filter_font_metas(['中']) == []
+
+
+def test_atlas_pack_device_buffer_stable_shape():
+    """The pack's device tile buffer must keep a STABLE shape while
+    atlases grow (its shape is the glyph compositor's compiled signature
+    — per-batch growth recompiled a ~30s program on the tunnel), adding
+    new glyphs as in-place delta updates, and rebuild only on slab
+    overflow or a tile-rung bump."""
+    import numpy as np
+
+    from vkit_tpu.engine.font.atlas import AtlasPack
+
+    class FakeAtlas:
+        def __init__(self, t=8):
+            self.tiles = np.zeros((0, t, t), np.float32)
+
+        def grow(self, k):
+            t = self.tiles.shape[1]
+            new = np.random.default_rng(len(self.tiles)).random(
+                (k, t, t)).astype(np.float32)
+            self.tiles = np.concatenate([self.tiles, new])
+
+        def enlarge(self, t):
+            old = self.tiles
+            self.tiles = np.zeros((old.shape[0], t, t), np.float32)
+            self.tiles[:, :old.shape[1], :old.shape[2]] = old
+
+        def snapshot(self):
+            return (self.tiles.shape[0], self.tiles.shape[1], self.tiles)
+
+    pack = AtlasPack()
+    a, b = FakeAtlas(), FakeAtlas()
+    a.grow(3)
+    b.grow(5)
+    pack.global_id(a, 0)
+    pack.global_id(b, 0)
+
+    dev, resolve = pack.device_tiles_and_resolver()
+    shape0 = dev.shape
+    assert shape0[0] >= 8 and shape0[1] >= 8
+    np.testing.assert_array_equal(
+        np.asarray(dev[resolve((0, 2))])[:8, :8], a.tiles[2]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev[resolve((1, 4))])[:8, :8], b.tiles[4]
+    )
+
+    # Growth within the slab: same shape, delta content lands.
+    a.grow(10)
+    dev2, resolve2 = pack.device_tiles_and_resolver()
+    assert dev2.shape == shape0
+    np.testing.assert_array_equal(
+        np.asarray(dev2[resolve2((0, 12))])[:8, :8], a.tiles[12]
+    )
+    # b's tiles are untouched by a's delta.
+    np.testing.assert_array_equal(
+        np.asarray(dev2[resolve2((1, 4))])[:8, :8], b.tiles[4]
+    )
+
+    # Slab overflow (past the 64-tile slab cap): rebuild, still correct.
+    a.grow(80)
+    dev3, resolve3 = pack.device_tiles_and_resolver()
+    assert dev3.shape[1:] == shape0[1:]
+    np.testing.assert_array_equal(
+        np.asarray(dev3[resolve3((0, 90))])[:8, :8], a.tiles[90]
+    )
+
+    # Tile-rung bump: shape grows through the sparse rung ladder once.
+    b.enlarge(20)
+    b.grow(1)
+    dev4, resolve4 = pack.device_tiles_and_resolver()
+    assert dev4.shape[1] == 24  # rung above 20
+    np.testing.assert_array_equal(
+        np.asarray(dev4[resolve4((1, 5))])[:20, :20], b.tiles[5]
+    )

@@ -413,19 +413,33 @@ class AtlasPack:
         (atlases may still be growing while entries accumulate)."""
         return (self._atlas_slot(atlas), local_id)
 
+    # Sparse tile-size rungs: T is part of the compositor's compiled
+    # signature, and 8-multiples recompiled it (a ~30 s tunnel round trip
+    # per program) whenever a slightly larger glyph first appeared.
+    _TILE_RUNGS = (16, 24, 32, 48, 64, 96, 128, 192, 256)
+
     def tiles_and_resolver(self):
         """Build the combined (V, T, T) tile array; returns it plus a
-        resolver mapping (slot, local_id) -> flat tile index."""
+        resolver mapping (slot, local_id) -> flat tile index.
+
+        The built array (and, via ``device_tiles_and_resolver``, its
+        device copy) is CACHED against the pack's growth state: repeat
+        calls while no atlas grew are free."""
         if not self._atlases:
             return np.zeros((1, 1, 1), dtype=np.float32), lambda key: 0
         # Per-atlas ATOMIC snapshots: synthesize_stream's producer thread
         # may grow an atlas concurrently; offsets and tile copies must see
         # one consistent (num_glyphs, tiles) pair per atlas.
         snaps = [a.snapshot() for a in self._atlases]
-        # Quantize the array dims (tile count to 64, tile size to 8) so the
-        # compositor program recompiles only on real growth, not on every
-        # newly observed char.
-        tile = -(-max(s[1] for s in snaps) // 8) * 8
+        state = tuple((n, t) for n, t, _ in snaps)
+        cached = getattr(self, '_build_cache', None)
+        if cached is not None and cached[0] == state:
+            return cached[1], cached[2]
+        t_need = max(s[1] for s in snaps)
+        tile = next(
+            (r for r in self._TILE_RUNGS if t_need <= r),
+            -(-t_need // 256) * 256,
+        )
         offsets = []
         total = 0
         for num_glyphs, _, _ in snaps:
@@ -442,7 +456,105 @@ class AtlasPack:
         tiles = np.zeros((total, tile, tile), dtype=np.float32)
         for (_, _, src), off in zip(snaps, offsets):
             tiles[off:off + src.shape[0], :src.shape[1], :src.shape[2]] = src
-        return tiles, (lambda key: offsets[key[0]] + key[1])
+        resolver = (lambda key: offsets[key[0]] + key[1])
+        self._build_cache = (state, tiles, resolver)
+        self._device_cache = None
+        return tiles, resolver
+
+    def device_tiles_and_resolver(self):
+        """The device tile buffer + id resolver, with a STABLE compiled
+        signature under atlas growth.
+
+        The buffer shape is part of the glyph compositor's compiled
+        signature, and naive per-batch rebuilds recompiled it (~30 s per
+        program over the tunnel) whenever any atlas saw a new char or a
+        bigger glyph.  Here each atlas owns a pow2 CAPACITY SLAB inside a
+        fixed (V_cap, T, T) device buffer; new glyphs stream in as DELTA
+        `.at[slab].set` updates (uploading only the new tiles), and the
+        buffer is rebuilt — the only recompile — when a slab overflows,
+        a new atlas arrives past V_cap, or a glyph outgrows the T rung.
+        """
+        import jax.numpy as jnp
+
+        if not hasattr(self, '_dev'):
+            self._dev = None
+            self._slab_off: List[int] = []
+            self._slab_cap: List[int] = []
+            self._copied: List[int] = []
+            self._tile_rung = 0
+            self._v_cap = 0
+
+        if not self._atlases:
+            if self._dev is None:
+                self._dev = jnp.zeros((1, 1, 1), dtype=jnp.float32)
+            return self._dev, lambda key: 0
+
+        snaps = [a.snapshot() for a in self._atlases]
+        t_need = max(s[1] for s in snaps)
+        rung = next(
+            (r for r in self._TILE_RUNGS if t_need <= r),
+            -(-t_need // 256) * 256,
+        )
+        rung = max(rung, self._tile_rung)
+
+        rebuild = (
+            self._dev is None
+            or rung > self._tile_rung
+            or len(snaps) > len(self._slab_off)
+            or any(n > cap for (n, _, _), cap
+                   in zip(snaps, self._slab_cap))
+        )
+        if rebuild:
+            caps, offs, total = [], [], 0
+            for n, _, _ in snaps:
+                cap = 64
+                while cap < n:
+                    cap *= 2
+                offs.append(total)
+                caps.append(cap)
+                total += cap
+            v_cap = max(self._v_cap, 2048)
+            while v_cap < total:
+                v_cap *= 2
+            host = np.zeros((v_cap, rung, rung), dtype=np.float32)
+            for (n, _, src), off in zip(snaps, offs):
+                host[off:off + n, :src.shape[1], :src.shape[2]] = src
+            self._dev = jnp.asarray(host)
+            self._slab_off, self._slab_cap = offs, caps
+            self._copied = [n for n, _, _ in snaps]
+            self._tile_rung, self._v_cap = rung, v_cap
+        else:
+            for i, (n, _, src) in enumerate(snaps):
+                done = self._copied[i]
+                if n > done:
+                    delta = np.zeros((n - done, rung, rung), np.float32)
+                    delta[:, :src.shape[1], :src.shape[2]] = src[done:n]
+                    off = self._slab_off[i]
+                    self._dev = self._dev.at[off + done:off + n].set(
+                        jnp.asarray(delta)
+                    )
+                    self._copied[i] = n
+        offs = self._slab_off
+        return self._dev, (lambda key: offs[key[0]] + key[1])
+
+
+_GLOBAL_PACK: Optional[AtlasPack] = None
+
+
+def global_atlas_pack() -> AtlasPack:
+    """The process-wide AtlasPack.
+
+    The pack's tile-array SHAPE is part of the glyph compositor's
+    compiled signature; a per-batch pack saw only that batch's fonts, so
+    the shape (and the compiled program, ~30 s each over the tunnel)
+    bounced between batches.  One global pack accumulates every atlas
+    the process ever touches: the shape grows monotonically through
+    sparse rungs and stabilizes, after which batches share one program
+    and one device-resident tile upload."""
+    global _GLOBAL_PACK
+    if _GLOBAL_PACK is None:
+        _GLOBAL_PACK = AtlasPack()
+    return _GLOBAL_PACK
 
 
 def _quantize_out_tile(max_extent: int) -> int:
@@ -483,7 +595,7 @@ def pack_placements(
             }))
             max_extent = max(max_extent, cb.height, cb.width)
 
-    tiles, resolve = pack.tiles_and_resolver()
+    tiles, resolve = pack.device_tiles_and_resolver()
     rows = []
     for key, row in keyed_rows:
         row['glyph_id'] = resolve(key)

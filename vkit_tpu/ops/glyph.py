@@ -312,3 +312,91 @@ def accumulate_glyph_alpha(
     )
     work, _ = jax.lax.scan(body, work, rows)
     return work[:, s:s + height, s:s + width]
+
+
+@functools.partial(jax.jit, static_argnames=('out_tile',))
+def composite_patches_and_alpha(
+    canvas,
+    alpha_canvas,
+    tiles_alpha,
+    tiles_rgb,
+    use_rgbs,
+    placements: GlyphPlacements,
+    out_tile: int = 128,
+):
+    """composite_patches + accumulate_glyph_alpha fused into ONE scan.
+
+    The stacked-region composite ran both scans over the same placement
+    rows (once for rgb, once for the active coverage) — the fused form
+    resamples each tile once and halves the pass count.  Returns
+    (blended canvas with the input dtype, max-accumulated (N, H, W) f32
+    alpha canvas)."""
+    n, height, width, channels = canvas.shape
+    tap = int(tiles_alpha.shape[1])
+    s = out_tile
+
+    orig_dtype = canvas.dtype
+    work = jnp.pad(
+        canvas.astype(jnp.float32), ((0, 0), (s, s), (s, s), (0, 0))
+    )
+    work_a = jnp.pad(
+        alpha_canvas.astype(jnp.float32), ((0, 0), (s, s), (s, s))
+    )
+
+    def body(carry, row):
+        work, work_a = carry
+        (glyph_id, sample_id, up, left, dst_h, dst_w,
+         src_h, src_w, color, valid, use_rgb) = row
+        tile = jax.lax.dynamic_index_in_dim(
+            tiles_alpha, glyph_id, 0, keepdims=False
+        )
+        tile_rgb = jax.lax.dynamic_index_in_dim(
+            tiles_rgb, glyph_id, 0, keepdims=False
+        )
+        w_y = _resample_weights(s, tap, src_h, dst_h)
+        w_x = _resample_weights(s, tap, src_w, dst_w)
+        alpha = jnp.clip((w_y @ tile @ w_x.T) * valid, 0.0, 1.0)
+        rgb = jnp.einsum('st,tuc,vu->svc', w_y, tile_rgb, w_x)
+        paint = color[None, None, :] * (1.0 - use_rgb) + rgb * use_rgb
+
+        start = (sample_id, up + s, left + s, 0)
+        region = jax.lax.dynamic_slice(
+            work, start, (1, s, s, channels)
+        )[0]
+        blended = (
+            alpha[:, :, None] * paint
+            + (1.0 - alpha[:, :, None]) * region
+        )
+        work = jax.lax.dynamic_update_slice(work, blended[None], start)
+
+        start_a = (sample_id, up + s, left + s)
+        region_a = jax.lax.dynamic_slice(work_a, start_a, (1, s, s))[0]
+        work_a = jax.lax.dynamic_update_slice(
+            work_a, jnp.maximum(region_a, alpha)[None], start_a
+        )
+        return (work, work_a), None
+
+    rows = (
+        placements.glyph_ids,
+        placements.sample_ids,
+        placements.ups,
+        placements.lefts,
+        placements.dst_hs,
+        placements.dst_ws,
+        placements.src_hs,
+        placements.src_ws,
+        placements.colors,
+        placements.valids,
+        use_rgbs,
+    )
+    (work, work_a), _ = jax.lax.scan(body, (work, work_a), rows)
+    work = work[:, s:s + height, s:s + width, :]
+    work_a = work_a[:, s:s + height, s:s + width]
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        info = jnp.iinfo(orig_dtype)
+        work = jnp.clip(
+            jnp.round(work), info.min, info.max
+        ).astype(orig_dtype)
+    else:
+        work = work.astype(orig_dtype)
+    return work, work_a

@@ -28,7 +28,7 @@ import numpy as np
 from numpy.random import Generator as RandomGenerator
 
 from ..element import Box, Polygon
-from ..engine.font.atlas import AtlasPack, pack_placements
+from ..engine.font.atlas import global_atlas_pack, pack_placements
 from ..mechanism.batched import batched_plan_warp
 from ..mechanism.batched_random import (
     batch_random_photometric_distort,
@@ -128,6 +128,11 @@ class SynthBatchResult(NamedTuple):
     # Per-char gaussian heatmaps (char_heatmap engine semantics, rendered
     # ON DEVICE from the post-warp char quads); None unless requested.
     char_gaussian_maps: Optional[np.ndarray] = None  # (N, out_h, out_w) f32
+    # Raw co-transformed char quads, (G, 4, 2) float64 per page — the
+    # same geometry as char_polygons without the per-object overhead;
+    # the region stream's hot host loops consume these.  None per page
+    # only if a char polygon were not a quad (prep always emits quads).
+    char_quads: Optional[Sequence[Optional[np.ndarray]]] = None
     # The adaptive-scaling output family (synth/region.py): stacked
     # region pages + char regression labels + region crops; None unless
     # a RegionStreamConfig was passed.
@@ -384,6 +389,7 @@ def synthesize_page_batch(
     emit_char_gaussians: bool = False,
     region_config=None,
     keep_on_device: bool = False,
+    timer=None,
 ) -> SynthBatchResult:
     """Run the device synthesis program over N host-prepped pages.
 
@@ -397,7 +403,15 @@ def synthesize_page_batch(
     hand these straight to synth_to_train_batch; the reference instead
     pickles full sample dicts across its process pool
     (vkit/utility/pool.py:162-184).
+
+    ``timer``: optional utility.profiling.StepTimer; when set, each stage
+    is wall-clocked and FORCED (a one-element fetch) at its end, so the
+    per-stage numbers attribute true device time instead of async enqueue
+    time.  Profiling therefore serializes the stage pipeline — leave it
+    None in production.
     """
+    from contextlib import nullcontext
+
     from ..mechanism.distortion.warp_plan import (
         nop_plan,
         plan_content_box,
@@ -408,84 +422,110 @@ def synthesize_page_batch(
 
     enable_compilation_cache()
 
+    measure = (timer.measure if timer is not None
+               else (lambda name: nullcontext()))
+
+    def sync(x):
+        if timer is not None and x is not None:
+            float(jnp.asarray(x[(0,) * getattr(x, 'ndim', 0)]))
+        return x
+
     n = len(pages)
     assert n > 0
     height, width = pages[0].background.shape[:2]
     assert all(p.background.shape[:2] == (height, width) for p in pages)
 
     # 1. Assemble: glyph compositing, one program for the whole batch.
-    base = np.stack([p.background for p in pages])
-    pack = AtlasPack()
-    entries = []
-    for sample_id, page in enumerate(pages):
-        for layout, anchor, color, atlas in page.line_entries:
-            entries.append((layout, anchor, sample_id, color, atlas))
-    if entries:
-        placements, tiles, out_tile = pack_placements(
-            entries, pack, bucket=placement_bucket
-        )
-        assembled = composite_glyphs(base, tiles, placements,
-                                     out_tile=out_tile)
-    else:
-        assembled = jnp.asarray(base)
+    with measure('assemble'):
+        with measure('assemble.pack-host'):
+            base = np.stack([p.background for p in pages])
+            pack = global_atlas_pack()
+            entries = []
+            for sample_id, page in enumerate(pages):
+                for layout, anchor, color, atlas in page.line_entries:
+                    entries.append(
+                        (layout, anchor, sample_id, color, atlas)
+                    )
+            if entries:
+                placements, tiles, out_tile = pack_placements(
+                    entries, pack, bucket=placement_bucket
+                )
+        with measure('assemble.glyphs'):
+            if entries:
+                assembled = composite_glyphs(base, tiles, placements,
+                                             out_tile=out_tile)
+            else:
+                assembled = jnp.asarray(base)
+            sync(assembled)
 
-    # Above-text layers (non-text symbols, seal stamps) ride a second
-    # scan program in z-order (page_assembler.py: text <- symbols <-
-    # seals).
-    overlay = [
-        (sample_id, entry)
-        for sample_id, page in enumerate(pages)
-        for entry in page.overlay_entries
-    ]
-    if overlay:
-        assembled = _composite_overlays(assembled, overlay)
+        # Above-text layers (non-text symbols, seal stamps) ride a second
+        # scan program in z-order (page_assembler.py: text <- symbols <-
+        # seals).
+        with measure('assemble.overlays'):
+            overlay = [
+                (sample_id, entry)
+                for sample_id, page in enumerate(pages)
+                for entry in page.overlay_entries
+            ]
+            if overlay:
+                assembled = _composite_overlays(assembled, overlay)
+            sync(assembled)
 
     # 2. Photometric stage (policy-sampled, gated device rounds).
     if enable_photometric:
-        assembled = batch_random_photometric_distort(
-            assembled, level, rng, key=key
-        )
+        with measure('photometric'):
+            assembled = sync(batch_random_photometric_distort(
+                assembled, level, rng, key=key
+            ))
 
     # 3. Geometric stage: one dense warp moves image + labels together.
     # The final resize folds INTO each plan (rescale_plan_to), so every
     # sample's randomized warp lands on the one static output canvas in a
     # single resampling pass — one compiled program for every batch.
     out_shape = out_shape or (height, width)
-    if enable_geometric:
-        raw_plans = sample_geometric_plans(n, (height, width), level, rng)
-    else:
-        raw_plans = [nop_plan((height, width)) for _ in range(n)]
-    plans = [rescale_plan_to(p, out_shape) for p in raw_plans]
+    with measure('plan-host'):
+        if enable_geometric:
+            raw_plans = sample_geometric_plans(
+                n, (height, width), level, rng
+            )
+        else:
+            raw_plans = [nop_plan((height, width)) for _ in range(n)]
+        plans = [rescale_plan_to(p, out_shape) for p in raw_plans]
 
-    labels = np.stack([p.label_stack for p in pages])
-    stack = jnp.concatenate(
-        [assembled.astype(jnp.float32), jnp.asarray(labels)], axis=-1
-    )
-    warped, shapes, _, maps = batched_plan_warp(
-        plans, stack, return_maps=True, mode='auto'
-    )
-    assert warped.shape[1:3] == out_shape
+    with measure('warp'):
+        labels = np.stack([p.label_stack for p in pages])
+        stack = jnp.concatenate(
+            [assembled.astype(jnp.float32), jnp.asarray(labels)], axis=-1
+        )
+        warped, shapes, _, maps = batched_plan_warp(
+            plans, stack, return_maps=True, mode='auto'
+        )
+        assert warped.shape[1:3] == out_shape
+        sync(warped)
 
-    # uint8 upload (4x smaller over the tunnel than the former float32).
-    active = np.zeros((n,) + out_shape, dtype=np.uint8)
-    for idx, plan in enumerate(plans):
-        active[idx] = warp_active_mask(plan).mat
+    with measure('active-host'):
+        # uint8 upload (4x smaller over the tunnel than the former f32).
+        active = np.zeros((n,) + out_shape, dtype=np.uint8)
+        for idx, plan in enumerate(plans):
+            active[idx] = warp_active_mask(plan).mat
 
     # 4. Height correction, one jitted program.
-    if maps is None:
-        images, label_stack, active_u8 = _finish_program_const(
-            warped,
-            jnp.asarray(_affine_stretches(plans)),
-            jnp.asarray(active),
-        )
-    else:
-        map_ys, map_xs = maps
-        images, label_stack, active_u8 = _finish_program(
-            warped,
-            jnp.asarray(map_ys, dtype=jnp.float32),
-            jnp.asarray(map_xs, dtype=jnp.float32),
-            jnp.asarray(active),
-        )
+    with measure('finish'):
+        if maps is None:
+            images, label_stack, active_u8 = _finish_program_const(
+                warped,
+                jnp.asarray(_affine_stretches(plans)),
+                jnp.asarray(active),
+            )
+        else:
+            map_ys, map_xs = maps
+            images, label_stack, active_u8 = _finish_program(
+                warped,
+                jnp.asarray(map_ys, dtype=jnp.float32),
+                jnp.asarray(map_xs, dtype=jnp.float32),
+                jnp.asarray(active),
+            )
+        sync(images)
 
     # Host: analytic polygon co-transform + content boxes (the reference's
     # corner-point trim folded into per-sample boxes; the rescaled plans
@@ -494,35 +534,57 @@ def synthesize_page_batch(
     # so nothing blocks on a device fetch.
     word_polygons: List[List[Polygon]] = []
     char_polygons: List[List[Polygon]] = []
+    char_quads: List[np.ndarray] = []
     content_boxes: List[Box] = []
-    for plan, page in zip(plans, pages):
-        def transform(polygons):
-            return [
-                Polygon.from_np_array(plan.map_points(p.to_np_array()))
-                for p in polygons
-            ]
+    with measure('polygons-host'):
+        for plan, page in zip(plans, pages):
+            # ONE map_points per page: the per-polygon loop paid a plan
+            # evaluation per word/char (tens of thousands of tiny numpy
+            # calls per batch).  Word vertex counts vary; chars are
+            # always quads, so they also land in a raw (G, 4, 2) array
+            # the region stream consumes without re-touching Polygon
+            # objects.
+            w_pts = [p.to_np_array() for p in page.word_polygons]
+            c_pts = [p.to_np_array() for p in page.char_polygons]
+            counts = [len(a) for a in w_pts] + [len(a) for a in c_pts]
+            flat = (np.concatenate(w_pts + c_pts, axis=0)
+                    if (w_pts or c_pts) else np.zeros((0, 2)))
+            mapped = plan.map_points(flat)
+            polys, at = [], 0
+            for cnt in counts:
+                polys.append(Polygon.from_np_array(mapped[at:at + cnt]))
+                at += cnt
+            word_polygons.append(polys[:len(w_pts)])
+            char_polygons.append(polys[len(w_pts):])
+            if all(len(a) == 4 for a in c_pts):
+                quads = (mapped[-4 * len(c_pts):].reshape(-1, 4, 2)
+                         if c_pts else np.zeros((0, 4, 2)))
+            else:  # non-quad char outline (never in prep output today)
+                quads = None
+            char_quads.append(quads)
+            content_boxes.append(plan_content_box(plan))
 
-        word_polygons.append(transform(page.word_polygons))
-        char_polygons.append(transform(page.char_polygons))
-        content_boxes.append(plan_content_box(plan))
-
-    if keep_on_device:
-        images_np, label_np, active_np = images, label_stack, active_u8
-    else:
-        images_np = np.asarray(images)
-        label_np = np.asarray(label_stack)
-        active_np = np.asarray(active_u8)
+    with measure('fetch' if not keep_on_device else 'noop'):
+        if keep_on_device:
+            images_np, label_np, active_np = images, label_stack, active_u8
+        else:
+            images_np = np.asarray(images)
+            label_np = np.asarray(label_stack)
+            active_np = np.asarray(active_u8)
 
     gaussians = None
     if emit_char_gaussians:
-        gaussians = _char_gaussian_maps(
-            char_polygons, out_shape, keep_on_device=keep_on_device
-        )
+        with measure('char-gaussians'):
+            gaussians = sync(_char_gaussian_maps(
+                char_polygons, out_shape, keep_on_device=keep_on_device
+            ))
 
     crop_images = crop_labels = crop_active = crop_page_ids = None
     crop_windows = None
     num_crops = 0
     if crop_config is not None:
+        crop_ctx = measure('crops')
+        crop_ctx.__enter__()
         sids, c_ups, c_lefts = _sample_crop_windows(
             out_shape, content_boxes, word_polygons, crop_config, rng
         )
@@ -545,12 +607,15 @@ def synthesize_page_batch(
             )
             if keep_on_device:
                 crop_images, crop_labels, crop_active = imgs, labs, acts
+                sync(crop_images)
             else:
                 crop_images = np.asarray(imgs)[:count]
                 crop_labels = np.asarray(labs)[:count]
                 crop_active = np.asarray(acts)[:count]
             crop_page_ids = sids
             crop_windows = np.stack([c_ups, c_lefts], axis=1)
+    if crop_config is not None:
+        crop_ctx.__exit__(None, None, None)
 
     result = SynthBatchResult(
         images=images_np,
@@ -566,15 +631,18 @@ def synthesize_page_batch(
         crop_windows=crop_windows,
         char_gaussian_maps=gaussians,
         num_crops=num_crops,
+        char_quads=char_quads,
     )
     if region_config is not None:
         from .region import stack_text_regions
 
-        result = result._replace(
-            text_regions=stack_text_regions(
-                result, region_config, rng, keep_on_device=keep_on_device
+        with measure('region'):
+            result = result._replace(
+                text_regions=stack_text_regions(
+                    result, region_config, rng,
+                    keep_on_device=keep_on_device, timer=timer,
+                )
             )
-        )
     return result
 
 

@@ -132,11 +132,14 @@ def char_regression_encodings(
 
 def _assign_chars_to_words(
     word_polygons: Sequence[Polygon],
-    char_polygons: Sequence[Polygon],
+    char_centroids_xy: np.ndarray,
 ) -> List[List[int]]:
     """Char -> word grouping by centroid-in-bbox (PageTextRegionStep.
     _assign_chars semantics: each char joins the region containing it;
-    unmatched chars join the nearest region center)."""
+    unmatched chars join the nearest region center).
+
+    ``char_centroids_xy``: (G, 2) xy centroids (vectorized upstream —
+    a per-Polygon loop here was the collect-host hot spot)."""
     if not word_polygons:
         return []
     boxes = np.asarray([
@@ -148,9 +151,9 @@ def _assign_chars_to_words(
         (boxes[:, 0] + boxes[:, 1]) / 2, (boxes[:, 2] + boxes[:, 3]) / 2,
     ], axis=1)                                             # (W, 2) yx
     groups: List[List[int]] = [[] for _ in word_polygons]
-    if not char_polygons:
+    if not len(char_centroids_xy):
         return groups
-    cxy = np.asarray([p.np_xy.mean(axis=0) for p in char_polygons])  # (G,2) xy
+    cxy = np.asarray(char_centroids_xy)                    # (G, 2) xy
     inside = (
         (cxy[:, 1][:, None] >= boxes[None, :, 0] - 0.5)
         & (cxy[:, 1][:, None] <= boxes[None, :, 1] + 0.5)
@@ -179,16 +182,6 @@ def _flatten_angle_deg(polygon: Polygon) -> float:
     return -math.degrees(math.atan2(dy, dx))
 
 
-def _char_heights(char_polygons: Sequence[Polygon], idxs: List[int]):
-    hs = []
-    for i in idxs:
-        xy = char_polygons[i].np_xy
-        left = math.hypot(xy[3, 0] - xy[0, 0], xy[3, 1] - xy[0, 1])
-        right = math.hypot(xy[2, 0] - xy[1, 0], xy[2, 1] - xy[1, 1])
-        hs.append((left + right) / 2.0)
-    return hs
-
-
 class _Region(NamedTuple):
     page_id: int
     window: Box          # source window on the synth page
@@ -212,10 +205,27 @@ def collect_regions(
     """Plan one flattenable region per word that owns >= 1 char."""
     regions: List[_Region] = []
     page_h, page_w = result.images.shape[1:3]
+    quads_per_page = getattr(result, 'char_quads', None)
     for pid, (words, chars) in enumerate(
         zip(result.word_polygons, result.char_polygons)
     ):
-        groups = _assign_chars_to_words(words, chars)
+        # Vectorized char geometry: the raw (G, 4, 2) quads when the
+        # synth batch carries them (20k+ per-Polygon np calls per batch
+        # otherwise — the round-5 collect-host hot spot).
+        quads = quads_per_page[pid] if quads_per_page is not None else None
+        if quads is None and chars:
+            quads = np.stack([c.np_xy[:4] for c in chars])
+        if quads is not None and len(quads):
+            centroids_xy = quads.mean(axis=1)
+            h_left = np.hypot(quads[:, 3, 0] - quads[:, 0, 0],
+                              quads[:, 3, 1] - quads[:, 0, 1])
+            h_right = np.hypot(quads[:, 2, 0] - quads[:, 1, 0],
+                               quads[:, 2, 1] - quads[:, 1, 1])
+            heights_all = (h_left + h_right) / 2.0
+        else:
+            centroids_xy = np.zeros((0, 2))
+            heights_all = np.zeros((0,))
+        groups = _assign_chars_to_words(words, centroids_xy)
         for word_idx, char_idxs in enumerate(groups):
             if not char_idxs:
                 continue
@@ -233,8 +243,7 @@ def collect_regions(
             )
             if window.height < 2 or window.width < 2:
                 continue
-            heights = _char_heights(chars, char_idxs)
-            median = float(np.median(heights)) if heights else 0.0
+            median = float(np.median(heights_all[char_idxs]))
             if median < 1.0:
                 continue
             scale = config.target_char_height / median
@@ -281,6 +290,7 @@ def stack_text_regions(
     config: RegionStreamConfig,
     rng: RandomGenerator,
     keep_on_device: bool = False,
+    timer=None,
 ) -> Optional[RegionBatchResult]:
     """The full adaptive-scaling post-pass over one SynthBatchResult.
 
@@ -294,7 +304,7 @@ def stack_text_regions(
     Returns None when the batch carries no usable text region."""
     import jax.numpy as jnp
 
-    from ..ops.glyph import build_placements, composite_patches
+    from ..ops.glyph import build_placements
     from ..ops.region import (
         batch_flatten_regions,
         gather_region_windows,
@@ -307,7 +317,18 @@ def stack_text_regions(
         build_background_image_for_stacking,
     )
 
-    regions = collect_regions(result, config)
+    from contextlib import nullcontext
+
+    measure = (timer.measure if timer is not None
+               else (lambda name: nullcontext()))
+
+    def sync(x):
+        if timer is not None and x is not None:
+            float(jnp.asarray(x[(0,) * getattr(x, 'ndim', 0)]))
+        return x
+
+    with measure('region.collect-host'):
+        regions = collect_regions(result, config)
     if not regions:
         return None
 
@@ -376,10 +397,15 @@ def stack_text_regions(
         chunk = _chunk_rows(tile)
         for ci, i0 in enumerate(range(0, count, chunk)):
             sub = positions[i0:i0 + chunk]
-            rpad = 8
-            while rpad < len(sub):
-                rpad *= 2
-            rpad = min(rpad, chunk)
+            if count > chunk:
+                # Multi-chunk bucket: pad EVERY chunk (tail included) to
+                # the full chunk size — a pow2-padded tail would mint a
+                # fresh compiled program per distinct tail size.
+                rpad = chunk
+            else:
+                rpad = 8
+                while rpad < len(sub):
+                    rpad *= 2
 
             sids = np.zeros(rpad, np.int32)
             ups = np.zeros(rpad, np.int32)
@@ -408,29 +434,41 @@ def stack_text_regions(
                 extents[row] = (w.height, w.width)
                 chunk_of[pos] = (tile, ci, row)
 
-            stack_dev = gather_region_windows(
-                images_dev, active_dev, sids, ups, lefts, hs, ws, quads,
-                tile=tile,
-            )
-            warped_dev, w_extents, mats = batch_flatten_regions(
-                stack_dev, angles, scales, dst_tile,
-                content_extents=extents, return_mats=True,
-            )
+            with measure('region.gather+flatten'):
+                stack_dev = gather_region_windows(
+                    images_dev, active_dev, sids, ups, lefts, hs, ws,
+                    quads, tile=tile,
+                )
+                warped_dev, w_extents, mats = batch_flatten_regions(
+                    stack_dev, angles, scales, dst_tile,
+                    content_extents=extents, return_mats=True,
+                )
+                sync(warped_dev)
             flat_warped[(tile, ci)] = warped_dev
 
-            # Char polygons through the SAME mats, one einsum per chunk.
+            # Char polygons through the SAME mats, one einsum per chunk
+            # (raw (G, 4, 2) quads when available — no Polygon access).
+            quads_pp = getattr(result, 'char_quads', None)
             groups, points, counts_per_pos = [], [], []
             for row, pos in enumerate(sub):
                 region = regions[pos]
-                counts = []
-                for cidx in region.char_idxs:
-                    xy = result.char_polygons[region.page_id][cidx].np_xy
-                    rel = xy - np.asarray(
-                        [region.window.left, region.window.up], np.float64
-                    )
-                    points.append(rel)
-                    groups.extend([row] * len(rel))
-                    counts.append(len(rel))
+                origin = np.asarray(
+                    [region.window.left, region.window.up], np.float64
+                )
+                q = (quads_pp[region.page_id]
+                     if quads_pp is not None else None)
+                if q is not None and len(region.char_idxs):
+                    rel = q[region.char_idxs] - origin
+                    points.append(rel.reshape(-1, 2))
+                    groups.extend([row] * (4 * len(region.char_idxs)))
+                    counts = [4] * len(region.char_idxs)
+                else:
+                    counts = []
+                    for cidx in region.char_idxs:
+                        xy = result.char_polygons[region.page_id][cidx].np_xy
+                        points.append(xy - origin)
+                        groups.extend([row] * len(xy))
+                        counts.append(len(xy))
                 counts_per_pos.append(counts)
             mapped = region_flatten_point_map(
                 mats, np.asarray(groups, np.int64),
@@ -497,7 +535,7 @@ def stack_text_regions(
     # Composite: one device scan program per tile bucket (rgb + active
     # coverage together; nothing fetches).
     # ------------------------------------------------------------------
-    from ..ops.glyph import accumulate_glyph_alpha
+    from ..ops.glyph import composite_patches_and_alpha
 
     region_boxes: List[List[Box]] = [[] for _ in range(num_pages)]
     page_chars: List[List[Polygon]] = [[] for _ in range(num_pages)]
@@ -523,6 +561,8 @@ def stack_text_regions(
         tile, ci, _ = chunk_of[pos]
         chunk_members.setdefault((tile, ci), []).append(pos)
 
+    composite_ctx = measure('region.composite')
+    composite_ctx.__enter__()
     out = jnp.asarray(canvases)
     active_acc = jnp.zeros((m_pad, s, s), dtype=jnp.float32)
     for (tile, ci), members in sorted(chunk_members.items()):
@@ -545,33 +585,36 @@ def stack_text_regions(
             })
         placements_dev = build_placements(rows, bucket=8)
         use_rgbs = np.ones(placements_dev.num_rows, dtype=np.float32)
-        out = composite_patches(
-            out, tiles_a, tiles_rgb,
+        out, active_acc = composite_patches_and_alpha(
+            out, active_acc, tiles_a, tiles_rgb,
             jnp.asarray(use_rgbs), placements_dev, out_tile=dst_tile,
         )
-        active_acc = accumulate_glyph_alpha(
-            active_acc, tiles_a, placements_dev, out_tile=dst_tile
-        )
     active = (active_acc > 0.5).astype(jnp.uint8)
+    sync(active)
+    composite_ctx.__exit__(None, None, None)
 
     # ------------------------------------------------------------------
     # Labels: device gaussians + vectorized regression encodings.
     # ------------------------------------------------------------------
-    gaussians = _char_gaussian_maps(
-        page_chars + [[] for _ in range(m_pad - num_pages)], (s, s),
-        tile=config.gaussian_tile, keep_on_device=True,
-    )
-    regression: List[CharRegression] = []
-    for polys in page_chars:
-        if polys:
-            corners = np.stack([p.np_xy[:4] for p in polys])
-            centers = corners.mean(axis=1)
-            regression.append(char_regression_encodings(corners, centers))
-        else:
-            empty = np.zeros((0, 4, 2))
-            regression.append(char_regression_encodings(
-                empty, np.zeros((0, 2))
-            ))
+    with measure('region.gaussians'):
+        gaussians = sync(_char_gaussian_maps(
+            page_chars + [[] for _ in range(m_pad - num_pages)], (s, s),
+            tile=config.gaussian_tile, keep_on_device=True,
+        ))
+    with measure('region.regression-host'):
+        regression: List[CharRegression] = []
+        for polys in page_chars:
+            if polys:
+                corners = np.stack([p.np_xy[:4] for p in polys])
+                centers = corners.mean(axis=1)
+                regression.append(
+                    char_regression_encodings(corners, centers)
+                )
+            else:
+                empty = np.zeros((0, 4, 2))
+                regression.append(char_regression_encodings(
+                    empty, np.zeros((0, 2))
+                ))
 
     # ------------------------------------------------------------------
     # Crops (page_text_region_cropping.py windows, device extraction).

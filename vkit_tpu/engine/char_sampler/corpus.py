@@ -91,12 +91,36 @@ class CharSamplerCorpusEngine(
             self.files.append((path, os.path.getsize(path)))
         # Larger files hold more lines: weight by byte size.
         self.file_probs = normalize_to_probs([size for _, size in self.files])
+        # In-memory byte cache for small corpora (thousands of draws per
+        # prepared batch otherwise reopen + seek the file each time);
+        # larger files keep the block-read path.
+        self._bytes_cache: dict = {}
+
+    def _read_line(self, path: Path, size: int, pos: int) -> str:
+        if size <= (8 << 20):
+            data = self._bytes_cache.get(path)
+            if data is None:
+                data = path.read_bytes()
+                self._bytes_cache[path] = data
+            # Same bounds as read_enclosing_line: forward scan starts at
+            # pos + 1, backward scan covers [0, pos).
+            end = data.find(b'\n', pos + 1)
+            end = size if end < 0 else min(end, size)
+            begin = data.rfind(b'\n', 0, pos) + 1
+            try:
+                return data[begin:end].decode()
+            except UnicodeError:
+                logger.exception(
+                    f'undecodable corpus line {data[begin:begin + 64]!r}'
+                )
+                return ''
+        return read_enclosing_line(path, size, pos)
 
     def sample_and_prep_text(self, rng: RandomGenerator) -> str:
         """Draw lines until one survives lexicon filtering."""
         while True:
             path, size = rng_choice(rng, self.files, probs=self.file_probs)
-            line = read_enclosing_line(path, size, int(rng.integers(0, size)))
+            line = self._read_line(path, size, int(rng.integers(0, size)))
             words = []
             for word in line.split():
                 kept = ''.join(

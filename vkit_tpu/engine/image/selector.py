@@ -17,6 +17,21 @@ from .type import ImageEngineRunConfig
 
 _EXTENSIONS = ('jpg', 'jpeg', 'png')
 
+# Decoded-file + deterministic-resize caches: a prepared page batch
+# re-selects from the same small folders hundreds of times, and Image
+# mats are frozen read-only, so sharing one decode/resize per key is
+# safe.  Bounded FIFO so unboundedly large production folders can't
+# pin host memory.
+_CACHE_LIMIT = 256
+_decode_cache: dict = {}
+_resize_cache: dict = {}
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) >= _CACHE_LIMIT:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
 
 def index_image_files(folders) -> List[Path]:
     """Sorted recursive listing of supported image files."""
@@ -53,9 +68,16 @@ class ImageSelectorEngine(
     def run(self, run_config: ImageEngineRunConfig,
             rng: Optional[RandomGenerator] = None) -> Image:
         assert rng is not None
-        image = Image.from_file(rng_choice(rng, self.image_files))
-        if self.init_config.target_image_mode:
-            image = image.to_target_mode_image(self.init_config.target_image_mode)
+        path = rng_choice(rng, self.image_files)
+        decode_key = (path, self.init_config.target_image_mode)
+        image = _decode_cache.get(decode_key)
+        if image is None:
+            image = Image.from_file(path)
+            if self.init_config.target_image_mode:
+                image = image.to_target_mode_image(
+                    self.init_config.target_image_mode
+                )
+            _cache_put(_decode_cache, decode_key, image)
 
         if run_config.disable_resizing:
             assert run_config.height == 0 and run_config.width == 0
@@ -67,7 +89,12 @@ class ImageSelectorEngine(
             up = int(rng.integers(0, image.height - h + 1))
             left = int(rng.integers(0, image.width - w + 1))
             return Box(up, up + h - 1, left, left + w - 1).extract_image(image)
-        return image.to_resized_image(resized_height=h, resized_width=w)
+        resize_key = (decode_key, h, w)
+        resized = _resize_cache.get(resize_key)
+        if resized is None:
+            resized = image.to_resized_image(resized_height=h, resized_width=w)
+            _cache_put(_resize_cache, resize_key, resized)
+        return resized
 
 
 image_selector_engine_executor_factory = EngineExecutorFactory(ImageSelectorEngine)

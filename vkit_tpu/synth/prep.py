@@ -20,6 +20,7 @@ from numpy.random import Generator as RandomGenerator
 
 from ..element import Box, LexiconCollection, Polygon, ScoreMap
 from ..engine.char_and_font_sampler import (
+    CharAndFontSamplerEngineRunConfig,
     char_and_font_sampler_engine_executor_factory,
 )
 from ..engine.char_sampler import (
@@ -270,7 +271,10 @@ class SynthPlanner:
     def _sample_char_and_font(self, box: Box, rng: RandomGenerator):
         for _ in range(3):
             out = self.char_and_font_sampler.run(
-                run_config={'height': box.height, 'width': box.width}, rng=rng
+                run_config=CharAndFontSamplerEngineRunConfig(
+                    height=box.height, width=box.width,
+                ),
+                rng=rng,
             )
             if out:
                 return out
@@ -423,12 +427,15 @@ class SynthPlanner:
                 self._prepare_seals(layout_out, rng, height, width)
             )
 
-        # Pre-distortion label channels.
-        shape = (height, width)
-        tl_mask_mat = np.zeros(shape, dtype=np.float32)
-        tl_height_mat = np.zeros(shape, dtype=np.float32)
-        ch_mask_mat = np.zeros(shape, dtype=np.float32)
-        ch_height_mat = np.zeros(shape, dtype=np.float32)
+        # Pre-distortion label channels, filled IN PLACE in the final
+        # (H, W, 4) buffer: a separate-mats-then-stack build pays a full
+        # fresh-allocation fault + copy per page (~32 ms at 640^2) while
+        # the fills only touch label windows.
+        label_stack = np.zeros((height, width, 4), dtype=np.float32)
+        tl_mask_mat = label_stack[..., 0]
+        tl_height_mat = label_stack[..., 1]
+        ch_mask_mat = label_stack[..., 2]
+        ch_height_mat = label_stack[..., 3]
 
         word_polygons: List[Polygon] = []
         kept_words: List = []
@@ -485,10 +492,6 @@ class SynthPlanner:
                         out=ch_height_mat[window],
                     )
 
-        label_stack = np.stack(
-            [tl_mask_mat, tl_height_mat, ch_mask_mat, ch_height_mat],
-            axis=-1,
-        )
         return HostPage(
             background=np.asarray(canvas.mat),
             label_stack=label_stack,

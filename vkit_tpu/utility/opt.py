@@ -14,8 +14,15 @@ _T = TypeVar('_T')
 
 
 def rng_choice(rng: RandomGenerator, items: Sequence[_T], probs=None) -> _T:
-    idx = rng.choice(len(items), p=probs)
-    return items[int(idx)]
+    # Bit-identical to Generator.choice but without its per-call p
+    # validation (tens of thousands of draws per prepared page batch):
+    # choice without p draws one integers(); with p it inverse-CDF
+    # samples exactly one random() — both reproduced here verbatim.
+    if probs is None:
+        return items[int(rng.integers(len(items)))]
+    cdf = np.cumsum(np.asarray(probs, dtype=np.float64))
+    cdf /= cdf[-1]
+    return items[int(cdf.searchsorted(rng.random(), 'right'))]
 
 
 def rng_choice_with_size(
@@ -25,7 +32,15 @@ def rng_choice_with_size(
     probs=None,
     replace: bool = True,
 ) -> List[_T]:
-    indices = rng.choice(len(items), p=probs, size=size, replace=replace)
+    if replace:  # same draw stream as Generator.choice (see rng_choice)
+        if probs is None:
+            indices = rng.integers(0, len(items), size=size)
+        else:
+            cdf = np.cumsum(np.asarray(probs, dtype=np.float64))
+            cdf /= cdf[-1]
+            indices = cdf.searchsorted(rng.random(size), 'right')
+    else:
+        indices = rng.choice(len(items), p=probs, size=size, replace=False)
     return [items[int(idx)] for idx in indices]
 
 
